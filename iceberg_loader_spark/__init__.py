@@ -1,0 +1,27 @@
+"""iceberg_loader_spark — a PySpark-native analytics + lakehouse-ingest engine.
+
+A from-scratch Spark re-expression of the capabilities of
+vndvtech/iceberg-loader (see SURVEY.md), plus the Spark-native query surface
+and LLM-data-pipeline operators (dedup, similarity search, text analysis,
+multimodal columns) designed for 100 TB scale.
+
+Layout:
+    session      SparkSession factory (semantics-parity confs)
+    config       LoaderConfig (frozen dataclass + validation)
+    tables/      snapshot-versioned parquet table layer ("icepack"):
+                 atomic metadata commits, write strategies, time travel,
+                 partition transforms, expiry, compaction
+    loader       high-level load_data / load_batches / IPC-stream entry points
+    operators/   Part B query surface (relational, dedup, similarity, text,
+                 multimodal)
+    streaming/   Structured Streaming ops (windows, watermark, stateful dedup)
+    functions/   scalar helpers shared across operators
+    sources/     ingest adapters (dicts/messy-JSON, Arrow IPC, REST)
+    plans/       plan-inspection helpers (pushdown/broadcast assertions)
+"""
+
+from iceberg_loader_spark.session import get_spark
+
+__version__ = "0.1.0"
+
+__all__ = ["get_spark", "__version__"]

@@ -1,0 +1,48 @@
+"""Part B operator registry (SURVEY.md §2 Part B).
+
+Each submodule defines
+
+* ``QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]]``
+* ``ORACLES: dict[str, str]`` — DuckDB-runnable ANSI SQL twins (omit a key
+  for non-SQL-expressible ops; the driver then records a rows-only check).
+
+``all_queries()`` / ``all_oracles()`` merge the submodules for
+``__spark_entry__.py``. Key collisions are a bug — we assert against them.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def _modules():
+    from iceberg_loader_spark.operators import (
+        dedup,
+        multimodal,
+        relational,
+        similarity,
+        text,
+    )
+    from iceberg_loader_spark import streaming
+
+    return [relational, dedup, similarity, text, multimodal, streaming]
+
+
+def all_queries() -> dict[str, QueryFn]:
+    out: dict[str, QueryFn] = {}
+    for mod in _modules():
+        for k, v in mod.QUERIES.items():
+            assert k not in out, f"duplicate query key {k}"
+            out[k] = v
+    return out
+
+
+def all_oracles() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for mod in _modules():
+        out.update(getattr(mod, "ORACLES", {}))
+    return out

@@ -1,0 +1,603 @@
+"""Relational query surface (SURVEY.md §2 B1–B19).
+
+Every query here is a plain declarative DataFrame program — Catalyst gets
+the whole plan (pushdown, pruning, join selection, AQE). Each has a DuckDB
+oracle twin with IDENTICAL output column names.
+
+Determinism rules (so value-hashes match the oracle bit-for-bit):
+
+* Monetary doubles in the testdata are 2-decimal values → cast to
+  ``decimal(18,2)`` before arithmetic/summing, cast the exact result back to
+  double at the end. Decimal aggregation is order-independent and exact in
+  both engines; the final decimal→double conversion is IEEE-deterministic.
+* Arbitrary doubles (``events.value``) are fixed-pointed via
+  ``floor(value * 1e6)`` into bigints before summing.
+* Averages are spelled ``cast(exact_sum as double) / count`` — one IEEE
+  division of identical operands.
+* Every ranking window/top-k carries a unique-key tie-break.
+
+Scale notes are inline per query; the short version: all joins are
+equi-joins Catalyst can broadcast or shuffle-hash, dimension sides are
+explicitly ``broadcast()``-hinted, and no query materializes anything on
+the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from iceberg_loader_spark.sources.tables import load_table
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _dec(c, scale: int = 2):
+    """Exact fixed-point view of a 2-decimal monetary double."""
+    return F.col(c).cast(f"decimal(18,{scale})")
+
+
+# --------------------------------------------------------------------------
+# B7/B2/B3 — scan → filter → hash aggregate (TPC-H Q1 shape).
+# Scale: single shuffle on the 2-value group key; partial aggregation
+# (map-side combine) happens automatically for all these aggregates, so the
+# shuffle carries ~|groups|×|partitions| rows, not the table.
+# --------------------------------------------------------------------------
+@_register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    charge = disc_price * (F.lit(1) + _dec("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# B4/B13 — 3-way join + agg + top-k (TPC-H Q3 shape).
+# Scale: customer is the small side → broadcast; orders⋈lineitem shuffles
+# on orderkey (the natural co-partition key). Top-10 is TakeOrderedAndProject
+# — no global sort materialization.
+# --------------------------------------------------------------------------
+@_register(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           STRFTIME(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1999-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1999-03-15 00:00:00'
+    GROUP BY l_orderkey, STRFTIME(o_orderdate, '%Y-%m-%d'), o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1999-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1999-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        li.join(
+            F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# B4 — 6-way star join (TPC-H Q5 shape).
+# Scale: region/nation/supplier/customer are dimensions → broadcast chain;
+# the only big shuffle is orders⋈lineitem on orderkey.
+# --------------------------------------------------------------------------
+@_register(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM customer JOIN orders   ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+                  JOIN nation   ON s_nationkey = n_nationkey
+                  JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# B5 — left-semi join (EXISTS).
+# Scale: semi join shuffles only the distinct keys of the probe side.
+# --------------------------------------------------------------------------
+@_register(
+    "semi_join_priority_counts",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def semi_join_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# B5 — left-anti join (NOT EXISTS).
+# --------------------------------------------------------------------------
+@_register(
+    "anti_join_idle_customers",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# --------------------------------------------------------------------------
+# B8 — rollup (grouping sets). GROUPING() disambiguates real NULL group keys.
+# --------------------------------------------------------------------------
+@_register(
+    "rollup_lineitem_status",
+    """
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY g_flag, g_status, l_returnflag, l_linestatus
+    """,
+)
+def rollup_lineitem_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").alias("g_flag"),
+            F.grouping("l_linestatus").alias("g_status"),
+            F.count("*").alias("n_rows"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "g_flag", "g_status", "n_rows", "sum_qty"
+        )
+        .orderBy("g_flag", "g_status", "l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# B8 — cube.
+# --------------------------------------------------------------------------
+@_register(
+    "cube_orders_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) AS g_status, GROUPING(o_orderpriority) AS g_prio,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority
+    """,
+)
+def cube_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").alias("g_status"),
+            F.grouping("o_orderpriority").alias("g_prio"),
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority", "g_status", "g_prio", "n_orders", "sum_price"
+        )
+        .orderBy("g_status", "g_prio", "o_orderstatus", "o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# B11 — ranking window: top-3 orders per customer.
+# Scale: one shuffle on o_custkey; rank filter is applied before any
+# downstream join, and Spark 4 pushes the rn<=k limit into the sort
+# (WindowGroupLimit).
+# --------------------------------------------------------------------------
+@_register(
+    "window_top_orders_per_customer",
+    """
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    ORDER BY o_custkey, rn
+    """,
+)
+def window_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.select(
+            "o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# B12 — analytic window: running event-value sum + lag delta per user.
+# events.value is an arbitrary double → fixed-point via floor(v*1e6).
+# --------------------------------------------------------------------------
+@_register(
+    "window_running_user_value",
+    """
+    SELECT event_id, user_id,
+           SUM(CAST(FLOOR(value * 1000000) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_fp,
+           LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+    FROM events
+    ORDER BY user_id, event_id
+    """,
+)
+def window_running_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    fp = F.floor(F.col("value") * 1000000).cast("bigint")
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.sum(fp).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("running_fp"),
+            F.lag("event_type", 1).over(w).alias("prev_type"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# B13 — global top-k with total-order tie-break (TakeOrderedAndProject).
+# --------------------------------------------------------------------------
+@_register(
+    "topk_orders_by_price",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice, STRFTIME(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def topk_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# B14 — set operations: nations that have customers vs suppliers.
+# --------------------------------------------------------------------------
+@_register(
+    "set_ops_nation_presence",
+    """
+    SELECT nationkey, 'both' AS tag FROM
+      (SELECT DISTINCT c_nationkey AS nationkey FROM customer
+       INTERSECT
+       SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+    UNION ALL
+    SELECT nationkey, 'customer_only' AS tag FROM
+      (SELECT DISTINCT c_nationkey AS nationkey FROM customer
+       EXCEPT
+       SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+    ORDER BY tag, nationkey
+    """,
+)
+def set_ops_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust_nations = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .distinct()
+    )
+    supp_nations = (
+        load_table(spark, sf_dir, "supplier")
+        .select(F.col("s_nationkey").alias("nationkey"))
+        .distinct()
+    )
+    both = cust_nations.intersect(supp_nations).withColumn("tag", F.lit("both"))
+    cust_only = cust_nations.exceptAll(supp_nations).withColumn("tag", F.lit("customer_only"))
+    return both.unionByName(cust_only).orderBy("tag", "nationkey")
+
+
+# --------------------------------------------------------------------------
+# B15 — string function battery on part.
+# --------------------------------------------------------------------------
+@_register(
+    "string_funcs_part",
+    """
+    SELECT p_partkey,
+           UPPER(p_name) AS name_upper,
+           SUBSTRING(p_type, 1, 3) AS type_prefix,
+           LENGTH(p_name) AS name_len,
+           CONCAT_WS('-', p_brand, p_type) AS brand_type,
+           CAST(REGEXP_EXTRACT(p_brand, '([0-9]+)', 1) AS BIGINT) AS brand_num,
+           CASE WHEN p_name LIKE '%a%' THEN 1 ELSE 0 END AS has_a,
+           LEN(STRING_SPLIT(p_name, ' ')) AS n_words,
+           TRIM(LOWER(p_type)) AS type_lower
+    FROM part
+    ORDER BY p_partkey
+    """,
+)
+def string_funcs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select(
+            "p_partkey",
+            F.upper("p_name").alias("name_upper"),
+            F.substring("p_type", 1, 3).alias("type_prefix"),
+            F.length("p_name").alias("name_len"),
+            F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+            F.regexp_extract("p_brand", "([0-9]+)", 1).cast("bigint").alias("brand_num"),
+            F.when(F.col("p_name").like("%a%"), F.lit(1)).otherwise(F.lit(0)).alias("has_a"),
+            F.size(F.split("p_name", " ")).alias("n_words"),
+            F.trim(F.lower("p_type")).alias("type_lower"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# B16 — date/time battery: hourly event profile.
+# --------------------------------------------------------------------------
+@_register(
+    "date_funcs_hourly_events",
+    """
+    SELECT STRFTIME(ts, '%Y-%m-%d') AS day,
+           EXTRACT(hour FROM ts) AS hour,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS sum_value_fp
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def date_funcs_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.hour("ts").cast("bigint").alias("hour"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.floor(F.col("value") * 1000000).cast("bigint")).alias("sum_value_fp"),
+        )
+        .orderBy("day", "hour")
+    )
+
+
+# --------------------------------------------------------------------------
+# B19 — JSON extraction over the messy-JSON props column (mirror of the
+# reference's JSON-string normalization, SURVEY A4).
+# --------------------------------------------------------------------------
+@_register(
+    "json_funcs_events_props",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           COUNT(*) AS n,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def json_funcs_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.groupBy((k % 10).alias("k_mod"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("k_mod")
+    )
+
+
+# --------------------------------------------------------------------------
+# B6 — range (theta) join: events joined to the order-date window of a
+# customer's orders.  Kept small via pre-aggregation on both sides.
+# Scale note: a raw theta join is BNLJ; the scale path bucketizes the range
+# key first (see operators/similarity.py for the banding pattern).
+# --------------------------------------------------------------------------
+@_register(
+    "range_join_value_bands",
+    """
+    SELECT b.band_lo, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS band_price
+    FROM orders o
+    JOIN (SELECT 100000.0 * i AS band_lo, 100000.0 * (i + 1) AS band_hi
+          FROM (SELECT UNNEST(RANGE(0, 6)) AS i)) b
+      ON o.o_totalprice >= b.band_lo AND o.o_totalprice < b.band_hi
+    GROUP BY b.band_lo
+    ORDER BY b.band_lo
+    """,
+)
+def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    bands = spark.range(0, 6).select(
+        (F.col("id") * 100000.0).alias("band_lo"),
+        ((F.col("id") + 1) * 100000.0).alias("band_hi"),
+    )
+    return (
+        orders.join(
+            F.broadcast(bands),
+            (orders.o_totalprice >= bands.band_lo) & (orders.o_totalprice < bands.band_hi),
+        )
+        .groupBy("band_lo")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("band_price"),
+        )
+        .orderBy("band_lo")
+    )
+
+
+# --------------------------------------------------------------------------
+# B17 — math scalar battery.
+# --------------------------------------------------------------------------
+@_register(
+    "math_funcs_supplier",
+    """
+    SELECT s_suppkey,
+           ROUND(ABS(s_acctbal), 1) AS abs_bal,
+           CAST(FLOOR(s_acctbal) AS BIGINT) AS floor_bal,
+           CAST(CEIL(s_acctbal) AS BIGINT) AS ceil_bal,
+           ROUND(SQRT(ABS(s_acctbal)), 6) AS sqrt_bal,
+           ROUND(LN(ABS(s_acctbal) + 1), 6) AS ln_bal,
+           MOD(s_suppkey, 7) AS key_mod
+    FROM supplier
+    ORDER BY s_suppkey
+    """,
+)
+def math_funcs_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        s.select(
+            "s_suppkey",
+            F.round(F.abs("s_acctbal"), 1).alias("abs_bal"),
+            F.floor("s_acctbal").cast("bigint").alias("floor_bal"),
+            F.ceil("s_acctbal").cast("bigint").alias("ceil_bal"),
+            F.round(F.sqrt(F.abs("s_acctbal")), 6).alias("sqrt_bal"),
+            F.round(F.log(F.abs(F.col("s_acctbal")) + 1), 6).alias("ln_bal"),
+            (F.col("s_suppkey") % 7).alias("key_mod"),
+        )
+        .orderBy("s_suppkey")
+    )

@@ -1,0 +1,82 @@
+"""Readers for the driver testdata tables (TESTDATA.md).
+
+One parquet file per table under ``{sf_dir}/{name}.parquet``. All reads go
+through :func:`load_table` so per-table physical quirks are fixed exactly
+once:
+
+* ``events.ts`` is parquet ``TIMESTAMP(NANOS)`` — Spark cannot scan NANOS
+  natively, so the session reads it as a raw ns ``bigint``
+  (``spark.sql.legacy.parquet.nanosAsLong``) and this module converts it to
+  ``timestamp_ntz`` at µs precision (truncating division by 1000 — the same
+  truncation DuckDB applies when it reads the file, so oracle comparisons
+  line up).
+
+Scale note: this is a plain parquet scan — Catalyst pushes filters and
+prunes columns through it; the ns→µs conversion is a codegen'd projection,
+so the 100 TB path is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Runtime-settable confs the engine depends on, applied defensively because
+# callers (the verify driver included) may hand us a vanilla SparkSession:
+# Spark 4 defaults to ANSI mode, but reference semantics are cast-fails→NULL
+# (/root/reference src/iceberg_loader/utils/arrow.py:75-102), and parquet
+# TIMESTAMP(NANOS) columns are unreadable without nanosAsLong.
+_COMPAT_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def ensure_compat(spark: SparkSession) -> None:
+    """Idempotently apply the engine's session-level compat confs."""
+    for k, v in _COMPAT_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - non-settable conf on this build
+            pass
+
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table, applying physical-type fixups."""
+    ensure_compat(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # ns epoch → µs-precision naive timestamp (matches DuckDB's read).
+        # Built via timestampadd on an NTZ literal so the result is
+        # independent of the session timezone.
+        df = df.withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, CAST(floor(ts / 1000) AS BIGINT), "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view (for the SQL API)."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,69 @@
+"""t2-style oracle tests: every declared query hash-matches DuckDB at
+sf0.001 (the full sf0.01 sweep runs via tools/verify_local.py)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entrymod
+from iceberg_loader_spark.sources.tables import TABLE_NAMES
+from tests.conftest import SF_SMOKE
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_SMOKE}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    out = {}
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_float_dtype(s):
+            out[c] = s.astype("float64")
+        elif pd.api.types.is_integer_dtype(s):
+            out[c] = s.astype("int64")
+        elif pd.api.types.is_datetime64_any_dtype(s):
+            out[c] = s.astype("datetime64[us]")
+        elif pd.api.types.is_bool_dtype(s):
+            out[c] = s.astype("int64")
+        else:
+            out[c] = s.astype("string")
+    df = pd.DataFrame(out)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_every_query_has_oracle_or_is_declared():
+    missing = [k for k in QUERIES if k not in ORACLES]
+    # non-SQL-expressible ops may omit oracles; keep the list explicit
+    assert missing == [], f"queries without oracle: {missing}"
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_oracle_match(spark, duck, name):
+    sdf = QUERIES[name](spark, SF_SMOKE).toPandas()
+    if name not in ORACLES:
+        pytest.skip("rows-only query")
+    odf = duck.sql(ORACLES[name]).df()
+    a, b = canon(sdf), canon(odf)
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b), f"rows: spark={len(a)} oracle={len(b)}"
+    pd.testing.assert_frame_equal(a, b, check_exact=True, check_dtype=False)
