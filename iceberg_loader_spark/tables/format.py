@@ -1,0 +1,229 @@
+"""Snaptable on-disk format: JSON snapshot manifests + atomic commits.
+
+Layout of one table::
+
+    <table_root>/
+      data/                  parquet data files (written by Spark executors)
+      _meta/
+        v000000001.json      snapshot manifest, one per commit
+        _current             text file holding the current version number
+
+Commit protocol (single atomic step): write ``v{N}.json``, then publish by
+writing ``_current`` via temp-file + ``os.replace`` (atomic on POSIX).
+Concurrent writers race on the version number: a committer that finds
+``v{N}.json`` already existing re-reads ``_current`` and retries on top of
+the new state, up to ``commit.retry.num-retries`` times — the same
+optimistic-concurrency contract as Iceberg's metastore commit (reference
+pins 10 retries, ``core/config.py:15-17``).
+
+Manifest contents are deliberately metadata-only-planning friendly: each
+file entry carries row count, byte size, its partition-value tuple, and
+per-column min/max stats, so the reader prunes files without touching data
+(the moral equivalent of Iceberg manifest entries).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+META_DIR = "_meta"
+DATA_DIR = "data"
+CURRENT_FILE = "_current"
+
+#: Default table properties — the reference's TABLE_PROPERTIES
+#: (core/config.py:11-18), same Iceberg property keys.
+DEFAULT_TABLE_PROPERTIES = {
+    "write.format.default": "parquet",
+    "format-version": "2",
+    "write.parquet.compression-codec": "zstd",
+    "commit.retry.num-retries": "10",
+    "commit.retry.min-wait-ms": "100",
+    "commit.retry.max-wait-ms": "60000",
+}
+
+
+@dataclass
+class DataFile:
+    """One immutable parquet data file tracked by a snapshot."""
+
+    path: str  # relative to table root
+    rows: int
+    bytes: int
+    partition: dict[str, object] = field(default_factory=dict)
+    # column -> [min, max] (JSON-encodable scalars); used for file pruning
+    stats: dict[str, list] = field(default_factory=dict)
+
+    def to_json(self) -> dict:
+        return {
+            "path": self.path,
+            "rows": self.rows,
+            "bytes": self.bytes,
+            "partition": self.partition,
+            "stats": self.stats,
+        }
+
+    @classmethod
+    def from_json(cls, d: dict) -> DataFile:
+        return cls(
+            path=d["path"],
+            rows=d["rows"],
+            bytes=d["bytes"],
+            partition=d.get("partition", {}),
+            stats=d.get("stats", {}),
+        )
+
+
+@dataclass
+class Snapshot:
+    """One committed table version."""
+
+    version: int
+    snapshot_id: str
+    parent_version: int | None
+    timestamp_ms: int
+    operation: str  # append | overwrite | delete | merge | replace (compaction)
+    schema_json: dict  # Spark StructType.jsonValue()
+    partition_spec: list[dict]  # [{"transform","source","name","param"}]
+    files: list[DataFile]
+    properties: dict[str, str]
+    summary: dict[str, object] = field(default_factory=dict)
+
+    @property
+    def total_rows(self) -> int:
+        return sum(f.rows for f in self.files)
+
+    def to_json(self) -> dict:
+        return {
+            "version": self.version,
+            "snapshot_id": self.snapshot_id,
+            "parent_version": self.parent_version,
+            "timestamp_ms": self.timestamp_ms,
+            "operation": self.operation,
+            "schema": self.schema_json,
+            "partition_spec": self.partition_spec,
+            "files": [f.to_json() for f in self.files],
+            "properties": self.properties,
+            "summary": self.summary,
+        }
+
+    @classmethod
+    def from_json(cls, d: dict) -> Snapshot:
+        return cls(
+            version=d["version"],
+            snapshot_id=d["snapshot_id"],
+            parent_version=d.get("parent_version"),
+            timestamp_ms=d["timestamp_ms"],
+            operation=d["operation"],
+            schema_json=d["schema"],
+            partition_spec=d.get("partition_spec", []),
+            files=[DataFile.from_json(f) for f in d.get("files", [])],
+            properties=d.get("properties", {}),
+            summary=d.get("summary", {}),
+        )
+
+
+class CommitConflict(Exception):
+    """Another writer committed the version we targeted."""
+
+
+class TableMetadata:
+    """Metadata accessor + committer for one table root."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self.meta_dir = os.path.join(root, META_DIR)
+
+    # ---- reads -----------------------------------------------------------
+
+    def exists(self) -> bool:
+        return os.path.isfile(os.path.join(self.meta_dir, CURRENT_FILE))
+
+    def current_version(self) -> int:
+        with open(os.path.join(self.meta_dir, CURRENT_FILE)) as f:
+            return int(f.read().strip())
+
+    def snapshot_path(self, version: int) -> str:
+        return os.path.join(self.meta_dir, f"v{version:09d}.json")
+
+    def load_snapshot(self, version: int | None = None) -> Snapshot:
+        if version is None:
+            version = self.current_version()
+        with open(self.snapshot_path(version)) as f:
+            return Snapshot.from_json(json.load(f))
+
+    def list_versions(self) -> list[int]:
+        if not os.path.isdir(self.meta_dir):
+            return []
+        out = []
+        for name in os.listdir(self.meta_dir):
+            if name.startswith("v") and name.endswith(".json"):
+                out.append(int(name[1:-5]))
+        return sorted(out)
+
+    def snapshots(self) -> list[Snapshot]:
+        return [self.load_snapshot(v) for v in self.list_versions()]
+
+    def snapshot_as_of(self, timestamp_ms: int) -> Snapshot:
+        """Newest snapshot committed at or before ``timestamp_ms``."""
+        candidates = [s for s in self.snapshots() if s.timestamp_ms <= timestamp_ms]
+        if not candidates:
+            raise ValueError(f"no snapshot at or before {timestamp_ms}")
+        return max(candidates, key=lambda s: s.version)
+
+    # ---- commits ---------------------------------------------------------
+
+    def commit(self, snapshot: Snapshot, expected_parent: int | None) -> Snapshot:
+        """Atomically publish ``snapshot``.
+
+        ``expected_parent`` is the version the writer based its changes on
+        (None for table creation). Raises :class:`CommitConflict` if the
+        table has advanced past it.
+        """
+        os.makedirs(self.meta_dir, exist_ok=True)
+        current = self.current_version() if self.exists() else None
+        if current != expected_parent:
+            raise CommitConflict(
+                f"table at v{current}, writer expected v{expected_parent}"
+            )
+        path = self.snapshot_path(snapshot.version)
+        # exclusive create: a concurrent committer targeting the same
+        # version loses here and retries on the refreshed state
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError as e:
+            raise CommitConflict(f"v{snapshot.version} already committed") from e
+        with os.fdopen(fd, "w") as f:
+            json.dump(snapshot.to_json(), f, separators=(",", ":"))
+        tmp = os.path.join(self.meta_dir, f".{CURRENT_FILE}.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(str(snapshot.version))
+        os.replace(tmp, os.path.join(self.meta_dir, CURRENT_FILE))
+        return snapshot
+
+
+def new_snapshot(
+    parent: Snapshot | None,
+    operation: str,
+    schema_json: dict,
+    partition_spec: list[dict],
+    files: list[DataFile],
+    properties: dict[str, str],
+    summary: dict[str, object] | None = None,
+) -> Snapshot:
+    version = 1 if parent is None else parent.version + 1
+    return Snapshot(
+        version=version,
+        snapshot_id=uuid.uuid4().hex,
+        parent_version=None if parent is None else parent.version,
+        timestamp_ms=int(time.time() * 1000),
+        operation=operation,
+        schema_json=schema_json,
+        partition_spec=partition_spec,
+        files=files,
+        properties=properties,
+        summary=summary or {},
+    )

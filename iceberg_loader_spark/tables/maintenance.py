@@ -1,0 +1,118 @@
+"""Snapshot expiry + compaction (SURVEY.md §2 A32-A35).
+
+Expiry semantics mirror the reference
+(``/root/reference src/iceberg_loader/services/maintenance.py:12-86``):
+
+* ``keep_last=K`` → cutoff is the timestamp of the K-th-newest snapshot
+  minus 1 ms (``_determine_cutoff``, maintenance.py:56-74); K<=0 or K
+  larger than history → no-op.
+* ``older_than_ms`` → expire snapshots strictly older than the cutoff.
+* the CURRENT snapshot is never expired; errors are logged, not raised
+  (maintenance.py:76-81).
+
+Data files referenced by no surviving snapshot are deleted (the
+``expire_snapshots`` + ``remove_orphan_files`` pairing Iceberg exposes as
+procedures). Compaction is ``rewrite_data_files``: read current data, bin
+it into ~target-size output files, commit a ``replace`` snapshot with
+identical rows.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+from pyspark.sql import SparkSession
+
+from iceberg_loader_spark.tables.format import Snapshot, new_snapshot
+from iceberg_loader_spark.tables.table import Table
+
+log = logging.getLogger(__name__)
+
+
+def determine_cutoff_ms(snapshots: list[Snapshot], keep_last: int) -> int | None:
+    """Timestamp cutoff for keep-last-K (reference maintenance.py:56-74)."""
+    if keep_last <= 0 or len(snapshots) <= keep_last:
+        return None
+    ordered = sorted(snapshots, key=lambda s: s.timestamp_ms, reverse=True)
+    return ordered[keep_last - 1].timestamp_ms - 1
+
+
+def expire_snapshots(
+    table: Table,
+    keep_last: int | None = None,
+    older_than_ms: int | None = None,
+) -> dict:
+    """Expire old snapshots + delete unreferenced data files."""
+    try:
+        snapshots = table.history()
+        if not snapshots:
+            return {"expired": 0, "remaining": 0, "deleted_files": 0}
+        current_version = table.meta.current_version()
+        if keep_last is not None:
+            cutoff = determine_cutoff_ms(snapshots, keep_last)
+        else:
+            cutoff = older_than_ms
+        if cutoff is None:
+            return {"expired": 0, "remaining": len(snapshots), "deleted_files": 0}
+
+        expired = [
+            s
+            for s in snapshots
+            if s.timestamp_ms < cutoff and s.version != current_version
+        ]
+        survivors = [s for s in snapshots if s not in expired]
+        live_paths = {f.path for s in survivors for f in s.files}
+        dead_paths = {
+            f.path for s in expired for f in s.files if f.path not in live_paths
+        }
+        for s in expired:
+            os.remove(table.meta.snapshot_path(s.version))
+        deleted = 0
+        for rel in dead_paths:
+            p = os.path.join(table.root, rel)
+            if os.path.isfile(p):
+                os.remove(p)
+                deleted += 1
+        return {
+            "expired": len(expired),
+            "remaining": len(survivors),
+            "deleted_files": deleted,
+        }
+    except Exception as e:  # noqa: BLE001 — reference swallows as warning
+        log.warning("snapshot expiry failed for %s: %s", table.identifier, e)
+        return {"expired": 0, "remaining": -1, "deleted_files": 0, "error": str(e)}
+
+
+def rewrite_data_files(
+    table: Table, spark: SparkSession, target_file_mb: int = 512
+) -> dict:
+    """A35: compaction — coalesce small files into ~target-size files."""
+    snap = table.snapshot()
+    if not snap.files:
+        return {"rewritten": 0, "added": 0}
+    total_bytes = sum(f.bytes for f in snap.files)
+    target = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+    spec = table.partition_spec()
+    df = table.scan(spark)
+    if not spec:
+        df = df.repartition(target)
+    entries = table._write_data_files(df, spec, table._codec())
+
+    def build(parent):
+        return new_snapshot(
+            parent,
+            "replace",
+            parent.schema_json,
+            parent.partition_spec,
+            entries,
+            parent.properties,
+            {
+                "rewritten-files": len(parent.files),
+                "added-files": len(entries),
+                "total-records": parent.total_rows,
+            },
+        )
+
+    table._commit_with_retry(build)
+    return {"rewritten": len(snap.files), "added": len(entries)}

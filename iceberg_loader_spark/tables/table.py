@@ -1,0 +1,492 @@
+"""The Table handle: scans, write strategies, commit loop.
+
+Spark-first execution shape:
+
+* **Scan** — the reader hands Spark an explicit parquet file list plus the
+  table schema; Catalyst keeps its vectorized reader, filter pushdown and
+  row-group pruning. File-level pruning happens before Spark ever sees the
+  plan, from manifest partition values + min/max stats (metadata-only, no
+  listing).
+* **Append** — executors write parquet into a fresh per-commit staging dir
+  (`data/<uuid>/…`, optionally `partitionBy` the derived transform
+  columns); the driver then reads ONLY footers to build manifest entries
+  and commits one snapshot. O(new files) driver work, like Iceberg.
+* **Delete / Merge** — copy-on-write at file granularity: candidate files
+  are chosen from metadata (partition/stats for DELETE, a key semi-join
+  for MERGE), only those are rewritten; every other file carries over by
+  reference. At 100 TB this is the difference between rewriting a
+  partition and rewriting a table.
+
+Reference parity: write modes and their semantics mirror
+``/root/reference src/iceberg_loader/core/strategies.py:28-99``; the
+result dict mirrors ``core/loader.py:250-258``.
+"""
+
+from __future__ import annotations
+
+import os
+import urllib.parse
+import uuid
+from datetime import date, datetime
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from iceberg_loader_spark.sources.tables import ensure_compat
+from iceberg_loader_spark.tables.filters import (
+    prune_files,
+    split_delete_candidates,
+    to_spark_sql,
+)
+from iceberg_loader_spark.tables.format import (
+    DATA_DIR,
+    DEFAULT_TABLE_PROPERTIES,
+    CommitConflict,
+    DataFile,
+    Snapshot,
+    TableMetadata,
+    new_snapshot,
+)
+from iceberg_loader_spark.tables.partitioning import (
+    PartitionField,
+    spark_expr,
+    validate_spec,
+)
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _stat_value(v):
+    """Parquet footer stat → JSON-encodable, comparison-stable value."""
+    if isinstance(v, datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, date):
+        return v.strftime("%Y-%m-%d")
+    if isinstance(v, bytes):
+        return None
+    if isinstance(v, (int, float, bool, str)):
+        return v
+    return None
+
+
+class Table:
+    """One snapshot-versioned table under a Warehouse."""
+
+    def __init__(self, warehouse, identifier: str):
+        self.warehouse = warehouse
+        self.identifier = identifier
+        self.root = warehouse.table_root(identifier)
+        self.meta = TableMetadata(self.root)
+
+    # ---- creation --------------------------------------------------------
+
+    @classmethod
+    def create(
+        cls,
+        warehouse,
+        identifier: str,
+        schema: T.StructType,
+        partition_spec: list[PartitionField] | None = None,
+        properties: dict[str, str] | None = None,
+    ) -> Table:
+        t = cls(warehouse, identifier)
+        if t.meta.exists():
+            raise FileExistsError(f"table {identifier} already exists")
+        spec = partition_spec or []
+        try:
+            warnings = validate_spec(spec, schema)
+            for w in warnings:
+                import logging
+
+                logging.getLogger(__name__).warning("%s: %s", identifier, w)
+        except Exception:
+            # reference behavior: fall back to unpartitioned on a bad spec
+            # (core/schema.py:169-175) — config-level validation catches
+            # user errors earlier, this guards races against schema drift
+            spec = []
+        props = dict(DEFAULT_TABLE_PROPERTIES)
+        props.update(properties or {})
+        snap = new_snapshot(
+            parent=None,
+            operation="create",
+            schema_json=schema.jsonValue(),
+            partition_spec=[pf.to_json() for pf in spec],
+            files=[],
+            properties=props,
+            summary={"total-records": 0},
+        )
+        t.meta.commit(snap, expected_parent=None)
+        return t
+
+    # ---- metadata accessors ---------------------------------------------
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        return self.meta.load_snapshot(version)
+
+    def schema(self, version: int | None = None) -> T.StructType:
+        return T.StructType.fromJson(self.snapshot(version).schema_json)
+
+    def partition_spec(self) -> list[PartitionField]:
+        return [
+            PartitionField.from_json(d) for d in self.snapshot().partition_spec
+        ]
+
+    def properties(self) -> dict[str, str]:
+        return self.snapshot().properties
+
+    def history(self) -> list[Snapshot]:
+        return self.meta.snapshots()
+
+    # ---- scan ------------------------------------------------------------
+
+    def scan(
+        self,
+        spark: SparkSession,
+        where: str | None = None,
+        version: int | None = None,
+        as_of_timestamp_ms: int | None = None,
+    ) -> DataFrame:
+        """Read a snapshot as a DataFrame, with metadata file pruning.
+
+        ``where`` is optional; when given it is BOTH used to drop files
+        whose metadata proves they can't match AND applied as a row filter
+        (so semantics never depend on pruning quality).
+        """
+        ensure_compat(spark)
+        if as_of_timestamp_ms is not None:
+            snap = self.meta.snapshot_as_of(as_of_timestamp_ms)
+        else:
+            snap = self.snapshot(version)
+        schema = T.StructType.fromJson(snap.schema_json)
+        spec = [PartitionField.from_json(d) for d in snap.partition_spec]
+        files, _ = prune_files(where, snap.files, spec)
+        if not files:
+            df = spark.createDataFrame([], schema)
+        else:
+            paths = [os.path.join(self.root, f.path) for f in files]
+            df = spark.read.schema(schema).parquet(*paths)
+        if where:
+            df = df.filter(F.expr(to_spark_sql(where)))
+        return df
+
+    # ---- physical write helpers -----------------------------------------
+
+    def _codec(self) -> str:
+        return self.properties().get("write.parquet.compression-codec", "zstd")
+
+    def _write_data_files(
+        self, df: DataFrame, spec: list[PartitionField], codec: str
+    ) -> list[DataFile]:
+        """Write df's rows as new parquet files; return manifest entries."""
+        staging_rel = f"{DATA_DIR}/{uuid.uuid4().hex}"
+        staging_abs = os.path.join(self.root, staging_rel)
+        out = df
+        pcols = []
+        for pf in spec:
+            out = out.withColumn(f"_p_{pf.name}", spark_expr(pf))
+            pcols.append(f"_p_{pf.name}")
+        writer = out.write.mode("errorifexists").option("compression", codec)
+        if pcols:
+            writer = writer.partitionBy(*pcols)
+        writer.parquet(staging_abs)
+        return self._collect_entries(staging_abs, staging_rel)
+
+    def _collect_entries(self, staging_abs: str, staging_rel: str) -> list[DataFile]:
+        """Driver-side footer read of newly written files → manifest entries."""
+        entries = []
+        for dirpath, _dirnames, filenames in os.walk(staging_abs):
+            for fn in sorted(filenames):
+                if not fn.endswith(".parquet"):
+                    continue
+                abs_path = os.path.join(dirpath, fn)
+                rel_path = os.path.relpath(abs_path, self.root)
+                partition = {}
+                for seg in os.path.relpath(dirpath, staging_abs).split(os.sep):
+                    if "=" in seg and seg.startswith("_p_"):
+                        k, v = seg.split("=", 1)
+                        v = urllib.parse.unquote(v)
+                        partition[k[3:]] = None if v == _HIVE_NULL else v
+                md = pq.ParquetFile(abs_path).metadata
+                stats: dict[str, list] = {}
+                for rg_i in range(md.num_row_groups):
+                    rg = md.row_group(rg_i)
+                    for c_i in range(rg.num_columns):
+                        col = rg.column(c_i)
+                        name = col.path_in_schema
+                        if "." in name:  # nested — no stats
+                            continue
+                        st = col.statistics
+                        if st is None or not st.has_min_max:
+                            stats[name] = None  # a chunk without stats → unusable
+                            continue
+                        lo, hi = _stat_value(st.min), _stat_value(st.max)
+                        if lo is None or hi is None:
+                            stats[name] = None
+                            continue
+                        prev = stats.get(name)
+                        if prev is None and name in stats:
+                            continue
+                        if prev is None:
+                            stats[name] = [lo, hi]
+                        else:
+                            stats[name] = [min(prev[0], lo), max(prev[1], hi)]
+                entries.append(
+                    DataFile(
+                        path=rel_path.replace(os.sep, "/"),
+                        rows=md.num_rows,
+                        bytes=os.path.getsize(abs_path),
+                        partition=partition,
+                        stats={k: v for k, v in stats.items() if v is not None},
+                    )
+                )
+        return entries
+
+    # ---- commit loop -----------------------------------------------------
+
+    def _commit_with_retry(self, build) -> Snapshot:
+        """Optimistic-commit loop (reference: 10 retries, core/config.py:15-17).
+
+        ``build(parent_snapshot) -> Snapshot`` is re-invoked on conflict
+        against the refreshed state.
+        """
+        retries = int(
+            self.properties().get(
+                "commit.retry.num-retries",
+                DEFAULT_TABLE_PROPERTIES["commit.retry.num-retries"],
+            )
+        )
+        last: Exception | None = None
+        for _attempt in range(retries + 1):
+            parent = self.snapshot()
+            snap = build(parent)
+            try:
+                return self.meta.commit(snap, expected_parent=parent.version)
+            except CommitConflict as e:  # another writer won; rebase
+                last = e
+        raise last  # type: ignore[misc]
+
+    # ---- write strategies (SURVEY A7-A10) --------------------------------
+
+    def append(self, df: DataFrame) -> Snapshot:
+        """A7: append — new snapshot = parent files + new files."""
+        spec = self.partition_spec()
+        entries = self._write_data_files(df, spec, self._codec())
+        added_rows = sum(e.rows for e in entries)
+
+        def build(parent: Snapshot) -> Snapshot:
+            return new_snapshot(
+                parent,
+                "append",
+                parent.schema_json,
+                parent.partition_spec,
+                parent.files + entries,
+                parent.properties,
+                {
+                    "added-files": len(entries),
+                    "added-records": added_rows,
+                    "total-records": parent.total_rows + added_rows,
+                },
+            )
+
+        return self._commit_with_retry(build)
+
+    def overwrite(self, df: DataFrame) -> Snapshot:
+        """A8 (first flush): replace all table data with df's rows."""
+        spec = self.partition_spec()
+        entries = self._write_data_files(df, spec, self._codec())
+        added_rows = sum(e.rows for e in entries)
+
+        def build(parent: Snapshot) -> Snapshot:
+            return new_snapshot(
+                parent,
+                "overwrite",
+                parent.schema_json,
+                parent.partition_spec,
+                entries,
+                parent.properties,
+                {
+                    "added-files": len(entries),
+                    "added-records": added_rows,
+                    "removed-files": len(parent.files),
+                    "total-records": added_rows,
+                },
+            )
+
+        return self._commit_with_retry(build)
+
+    def delete_where(self, spark: SparkSession, where: str) -> Snapshot:
+        """A9/A14: row-filter DELETE, copy-on-write at file granularity.
+
+        Files whose metadata proves no match carry over untouched; only
+        candidate files are rewritten with the negated predicate. When the
+        predicate aligns with the partition spec this becomes a pure
+        metadata delete (candidates drop entirely, zero rewrite) — same
+        fast path Iceberg/Spark DELETE has.
+        """
+        ensure_compat(spark)
+        snap = self.snapshot()
+        spec = self.partition_spec()
+        schema = self.schema()
+        # three-way split: metadata-proof full matches are dropped without
+        # any rewrite (the partition-aligned fast path); only partial
+        # matches are rewritten; clean files carry over by reference
+        dropped, candidates, _clean = split_delete_candidates(
+            where, snap.files, spec
+        )
+        sql_pred = to_spark_sql(where)
+        new_entries: list[DataFile] = []
+        deleted_rows = sum(f.rows for f in dropped)
+        rewritten = []
+        if candidates:
+            paths = [os.path.join(self.root, f.path) for f in candidates]
+            cdf = spark.read.schema(schema).parquet(*paths)
+            keep = cdf.filter(~F.expr(sql_pred) | F.expr(sql_pred).isNull())
+            new_entries = self._write_data_files(keep, spec, self._codec())
+            kept_rows = sum(e.rows for e in new_entries)
+            deleted_rows += sum(f.rows for f in candidates) - kept_rows
+            rewritten = candidates
+
+        rewritten_paths = {f.path for f in rewritten} | {f.path for f in dropped}
+
+        def build(parent: Snapshot) -> Snapshot:
+            remaining = [f for f in parent.files if f.path not in rewritten_paths]
+            return new_snapshot(
+                parent,
+                "delete",
+                parent.schema_json,
+                parent.partition_spec,
+                remaining + new_entries,
+                parent.properties,
+                {
+                    "deleted-records": deleted_rows,
+                    "rewritten-files": len(rewritten),
+                    "total-records": parent.total_rows - deleted_rows,
+                },
+            )
+
+        return self._commit_with_retry(build)
+
+    def merge(
+        self, spark: SparkSession, source: DataFrame, join_cols: list[str]
+    ) -> Snapshot:
+        """A10: upsert/MERGE with PyIceberg-parity semantics.
+
+        * duplicate join keys in source → error (reference
+          core/strategies.py:69-81 delegates to pyiceberg upsert, which
+          enforces this)
+        * matched target rows take the full source row; non-matching
+          target rows are preserved; unmatched source rows are inserted
+        * only files that actually contain matching keys are rewritten
+        """
+        ensure_compat(spark)
+        snap = self.snapshot()
+        schema = self.schema()
+        spec = self.partition_spec()
+        cols = [f.name for f in schema.fields]
+        non_keys = [c for c in cols if c not in join_cols]
+
+        dup = (
+            source.groupBy(*join_cols).count().filter(F.col("count") > 1).limit(1).count()
+        )
+        if dup:
+            raise ValueError(f"duplicate join keys in upsert source on {join_cols}")
+
+        src = source.select(*cols)
+
+        # locate affected files via key semi-join (metadata → file level)
+        affected_rel: set[str] = set()
+        if snap.files:
+            paths = [os.path.join(self.root, f.path) for f in snap.files]
+            tagged = spark.read.schema(schema).parquet(*paths).withColumn(
+                "_file", F.input_file_name()
+            )
+            hits = (
+                tagged.join(src.select(*join_cols), join_cols, "left_semi")
+                .select("_file")
+                .distinct()
+                .collect()
+            )
+            root_uri_suffixes = {os.path.join(self.root, f.path): f.path for f in snap.files}
+            for r in hits:
+                fpath = urllib.parse.unquote(urllib.parse.urlparse(r["_file"]).path)
+                rel = root_uri_suffixes.get(fpath)
+                if rel is None:
+                    rel = os.path.relpath(fpath, self.root).replace(os.sep, "/")
+                affected_rel.add(rel)
+        affected = [f for f in snap.files if f.path in affected_rel]
+
+        updated_rows = 0
+        new_entries: list[DataFile] = []
+        if affected:
+            apaths = [os.path.join(self.root, f.path) for f in affected]
+            tdf = spark.read.schema(schema).parquet(*apaths)
+            s = src.withColumn("_m", F.lit(1))
+            joined = tdf.alias("t").join(s.alias("s"), join_cols, "left_outer")
+            matched = F.col("s._m") == 1
+            merged = joined.select(
+                *[F.col(f"t.{k}").alias(k) for k in join_cols],
+                *[
+                    F.when(matched, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+                    for c in non_keys
+                ],
+            ).select(*cols)
+            if non_keys:
+                t_struct = F.struct(*[F.col(f"t.{c}") for c in non_keys])
+                s_struct = F.struct(*[F.col(f"s.{c}") for c in non_keys])
+                updated_rows = joined.filter(matched & ~t_struct.eqNullSafe(s_struct)).count()
+            inserts = src.join(tdf.select(*join_cols), join_cols, "left_anti")
+            out = merged.unionByName(inserts.select(*cols))
+            new_entries = self._write_data_files(out, spec, self._codec())
+        else:
+            new_entries = self._write_data_files(src, spec, self._codec())
+        inserted_rows = (
+            sum(e.rows for e in new_entries)
+            - sum(f.rows for f in affected)
+        )
+
+        def build(parent: Snapshot) -> Snapshot:
+            remaining = [f for f in parent.files if f.path not in affected_rel]
+            return new_snapshot(
+                parent,
+                "merge",
+                parent.schema_json,
+                parent.partition_spec,
+                remaining + new_entries,
+                parent.properties,
+                {
+                    "updated-records": updated_rows,
+                    "inserted-records": inserted_rows,
+                    "rewritten-files": len(affected),
+                    "total-records": parent.total_rows + inserted_rows,
+                },
+            )
+
+        return self._commit_with_retry(build)
+
+    # ---- schema evolution (SURVEY A28) -----------------------------------
+
+    def add_columns(self, new_fields: list[T.StructField]) -> Snapshot:
+        """Add-only evolution; new columns are nullable (core/schema.py:73-77)."""
+        schema = self.schema()
+        existing = {f.name for f in schema.fields}
+        to_add = [f for f in new_fields if f.name not in existing]
+        if not to_add:
+            return self.snapshot()
+        evolved = T.StructType(
+            schema.fields + [T.StructField(f.name, f.dataType, True) for f in to_add]
+        )
+
+        def build(parent: Snapshot) -> Snapshot:
+            return new_snapshot(
+                parent,
+                "evolve-schema",
+                evolved.jsonValue(),
+                parent.partition_spec,
+                parent.files,
+                parent.properties,
+                {"added-columns": [f.name for f in to_add]},
+            )
+
+        return self._commit_with_retry(build)

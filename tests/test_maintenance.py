@@ -1,0 +1,107 @@
+"""Snapshot expiry + compaction (reference tests/test_maintenance.py)."""
+
+import os
+
+import pytest
+
+from iceberg_loader_spark.config import LoaderConfig
+from iceberg_loader_spark.loader import SparkLoader
+from iceberg_loader_spark.tables import Warehouse
+from iceberg_loader_spark.tables.format import Snapshot
+from iceberg_loader_spark.tables.maintenance import (
+    determine_cutoff_ms,
+    expire_snapshots,
+    rewrite_data_files,
+)
+
+
+def _snap(version, ts):
+    return Snapshot(
+        version=version,
+        snapshot_id=f"s{version}",
+        parent_version=version - 1 if version > 1 else None,
+        timestamp_ms=ts,
+        operation="append",
+        schema_json={},
+        partition_spec=[],
+        files=[],
+        properties={},
+    )
+
+
+def test_cutoff_keep_last():
+    """Cutoff = ts of K-th-newest − 1ms (reference maintenance.py:56-74)."""
+    snaps = [_snap(1, 1000), _snap(2, 2000), _snap(3, 3000)]
+    assert determine_cutoff_ms(snaps, 1) == 2999
+    assert determine_cutoff_ms(snaps, 2) == 1999
+    assert determine_cutoff_ms(snaps, 3) is None  # nothing to expire
+    assert determine_cutoff_ms(snaps, -1) is None  # negative → no-op
+    assert determine_cutoff_ms([], 1) is None
+
+
+@pytest.fixture()
+def loaded(spark, tmp_path):
+    wh = Warehouse(str(tmp_path / "wh"))
+    loader = SparkLoader(spark, wh)
+    cfg = LoaderConfig(load_timestamp=False)
+    for i in range(3):
+        loader.load_data([{"id": i, "v": f"v{i}"}], "db.t", cfg)
+    return wh.load_table("db.t")
+
+
+def test_expire_keep_last(spark, loaded):
+    t = loaded
+    assert len(t.history()) == 4  # create + 3 appends
+    res = expire_snapshots(t, keep_last=1)
+    assert res["expired"] == 3
+    assert len(t.history()) == 1
+    # current data survives in full
+    assert t.scan(spark).count() == 3
+
+
+def test_expire_older_than(loaded):
+    t = loaded
+    snaps = t.history()
+    cutoff = snaps[2].timestamp_ms  # strictly-older semantics
+    res = expire_snapshots(t, older_than_ms=cutoff)
+    assert res["expired"] == len([s for s in snaps if s.timestamp_ms < cutoff])
+
+
+def test_expire_noop_cases(loaded):
+    t = loaded
+    assert expire_snapshots(t, keep_last=-1)["expired"] == 0
+    assert expire_snapshots(t, keep_last=100)["expired"] == 0
+
+
+def test_expire_deletes_unreferenced_files(spark, tmp_path):
+    wh = Warehouse(str(tmp_path / "wh"))
+    loader = SparkLoader(spark, wh)
+    cfg = LoaderConfig(load_timestamp=False, write_mode="overwrite")
+    loader.load_data([{"id": 1}], "db.t", cfg)
+    old_files = [
+        os.path.join(wh.load_table("db.t").root, f.path)
+        for f in wh.load_table("db.t").snapshot().files
+    ]
+    loader.load_data([{"id": 2}], "db.t", cfg)  # overwrite orphans old files
+    t = wh.load_table("db.t")
+    res = expire_snapshots(t, keep_last=1)
+    assert res["deleted_files"] >= 1
+    assert all(not os.path.exists(p) for p in old_files)
+    assert t.scan(spark).count() == 1
+
+
+def test_compaction_preserves_rows(spark, tmp_path):
+    wh = Warehouse(str(tmp_path / "wh"))
+    loader = SparkLoader(spark, wh)
+    cfg = LoaderConfig(load_timestamp=False)
+    for i in range(5):
+        loader.load_data([{"id": i, "v": f"v{i}"}], "db.t", cfg)
+    t = wh.load_table("db.t")
+    n_files_before = len(t.snapshot().files)
+    assert n_files_before >= 5
+    res = rewrite_data_files(t, spark, target_file_mb=512)
+    assert res["rewritten"] == n_files_before
+    t2 = wh.load_table("db.t")
+    assert t2.snapshot().operation == "replace"
+    assert len(t2.snapshot().files) < n_files_before
+    assert sorted(r.id for r in t2.scan(spark).collect()) == [0, 1, 2, 3, 4]

@@ -1,0 +1,122 @@
+"""Table-format mechanics: commits, conflicts, time travel, pruning."""
+
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+from iceberg_loader_spark.config import LoaderConfig
+from iceberg_loader_spark.loader import SparkLoader
+from iceberg_loader_spark.tables import Warehouse
+from iceberg_loader_spark.tables.filters import parse_filter, prune_files
+from iceberg_loader_spark.tables.format import CommitConflict, new_snapshot
+from iceberg_loader_spark.tables.table import Table
+
+
+def _schema():
+    return T.StructType([T.StructField("id", T.LongType())])
+
+
+def test_create_and_conflict(tmp_path):
+    wh = Warehouse(str(tmp_path))
+    t = Table.create(wh, "db.t", _schema())
+    assert t.meta.current_version() == 1
+    with pytest.raises(FileExistsError):
+        Table.create(wh, "db.t", _schema())
+    # a commit based on a stale parent raises CommitConflict
+    stale = new_snapshot(t.snapshot(), "append", _schema().jsonValue(), [], [], {})
+    t.meta.commit(stale, expected_parent=1)
+    dup = new_snapshot(t.snapshot(None), "append", _schema().jsonValue(), [], [], {})
+    with pytest.raises(CommitConflict):
+        t.meta.commit(dup, expected_parent=1)
+
+
+def test_time_travel_and_as_of(spark, tmp_path):
+    wh = Warehouse(str(tmp_path))
+    loader = SparkLoader(spark, wh)
+    cfg = LoaderConfig(load_timestamp=False)
+    loader.load_data([{"id": 1}], "db.t", cfg)
+    loader.load_data([{"id": 2}], "db.t", cfg)
+    t = wh.load_table("db.t")
+    versions = t.meta.list_versions()
+    assert t.scan(spark, version=versions[-2]).count() == 1
+    assert t.scan(spark).count() == 2
+    snap_mid = t.snapshot(versions[-2])
+    assert (
+        t.meta.snapshot_as_of(snap_mid.timestamp_ms).version == snap_mid.version
+    )
+
+
+def test_scan_prunes_files_by_stats(spark, tmp_path):
+    wh = Warehouse(str(tmp_path))
+    loader = SparkLoader(spark, wh)
+    cfg = LoaderConfig(load_timestamp=False)
+    loader.load_data([{"id": 1, "grp": "a"}], "db.t", cfg)
+    loader.load_data([{"id": 100, "grp": "b"}], "db.t", cfg)
+    t = wh.load_table("db.t")
+    snap = t.snapshot()
+    may, clean = prune_files("id == 100", snap.files, [])
+    assert len(may) == 1 and len(clean) == 1
+    # row results identical with and without pruning
+    assert [r.id for r in t.scan(spark, where="id == 100").collect()] == [100]
+
+
+def test_partition_pruning_on_day_transform(spark, tmp_path):
+    wh = Warehouse(str(tmp_path))
+    loader = SparkLoader(spark, wh)
+    cfg = LoaderConfig(load_timestamp=False, partition_by="day(ts)")
+    rows = [
+        {"id": 1, "ts": "2023-01-01"},
+        {"id": 2, "ts": "2023-01-02"},
+        {"id": 3, "ts": "2023-01-02"},
+    ]
+    loader.load_data(rows, "db.t", cfg)
+    t = wh.load_table("db.t")
+    snap = t.snapshot()
+    spec = t.partition_spec()
+    may, clean = prune_files("ts == '2023-01-02'", snap.files, spec)
+    assert {f.partition["ts_day"] for f in may} == {"2023-01-02"}
+    assert {f.partition["ts_day"] for f in clean} == {"2023-01-01"}
+    assert t.scan(spark, where="ts == '2023-01-02'").count() == 2
+
+
+def test_delete_is_file_level_copy_on_write(spark, tmp_path):
+    wh = Warehouse(str(tmp_path))
+    loader = SparkLoader(spark, wh)
+    cfg = LoaderConfig(load_timestamp=False, partition_by="day(ts)")
+    loader.load_data(
+        [{"id": 1, "ts": "2023-01-01"}, {"id": 2, "ts": "2023-01-02"}], "db.t", cfg
+    )
+    t = wh.load_table("db.t")
+    untouched = [f.path for f in t.snapshot().files if f.partition["ts_day"] == "2023-01-02"]
+    t.delete_where(spark, "ts == '2023-01-01'")
+    t2 = wh.load_table("db.t")
+    after_paths = [f.path for f in t2.snapshot().files]
+    # the clean file is carried over BY REFERENCE (same path, not rewritten)
+    assert untouched[0] in after_paths
+    assert t2.scan(spark).count() == 1
+    assert t2.snapshot().summary["deleted-records"] == 1
+
+
+def test_filter_parser():
+    terms = parse_filter("a == 1 AND b >= '2023-01-01' and c in (1, 2)")
+    assert [(t.col, t.op) for t in terms] == [("a", "=="), ("b", ">="), ("c", "in")]
+    with pytest.raises(ValueError):
+        parse_filter("a ==")
+    with pytest.raises(ValueError):
+        parse_filter("a == 1 OR b == 2")  # disjunctions unsupported
+
+
+def test_stats_recorded_in_manifest(spark, tmp_path):
+    wh = Warehouse(str(tmp_path))
+    loader = SparkLoader(spark, wh)
+    loader.load_data(
+        [{"id": 5, "name": "abc"}, {"id": 9, "name": "zzz"}],
+        "db.t",
+        LoaderConfig(load_timestamp=False),
+    )
+    f = wh.load_table("db.t").snapshot().files[0]
+    assert f.stats["id"] == [5, 9]
+    assert f.stats["name"] == ["abc", "zzz"]
+    assert f.rows == 2
+    assert os.path.isfile(os.path.join(wh.load_table("db.t").root, f.path))
