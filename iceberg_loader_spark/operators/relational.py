@@ -601,3 +601,275 @@ def math_funcs_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_suppkey")
     )
+
+
+# --------------------------------------------------------------------------
+# B8/B15 — pivot: daily event-type matrix (conditional-aggregation twin).
+# --------------------------------------------------------------------------
+@_register(
+    "pivot_daily_event_types",
+    """
+    SELECT STRFTIME(ts, '%Y-%m-%d') AS day,
+           COUNT(*) FILTER (event_type = 'click')    AS click,
+           COUNT(*) FILTER (event_type = 'error')    AS error,
+           COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (event_type = 'signup')   AS signup,
+           COUNT(*) FILTER (event_type = 'view')     AS view
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def pivot_daily_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+        .orderBy("day")
+    )
+    # pivot leaves NULL for absent combos; the FILTER oracle yields 0
+    return out.select(
+        "day",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ["click", "error", "purchase", "signup", "view"]],
+    )
+
+
+# --------------------------------------------------------------------------
+# B14/B2 — unpivot (melt) of a small aggregate.
+# --------------------------------------------------------------------------
+@_register(
+    "unpivot_flag_metrics",
+    """
+    WITH agg AS (
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM lineitem GROUP BY 1)
+    SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS metric_value FROM agg
+    UNION ALL
+    SELECT l_returnflag, 'sum_price' AS metric, sum_price AS metric_value FROM agg
+    ORDER BY l_returnflag, metric
+    """,
+)
+def unpivot_flag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
+    )
+    return (
+        agg.unpivot(
+            ["l_returnflag"], ["sum_qty", "sum_price"], "metric", "metric_value"
+        )
+        .orderBy("l_returnflag", "metric")
+    )
+
+
+# --------------------------------------------------------------------------
+# B11 — ranking-function battery with a total order.
+# --------------------------------------------------------------------------
+@_register(
+    "window_rank_battery",
+    """
+    SELECT s_suppkey,
+           DENSE_RANK()   OVER w AS drnk,
+           NTILE(4)       OVER w AS quartile,
+           PERCENT_RANK() OVER w AS prnk,
+           CUME_DIST()    OVER w AS cdist
+    FROM supplier
+    WINDOW w AS (ORDER BY s_acctbal, s_suppkey)
+    ORDER BY s_suppkey
+    """,
+)
+def window_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    w = W.orderBy("s_acctbal", "s_suppkey")
+    return (
+        s.select(
+            "s_suppkey",
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.percent_rank().over(w).alias("prnk"),
+            F.cume_dist().over(w).alias("cdist"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# B12 — RANGE frame: 30-day trailing spend per customer (fixed-point cents).
+# --------------------------------------------------------------------------
+@_register(
+    "window_range_trailing_spend",
+    """
+    SELECT o_orderkey, o_custkey,
+           SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+             OVER (PARTITION BY o_custkey ORDER BY DATEDIFF('day', TIMESTAMP '1995-01-01', o_orderdate)
+                   RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS trailing_cents
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_range_trailing_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    day_ord = F.datediff(
+        F.col("o_orderdate").cast("date"),
+        F.lit("1995-01-01").cast("date"),
+    )
+    cents = (_dec("o_totalprice") * 100).cast("bigint")
+    w = W.partitionBy("o_custkey").orderBy(day_ord).rangeBetween(-30, 0)
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            F.sum(cents).over(w).alias("trailing_cents"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# B3/B5 — correlated NOT EXISTS through the SQL API (exercises Catalyst's
+# subquery decorrelation; the DataFrame spelling would be an anti join).
+# --------------------------------------------------------------------------
+_SQL_CORRELATED = """
+    SELECT p_partkey, p_brand
+    FROM part
+    WHERE p_size >= 40
+      AND NOT EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_partkey = p_partkey AND l_quantity >= 45)
+    ORDER BY p_partkey
+"""
+
+
+@_register("sql_correlated_not_exists", _SQL_CORRELATED)
+def sql_correlated_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_loader_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_CORRELATED)
+
+
+# --------------------------------------------------------------------------
+# As-of join (Spark has no native one): most recent purchase at-or-before
+# each click, per user — the union + last_value(ignore nulls) pattern.
+# Scale: ONE shuffle on user_id and a single ordered pass; the naive
+# per-row range join this replaces is O(n·m) inside each user.
+# --------------------------------------------------------------------------
+@_register(
+    "asof_join_last_purchase",
+    """
+    WITH u AS (
+      SELECT user_id, ts, event_id, NULL::TIMESTAMP AS p_ts, 1 AS kind
+      FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id, ts, NULL, ts, 0 FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (
+      SELECT user_id, ts, event_id, kind,
+             LAST_VALUE(p_ts IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, kind
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_ts
+      FROM u)
+    SELECT event_id, user_id,
+           STRFTIME(ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+           STRFTIME(asof_ts, '%Y-%m-%d %H:%M:%S.%f') AS last_purchase_ts
+    FROM j WHERE kind = 1
+    ORDER BY user_id, event_id
+    """,
+)
+def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.lit(None).cast("timestamp_ntz").alias("p_ts"), F.lit(1).alias("kind")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(None).cast("bigint").alias("event_id"), F.col("ts").alias("p_ts"), F.lit(0).alias("kind")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return (
+        clicks.unionByName(purchases)
+        .withColumn("asof_ts", F.last("p_ts", ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", fmt).alias("click_ts"),
+            F.date_format("asof_ts", fmt).alias("last_purchase_ts"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# B7/B10 — exact order statistics + explicit-formula variance (both engines
+# compute the identical rational expression over exact sums).
+# --------------------------------------------------------------------------
+@_register(
+    "stats_battery_lineitem",
+    """
+    WITH base AS (
+      SELECT l_returnflag,
+             CAST(l_quantity AS DOUBLE) AS q,
+             CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS q_fp
+      FROM lineitem)
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           MEDIAN(q) AS med_qty,
+           QUANTILE_CONT(q, 0.25) AS q25,
+           QUANTILE_CONT(q, 0.75) AS q75,
+           (CAST(SUM(q_fp * q_fp) AS DOUBLE) - CAST(SUM(q_fp) AS DOUBLE) * SUM(q_fp) / COUNT(*))
+             / (COUNT(*) - 1) / 10000.0 AS var_qty
+    FROM base
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def stats_battery_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("double")
+    q_fp = (_dec("l_quantity") * 100).cast("bigint")
+    base = li.select("l_returnflag", q.alias("q"), q_fp.alias("q_fp"))
+    n = F.count("*")
+    return (
+        base.groupBy("l_returnflag")
+        .agg(
+            n.alias("n"),
+            F.median("q").alias("med_qty"),
+            F.percentile("q", 0.25).alias("q25"),
+            F.percentile("q", 0.75).alias("q75"),
+            (
+                (
+                    F.sum(F.col("q_fp") * F.col("q_fp")).cast("double")
+                    - F.sum("q_fp").cast("double") * F.sum("q_fp") / n
+                )
+                / (n - F.lit(1))
+                / F.lit(10000.0)
+            ).alias("var_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# B10 — approximate distinct (HLL). No oracle twin: approximate by design;
+# the driver records a rows-only check, and tests assert <5% relative error
+# against the exact count.
+# --------------------------------------------------------------------------
+@_register("approx_distinct_users")
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .orderBy("event_type")
+    )

@@ -66,10 +66,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # ns epoch → µs-precision naive timestamp (matches DuckDB's read).
         # Built via timestampadd on an NTZ literal so the result is
         # independent of the session timezone.
+        # NB: integer `div`, not `/` — ns epochs exceed double's 2^53
+        # integer range, so floating division would corrupt the low µs
         df = df.withColumn(
             "ts",
             F.expr(
-                "timestampadd(MICROSECOND, CAST(floor(ts / 1000) AS BIGINT), "
+                "timestampadd(MICROSECOND, ts div 1000, "
                 "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
             ),
         )

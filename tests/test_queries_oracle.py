@@ -51,10 +51,23 @@ def test_entry_smoke(spark):
     assert len(df.schema.fields) > 0
 
 
+# Queries that intentionally omit a DuckDB oracle (approximate / non-SQL
+# semantics). The driver records a weaker rows-only check for these; each
+# needs its own dedicated assertion test below.
+NO_ORACLE = {"approx_distinct_users"}
+
+
 def test_every_query_has_oracle_or_is_declared():
-    missing = [k for k in QUERIES if k not in ORACLES]
-    # non-SQL-expressible ops may omit oracles; keep the list explicit
+    missing = [k for k in QUERIES if k not in ORACLES and k not in NO_ORACLE]
     assert missing == [], f"queries without oracle: {missing}"
+
+
+def test_approx_distinct_users_error_bound(spark):
+    rows = QUERIES["approx_distinct_users"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        rel_err = abs(r.approx_users - r.exact_users) / max(r.exact_users, 1)
+        assert rel_err < 0.05, f"{r.event_type}: {rel_err:.3f}"
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
