@@ -110,6 +110,155 @@ def knn_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N_PLANES = 6  # sign-bit LSH: 6 hyperplanes → 64 buckets
+
+# Hyperplanes are data-derived (the first _N_PLANES stored vectors) so both
+# engines share them with zero out-of-band state. Sign of an exact
+# fixed-point dot product is bit-identical everywhere.
+_DUCK_LSH = f"""
+    fp AS (
+      SELECT vec_id, label, {_DUCK_FP.format(col='embedding')} AS e
+      FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id, label, e, {_DUCK_DOT.format(a='e', b='e')} AS nsq FROM fp
+    ),
+    planes AS (
+      SELECT vec_id AS plane_id, e AS p_e FROM fp WHERE vec_id < {_N_PLANES}
+    ),
+    sigs AS (
+      SELECT n.vec_id,
+             SUM(CASE WHEN {_DUCK_DOT.format(a='n.e', b='p.p_e')} >= 0
+                 THEN (1 << p.plane_id) ELSE 0 END) AS sig
+      FROM norms n CROSS JOIN planes p
+      GROUP BY n.vec_id
+    ),
+    bucketed AS (
+      SELECT n.vec_id, n.label, n.e, n.nsq, s.sig
+      FROM norms n JOIN sigs s ON s.vec_id = n.vec_id
+    )
+"""
+
+
+def _lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, e, nsq, sig) with sig = 6-bit hyperplane sign key."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    fp = emb.select(
+        "vec_id", "label", _fixed_point(F.col("embedding")).alias("e")
+    ).withColumn("nsq", _dot(F.col("e"), F.col("e")))
+    planes = fp.filter(F.col("vec_id") < _N_PLANES).select(
+        F.col("vec_id").alias("plane_id"), F.col("e").alias("p_e")
+    )
+    bit = F.when(
+        _dot(F.col("e"), F.col("p_e")) >= 0,
+        F.expr("shiftleft(cast(1 as bigint), cast(plane_id as int))"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    sigs = (
+        fp.join(F.broadcast(planes))
+        .groupBy("vec_id")
+        .agg(F.sum(bit).alias("sig"))
+    )
+    return fp.join(sigs, "vec_id")
+
+
+# --------------------------------------------------------------------------
+# B25/B26 — embedding near-dup pairs, LSH-bucketed (the 100 TB path).
+# Candidate pairs meet only inside a 64-bucket sign signature; exact
+# fixed-point cosine ≥ 0.3 confirms. The all-pairs O(n²) scan never runs —
+# the self-join is an equi-join on `sig`, and the shuffle carries
+# fixed-point arrays, not floats.
+# --------------------------------------------------------------------------
+@_register(
+    "embedding_neardup_lsh",
+    f"""
+    WITH {_DUCK_LSH}
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS a_label,
+           b.label AS b_label,
+           CAST({_DUCK_DOT.format(a='a.e', b='b.e')} AS DOUBLE)
+             / (SQRT(CAST(a.nsq AS DOUBLE)) * SQRT(CAST(b.nsq AS DOUBLE))) AS cosine
+    FROM bucketed a JOIN bucketed b
+      ON a.sig = b.sig AND a.vec_id < b.vec_id
+    WHERE CAST({_DUCK_DOT.format(a='a.e', b='b.e')} AS DOUBLE)
+            / (SQRT(CAST(a.nsq AS DOUBLE)) * SQRT(CAST(b.nsq AS DOUBLE))) >= 0.3
+    ORDER BY a_id, b_id
+    """,
+)
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bucketed = _lsh_bucketed(spark, sf_dir)
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    cosine = _dot(F.col("a.e"), F.col("b.e")).cast("double") / (
+        F.sqrt(F.col("a.nsq").cast("double")) * F.sqrt(F.col("b.nsq").cast("double"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("b_id"),
+            F.col("a.label").alias("a_label"),
+            F.col("b.label").alias("b_label"),
+            cosine.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.3)
+        .orderBy("a_id", "b_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# B26 — approximate nearest neighbors, LSH-bucketed: top-3 per query among
+# candidates sharing the 6-bit bucket. Recall < exact by construction; the
+# tradeoff is the point — candidate count per query drops ~64×.
+# --------------------------------------------------------------------------
+@_register(
+    "ann_lsh_cosine",
+    f"""
+    WITH {_DUCK_LSH},
+    pairs AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS n_id, c.label AS n_label,
+             CAST({_DUCK_DOT.format(a='q.e', b='c.e')} AS DOUBLE)
+               / (SQRT(CAST(q.nsq AS DOUBLE)) * SQRT(CAST(c.nsq AS DOUBLE))) AS cosine
+      FROM bucketed q JOIN bucketed c
+        ON q.sig = c.sig AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < 20
+    )
+    SELECT q_id, n_id, n_label, cosine, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rnk
+      FROM pairs)
+    WHERE rnk <= 3
+    ORDER BY q_id, rnk
+    """,
+)
+def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bucketed = _lsh_bucketed(spark, sf_dir)
+    q = bucketed.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("e").alias("q_e"),
+        F.col("nsq").alias("q_nsq"),
+        F.col("sig").alias("q_sig"),
+    )
+    cosine = _dot(F.col("q_e"), F.col("e")).cast("double") / (
+        F.sqrt(F.col("q_nsq").cast("double")) * F.sqrt(F.col("nsq").cast("double"))
+    )
+    pairs = bucketed.join(
+        F.broadcast(q),
+        (F.col("sig") == F.col("q_sig")) & (F.col("vec_id") != F.col("q_id")),
+    ).select(
+        "q_id",
+        F.col("vec_id").alias("n_id"),
+        F.col("label").alias("n_label"),
+        cosine.alias("cosine"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("q_id", "rnk")
+    )
+
+
 # --------------------------------------------------------------------------
 # Per-label embedding statistics (exact fixed-point norms).
 # --------------------------------------------------------------------------

@@ -131,3 +131,129 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# B27 — language identification by stopword-hit scoring. Per-language
+# stopword lists are tiny constants compiled into the plan (no join, no
+# shuffle — pure map, codegen'd). Prediction = argmax score with a fixed
+# tie-break order. On the synthetic corpus most docs score 'en'; the
+# operator's contract is the deterministic scoring recipe, not corpus
+# accuracy, so the oracle replays it exactly.
+# --------------------------------------------------------------------------
+_STOPWORDS = {
+    "en": ["the", "a", "of", "and"],
+    "de": ["der", "die", "das", "und"],
+    "es": ["el", "la", "los", "y"],
+    "fr": ["le", "la", "les", "et"],
+    "zh": ["de", "le", "shi", "he"],
+}
+_LANG_ORDER = ["en", "de", "es", "fr", "zh"]
+
+
+def _duck_score(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in _STOPWORDS[lang])
+    return f"len(list_filter(toks, t -> t IN ({words})))"
+
+
+@_register(
+    "language_id_stopwords",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {', '.join(f'{_duck_score(lg)} AS score_{lg}' for lg in _LANG_ORDER)}
+      FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks
+            FROM documents)
+    )
+    SELECT doc_id, lang AS stored_lang,
+           CASE {' '.join(
+               f"WHEN score_{lg} >= GREATEST({', '.join('score_' + o for o in _LANG_ORDER)}) THEN '{lg}'"
+               for lg in _LANG_ORDER)}
+           END AS predicted_lang,
+           {', '.join(f'score_{lg}' for lg in _LANG_ORDER)},
+           CASE WHEN lang = CASE {' '.join(
+               f"WHEN score_{lg} >= GREATEST({', '.join('score_' + o for o in _LANG_ORDER)}) THEN '{lg}'"
+               for lg in _LANG_ORDER)} END THEN 1 ELSE 0 END AS agree
+    FROM scored
+    ORDER BY doc_id
+    """,
+)
+def language_id_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+
+    def score(lang):
+        hits = set(_STOPWORDS[lang])
+        return F.size(F.filter(toks, lambda t: t.isin(*hits)))
+
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("stored_lang"),
+        *[score(lg).alias(f"score_{lg}") for lg in _LANG_ORDER],
+    )
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in _LANG_ORDER])
+    pred = F.lit(None).cast("string")
+    # build CASE in reverse so earlier langs win ties (matches SQL order)
+    for lg in reversed(_LANG_ORDER):
+        pred = F.when(F.col(f"score_{lg}") >= best, F.lit(lg)).otherwise(pred)
+    return (
+        scored.withColumn("predicted_lang", pred)
+        .withColumn(
+            "agree",
+            F.when(F.col("stored_lang") == F.col("predicted_lang"), F.lit(1)).otherwise(
+                F.lit(0)
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# B27 — BPE-ish regex token counting: letter runs, digit runs, and single
+# punctuation marks, the standard pre-tokenizer shape. The pattern uses
+# only constructs RE2 (DuckDB) and the Java regex engine (Spark) treat
+# identically: literal classes, +, alternation with leftmost-longest runs.
+# Map-only per doc; corpus rollup is one partial-aggregated shuffle.
+# --------------------------------------------------------------------------
+_TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@_register(
+    "token_stats_regex",
+    f"""
+    WITH tokd AS (
+      SELECT doc_id, lang, regexp_extract_all(lower(text), '{_TOKEN_RE}') AS toks
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(len(toks)) AS total_tokens,
+           SUM(len(list_filter(toks, t -> t ~ '^[a-z]+$'))) AS word_tokens,
+           SUM(len(list_filter(toks, t -> t ~ '^[0-9]+$'))) AS num_tokens,
+           SUM(len(list_distinct(toks))) AS sum_distinct_per_doc,
+           MIN(len(toks)) AS min_tokens,
+           MAX(len(toks)) AS max_tokens
+    FROM tokd
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def token_stats_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.expr(f"regexp_extract_all(lower(text), '{_TOKEN_RE}', 0)")
+    tokd = docs.select("doc_id", "lang", toks.alias("toks"))
+    is_word = lambda t: t.rlike("^[a-z]+$")  # noqa: E731
+    is_num = lambda t: t.rlike("^[0-9]+$")  # noqa: E731
+    return (
+        tokd.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size("toks")).alias("total_tokens"),
+            F.sum(F.size(F.filter("toks", is_word))).alias("word_tokens"),
+            F.sum(F.size(F.filter("toks", is_num))).alias("num_tokens"),
+            F.sum(F.size(F.array_distinct("toks"))).alias("sum_distinct_per_doc"),
+            F.min(F.size("toks")).alias("min_tokens"),
+            F.max(F.size("toks")).alias("max_tokens"),
+        )
+        .orderBy("lang")
+    )
