@@ -1,9 +1,10 @@
-"""Structured Streaming operators (SURVEY.md §2 B20–B23) — wave-2.
+"""Structured Streaming operators (SURVEY.md §2 B20–B23).
 
-Batch-equivalent oracle queries (tumbling/sliding/session windows on
-``events``) will register here; the true streaming execution paths live in
-``streaming/windows.py`` and are exercised by tests.
+``windows.py`` declares tumbling/sliding/session window semantics that run
+identically in batch (oracle-checked) and micro-batch streaming
+(watermarked runners, exercised by ``tests/test_streaming_struct.py``).
 """
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+from iceberg_loader_spark.streaming.windows import ORACLES, QUERIES
+
+__all__ = ["QUERIES", "ORACLES"]

@@ -1,0 +1,248 @@
+"""Event-time window operators (SURVEY.md §2 B20–B22).
+
+The window *semantics* — tumbling, sliding (hopping), and session — are
+declared once as DataFrame programs over ``events`` and run identically in
+batch and in Structured Streaming: ``F.window`` / ``F.session_window`` are
+the same expressions in both modes, so the registered batch queries below
+ARE the streaming aggregations (minus the watermark, which only matters
+under unordered arrival — covered by the true-streaming tests in
+``tests/test_streaming_struct.py``).
+
+Determinism notes: window bounds are emitted as formatted strings (engines
+disagree on timestamp object hashing); value sums use the events table's
+``value`` double rounded via fixed-point cents so both engines sum exact
+integers and divide once.
+
+Scale: tumbling/sliding aggs shuffle once on (window, key) with map-side
+partial aggregation; session windows in streaming use the state store —
+key cardinality is user_id, which is uniformly distributed in testdata and
+salts cleanly if a hot user ever appears.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_loader_spark.sources.tables import load_table
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+_FMT = "yyyy-MM-dd HH:mm:ss"
+_DUCK_FMT = "%Y-%m-%d %H:%M:%S"
+
+# value → exact integer cents; summed exactly, divided once at the end.
+# (A function, not a module constant — building a Column requires an
+# active SparkContext, which doesn't exist at import time.)
+def _cents():
+    # ROUND-then-cast, not bare cast: Spark's cast truncates toward zero
+    # while DuckDB's rounds, so both engines must round explicitly.
+    return F.round(F.col("value") * 100, 0).cast("bigint")
+
+
+_DUCK_CENTS = "CAST(ROUND(value * 100, 0) AS BIGINT)"
+
+
+def _win_bounds(df: DataFrame) -> DataFrame:
+    return df.select(
+        F.date_format("window.start", _FMT).alias("w_start"),
+        F.date_format("window.end", _FMT).alias("w_end"),
+        *[c for c in df.columns if c != "window"],
+    )
+
+
+# --------------------------------------------------------------------------
+# B20 — tumbling 1-hour window aggregation per event_type.
+# --------------------------------------------------------------------------
+@_register(
+    "stream_tumbling_1h",
+    f"""
+    SELECT strftime(date_trunc('hour', ts), '{_DUCK_FMT}') AS w_start,
+           strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR, '{_DUCK_FMT}') AS w_end,
+           event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM({_DUCK_CENTS}) AS DOUBLE) / 100 AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    ORDER BY w_start, event_type
+    """,
+)
+def stream_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        (F.sum(_cents()).cast("double") / 100).alias("sum_value"),
+    )
+    return _win_bounds(agg).orderBy("w_start", "event_type")
+
+
+# --------------------------------------------------------------------------
+# B20 — sliding (hopping) window: 1-hour length, 30-minute slide. Each
+# event lands in exactly two windows; the oracle unnests the two window
+# starts explicitly.
+# --------------------------------------------------------------------------
+@_register(
+    "stream_sliding_1h_30m",
+    f"""
+    WITH slotted AS (
+      SELECT unnest([
+               to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)),
+               to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 - 1800 AS BIGINT))
+             ]) AS w_start_ts,
+             event_type, user_id, value
+      FROM events
+    )
+    SELECT strftime(w_start_ts, '{_DUCK_FMT}') AS w_start,
+           strftime(w_start_ts + INTERVAL 1 HOUR, '{_DUCK_FMT}') AS w_end,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM({_DUCK_CENTS}) AS DOUBLE) / 100 AS sum_value
+    FROM slotted
+    GROUP BY 1, 2, 3
+    ORDER BY w_start, event_type
+    """,
+)
+def stream_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type").agg(
+        F.count("*").alias("n_events"),
+        (F.sum(_cents()).cast("double") / 100).alias("sum_value"),
+    )
+    return _win_bounds(agg).orderBy("w_start", "event_type")
+
+
+# --------------------------------------------------------------------------
+# B21 — session window, 30-minute gap, per user. Spark's session_window
+# semantics: a session closes after 30 idle minutes; session end = last
+# event + gap. The oracle rebuilds sessions with the classic
+# gap-island recipe (lag → new-session flag → running sum → group).
+# --------------------------------------------------------------------------
+@_register(
+    "stream_session_30m_users",
+    f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '{_DUCK_FMT}') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE, '{_DUCK_FMT}') AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM({_DUCK_CENTS}) AS DOUBLE) / 100 AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def stream_session_30m_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy(F.session_window("ts", "30 minutes"), "user_id").agg(
+        F.count("*").alias("n_events"),
+        (F.sum(_cents()).cast("double") / 100).alias("sum_value"),
+    )
+    return agg.select(
+        "user_id",
+        F.date_format("session_window.start", _FMT).alias("session_start"),
+        F.date_format("session_window.end", _FMT).alias("session_end"),
+        "n_events",
+        "sum_value",
+    ).orderBy("user_id", "session_start")
+
+
+# --------------------------------------------------------------------------
+# True-streaming runners (B20/B22/B23) — exercised by tests, not oracles.
+# They read the same parquet through the file *streaming* source, so the
+# exact operators above run under the micro-batch engine with watermarks.
+# --------------------------------------------------------------------------
+def streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events`` as an unbounded stream via the file streaming source."""
+    import hashlib
+    import os
+
+    from iceberg_loader_spark.sources.tables import ensure_compat
+
+    ensure_compat(spark)
+    src = f"{sf_dir}/events.parquet"
+    # The file streaming source wants a *directory*; stage a symlink dir.
+    stage = f"/tmp/ils_stream_{hashlib.md5(src.encode()).hexdigest()[:8]}"
+    os.makedirs(stage, exist_ok=True)
+    link = f"{stage}/events.parquet"
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    batch = spark.read.parquet(src)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    # Watermarks demand TIMESTAMP (not NTZ); the session TZ is pinned UTC,
+    # so formatted window bounds still equal the batch/NTZ spelling.
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000, "
+                "TIMESTAMP '1970-01-01 00:00:00+00:00')"
+            ),
+        )
+    else:
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
+
+
+def tumbling_1h_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B20+B22: watermarked tumbling agg under the micro-batch engine."""
+    ev = streaming_events(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = ev.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count("*").alias("n_events"),
+        (F.sum(_cents()).cast("double") / 100).alias("sum_value"),
+    )
+    out = _win_bounds(agg)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tumbling_1h_streaming")
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table("tumbling_1h_streaming")
+
+
+def stateful_dedup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B23: dropDuplicatesWithinWatermark on (user_id, event_type)."""
+    ev = streaming_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    deduped = ev.dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    q = (
+        deduped.select("event_id", "user_id", "event_type")
+        .writeStream.format("memory")
+        .queryName("stateful_dedup_streaming")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table("stateful_dedup_streaming")

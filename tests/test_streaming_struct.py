@@ -1,0 +1,43 @@
+"""True Structured-Streaming behavior (SURVEY.md §2 B20/B22/B23): the
+micro-batch engine must reproduce the batch window semantics, and the
+stateful dedup must keep exactly one row per key."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from iceberg_loader_spark.streaming import windows as w
+from tests.conftest import SF_SMOKE
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+def test_streaming_tumbling_matches_batch(spark):
+    got = canon(w.tumbling_1h_streaming(spark, SF_SMOKE).toPandas())
+    want = canon(
+        w.stream_tumbling_1h(spark, SF_SMOKE)
+        .select("w_start", "w_end", "event_type", "n_events", "sum_value")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_stateful_dedup_one_row_per_key(spark):
+    out = w.stateful_dedup_streaming(spark, SF_SMOKE).toPandas()
+    assert len(out) > 0
+    assert not out.duplicated(subset=["user_id", "event_type"]).any()
+    # every key present in the source survives
+    from iceberg_loader_spark.sources.tables import load_table
+
+    src = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    assert len(out) == src
