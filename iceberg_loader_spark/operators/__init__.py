@@ -26,10 +26,11 @@ def _modules():
         relational,
         similarity,
         text,
+        tpch_extra,
     )
     from iceberg_loader_spark import streaming
 
-    return [relational, dedup, similarity, text, multimodal, streaming]
+    return [relational, tpch_extra, dedup, similarity, text, multimodal, streaming]
 
 
 def all_queries() -> dict[str, QueryFn]:
