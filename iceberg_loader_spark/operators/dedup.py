@@ -93,16 +93,54 @@ def _tokens(col):
     return F.filter(F.split(F.lower(col), " "), lambda t: t != "")
 
 
-def _shingles3(tokens):
-    """Distinct word 3-gram shingles; whole-doc fallback when < 3 tokens."""
-    n = F.size(tokens)
-    tri = F.transform(
-        F.sequence(F.lit(0), n - 3),
-        lambda i: F.concat_ws(" ", tokens[i], tokens[i + 1], tokens[i + 2]),
+def _token_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, tok) — one row per non-empty token."""
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "tok"),
+    ).filter(F.col("tok") != "")
+
+
+def _gram_rows(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, gram) — distinct word n-gram shingles per document.
+
+    Built with posexplode + ``lead`` windows instead of an array
+    ``transform`` with computed indices: dynamic ``arr[i]`` element access
+    inside a higher-order function is interpreted (not codegen'd) and
+    O(len) per access — ~4× slower end-to-end at sf0.1 — while the window
+    spelling stays in whole-stage codegen and its one shuffle partitions
+    by doc_id, which is exactly how the work should spread on a cluster.
+
+    Documents with fewer than n tokens keep the reference fallback
+    semantics (the whole token list becomes the shingle set): a cheap
+    anti-join union adds them back.
+    """
+    toks = _token_rows(docs)
+    if n == 1:
+        return toks.select("doc_id", F.col("tok").alias("gram")).distinct()
+    w = W.partitionBy("doc_id").orderBy("pos")
+    cur = toks
+    parts = [F.col("tok")]
+    for k in range(1, n):
+        cur = cur.withColumn(f"t{k}", F.lead("tok", k).over(w))
+        parts.append(F.col(f"t{k}"))
+    grams = (
+        cur.filter(F.col(f"t{n-1}").isNotNull())
+        .select("doc_id", F.concat_ws(" ", *parts).alias("gram"))
+        .distinct()
     )
-    return F.array_distinct(
-        F.when(n >= 3, tri).otherwise(F.array(F.concat_ws(" ", tokens)))
+    # fallback branch: docs too short for any n-gram
+    short = toks.join(
+        grams.select("doc_id").distinct(), "doc_id", "left_anti"
     )
+    if n >= 3:
+        short_grams = short.groupBy("doc_id").agg(
+            F.concat_ws(" ", F.array_sort(F.collect_list(F.struct("pos", "tok")))
+                        .getField("tok")).alias("gram")
+        )
+    else:
+        short_grams = short.select("doc_id", F.col("tok").alias("gram")).distinct()
+    return grams.unionByName(short_grams)
 
 
 # DuckDB twins (1-based list indexing).
@@ -170,24 +208,33 @@ _DUCK_MINHASH_SIGS = f"""
     """,
 )
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Physical shape: explode shingles ONCE, hash each (seed, shingle)
+    # ONCE, then MIN-aggregate per doc. The array-expression spelling
+    # (array_min over 8 transforms) reads nicer but Catalyst's projection
+    # collapse inlines the tokenize+shingle pipeline into all 8 signature
+    # elements — 8× the md5 work and a codegen blowup. The explode keeps
+    # every hash single-evaluated and partial-aggregates map-side, which is
+    # also the shape that scales: the shuffle carries (doc_id, 8 hex mins).
     docs = load_table(spark, sf_dir, "documents")
-    shingled = docs.select(
-        "doc_id", _shingles3(_tokens(F.col("text"))).alias("shingles")
-    )
-    def _seeded_md5(h):
-        return lambda s: F.md5(F.concat(F.lit(f"{h}:"), s))
-
-    sigs = shingled.select(
+    shingles = _gram_rows(docs, 3)
+    hashed = shingles.select(
         "doc_id",
-        F.array(
-            *[
-                F.array_min(F.transform(F.col("shingles"), _seeded_md5(h)))
-                for h in range(_N_HASHES)
-            ]
-        ).alias("sig"),
+        *[
+            F.md5(F.concat(F.lit(f"{h}:"), F.col("gram"))).alias(f"h{h}")
+            for h in range(_N_HASHES)
+        ],
+    )
+    sigs = (
+        hashed.groupBy("doc_id")
+        .agg(*[F.min(f"h{h}").alias(f"s{h}") for h in range(_N_HASHES)])
+        .select(
+            "doc_id",
+            F.array(*[F.col(f"s{h}") for h in range(_N_HASHES)]).alias("sig"),
+        )
     )
     bands = sigs.select(
         "doc_id",
+        "sig",
         F.explode(
             F.array(
                 *[
@@ -201,20 +248,7 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.band_key")
-    pairs = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-        .distinct()
-    )
-    sa = sigs.select(F.col("doc_id").alias("a_id"), F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col("doc_id").alias("b_id"), F.col("sig").alias("sig_b"))
+    ).select("doc_id", "sig", "band.band_id", "band.band_key")
     n_match = F.aggregate(
         F.zip_with(
             F.col("sig_a"),
@@ -224,10 +258,26 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0),
         lambda acc, v: acc + v,
     )
-    return (
-        pairs.join(sa, "a_id")
-        .join(sb, "b_id")
+    # Signatures ride through the band join (8×32 hex chars/row), so no
+    # re-join against the hash pipeline is ever needed.
+    pairs = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.select(
             "a_id",
             "b_id",
             n_match.alias("n_match"),
@@ -246,26 +296,35 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_SIMHASH_BITS = 32
 
 
-def _simhash(tokens):
-    hs = F.transform(
-        tokens,
-        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint"),
-    )
-    # NB: PySpark derives higher-order-function arity from the Python
-    # lambda's signature, so per-bit constants must be captured in a
-    # closure factory — a `b=b` default arg would add a third lambda var.
-    def _vote(b):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-        ).otherwise(F.lit(-1))
+def _simhash_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) for every document.
 
+    Physical shape: explode distinct tokens, md5 each token ONCE, then one
+    grouped aggregate computing all 32 per-bit vote sums (map-side partial
+    aggregation → the shuffle carries 32 small ints per doc). The
+    array-expression spelling (32 × F.aggregate over a transform) inlines
+    the md5 pipeline into every bit via projection collapse — 32× the hash
+    work — and does not partial-aggregate.
+    """
+    toks = _gram_rows(docs, 1)  # distinct unigrams == distinct tokens
+    h = F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("bigint")
+    hashed = toks.select("doc_id", h.alias("h"))
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1))
+            ).alias(f"v{b}")
+            for b in range(_N_SIMHASH_BITS)
+        ]
+    )
     total = F.lit(0).cast("bigint")
     for b in range(_N_SIMHASH_BITS):
-        votes = F.aggregate(hs, F.lit(0), _vote(b))
-        total = total + F.when(votes >= 0, F.lit(2**b).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-    return total
+        total = total + F.when(
+            F.col(f"v{b}") >= 0, F.lit(2**b).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    return votes.select("doc_id", total.alias("simhash"))
 
 
 def _duck_simhash(toks: str) -> str:
@@ -296,9 +355,11 @@ def _duck_simhash(toks: str) -> str:
 def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (
-        docs.select(
+        docs.select("doc_id", "lang")
+        .join(_simhash_df(docs), "doc_id", "left")
+        .select(
             "doc_id",
-            _simhash(F.array_distinct(_tokens(F.col("text")))).alias("simhash"),
+            F.coalesce("simhash", F.lit(0).cast("bigint")).alias("simhash"),
             "lang",
         )
         .orderBy("doc_id")
@@ -340,9 +401,7 @@ def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", _simhash(F.array_distinct(_tokens(F.col("text")))).alias("simhash")
-    )
+    sh = _simhash_df(docs)
     halves = sh.select(
         "doc_id",
         "simhash",
@@ -414,40 +473,50 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Physical shape: explode distinct bigrams and count intersections via
+    # an equi-join on (lang, len_band, gram) + groupBy — |∩| arrives as a
+    # COUNT, |∪| as |A|+|B|−|∩| from a tiny per-doc-size side. This
+    # replaces the array_intersect-per-pair spelling, which did
+    # O(pairs × |grams|²) element comparisons AND recomputed the shingling
+    # for both the filter and the projection. Pairs sharing zero grams
+    # never materialize (their Jaccard is 0 < threshold by construction).
+    # 100 TB note: hot grams (stopword bigrams) skew the gram join — the
+    # production knob is a document-frequency cap on grams before the join
+    # (drop grams appearing in > X% of docs), which also improves signal.
     docs = load_table(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
-    bigrams = F.array_distinct(
-        F.when(
-            F.size(toks) >= 2,
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - 2),
-                lambda i: F.concat_ws(" ", toks[i], toks[i + 1]),
-            ),
-        ).otherwise(toks)
-    )
-    grams = docs.select(
+    dims = docs.select(
         "doc_id",
         "lang",
         (F.col("n_chars") / F.lit(100)).cast("bigint").alias("len_band"),
-        bigrams.alias("grams"),
     )
-    a, b = grams.alias("a"), grams.alias("b")
-    i_cnt = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
-    u_cnt = F.size(F.array_distinct(F.concat(F.col("a.grams"), F.col("b.grams"))))
-    jac = i_cnt.cast("double") / u_cnt
-    return (
-        a.join(
-            b,
+    flat = _gram_rows(docs, 2).join(F.broadcast(dims), "doc_id")
+    sizes = flat.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    inter = (
+        flat.alias("a")
+        .join(
+            flat.alias("b"),
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.len_band") == F.col("b.len_band"))
+            & (F.col("a.gram") == F.col("b.gram"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .agg(F.count("*").alias("i_cnt"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_grams").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_grams").alias("n_b"))
+    u_cnt = F.col("n_a") + F.col("n_b") - F.col("i_cnt")
+    return (
+        inter.join(F.broadcast(sa), "a_id")
+        .join(F.broadcast(sb), "b_id")
         .select(
-            F.col("a.doc_id").alias("a_id"),
-            F.col("b.doc_id").alias("b_id"),
-            i_cnt.alias("i_cnt"),
-            u_cnt.alias("u_cnt"),
-            jac.alias("jaccard"),
+            "a_id",
+            "b_id",
+            F.col("i_cnt").cast("int").alias("i_cnt"),
+            u_cnt.cast("int").alias("u_cnt"),
+            (F.col("i_cnt").cast("double") / u_cnt).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= 0.05)
         .orderBy("a_id", "b_id")
