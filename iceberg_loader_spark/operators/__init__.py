@@ -27,10 +27,20 @@ def _modules():
         similarity,
         text,
         tpch_extra,
+        udfs,
     )
     from iceberg_loader_spark import streaming
 
-    return [relational, tpch_extra, dedup, similarity, text, multimodal, streaming]
+    return [
+        relational,
+        tpch_extra,
+        dedup,
+        similarity,
+        text,
+        multimodal,
+        udfs,
+        streaming,
+    ]
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -873,3 +873,29 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# B8 — explicit GROUPING SETS (rollup/cube's general form) via the SQL API,
+# with GROUPING() flags disambiguating the per-set NULLs.
+# Scale: Spark expands grouping sets into a single Expand + one hash
+# aggregate — still one shuffle, rows multiplied only by the set count.
+# --------------------------------------------------------------------------
+_SQL_GROUPING_SETS = """
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_flag,
+           GROUPING(l_linestatus) AS g_status,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    ORDER BY g_flag, g_status, l_returnflag, l_linestatus
+"""
+
+
+@_register("sql_grouping_sets", _SQL_GROUPING_SETS)
+def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_loader_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_GROUPING_SETS)

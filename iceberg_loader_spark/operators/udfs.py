@@ -1,0 +1,115 @@
+"""UDF surface (SURVEY.md §2 B24): vectorized pandas UDFs with SQL twins.
+
+Policy: UDFs are the slow path — every operator that CAN be a built-in
+expression IS one elsewhere in this package. This module demonstrates the
+sanctioned escape hatch for logic that genuinely needs Python: Arrow-batch
+``pandas_udf`` (scalar) and ``applyInPandas`` (grouped), each paired with
+an exactly-equivalent SQL oracle so correctness of the UDF path itself is
+oracle-gated like everything else.
+
+Scale: scalar pandas UDFs stream Arrow batches through one Python worker
+per core with no shuffle; the grouped variant shuffles once on the group
+key. Never row-at-a-time ``F.udf`` in a hot path (10-100× slower).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+
+from iceberg_loader_spark.sources.tables import load_table
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@pandas_udf(DoubleType())
+def _readability_score(text: pd.Series) -> pd.Series:
+    """chars-per-word score, computed vectorized on Arrow batches."""
+    n_chars = text.str.len().astype("float64")
+    n_words = text.str.split(" ").str.len().clip(lower=1).astype("float64")
+    return n_chars / n_words
+
+
+# --------------------------------------------------------------------------
+# B24 — scalar pandas UDF with an exact SQL twin. (The twin is the point:
+# a UDF whose semantics can't be restated in SQL can't be oracle-checked.)
+# --------------------------------------------------------------------------
+@_register(
+    "pandas_udf_readability",
+    """
+    SELECT doc_id,
+           CAST(LENGTH(text) AS DOUBLE)
+             / GREATEST(LEN(STRING_SPLIT(text, ' ')), 1) AS score,
+           lang
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def pandas_udf_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", _readability_score("text").alias("score"), "lang")
+        .orderBy("doc_id")
+    )
+
+
+_LANG_STATS_SCHEMA = StructType(
+    [
+        StructField("lang", StringType()),
+        StructField("n_docs", LongType()),
+        StructField("mean_chars", DoubleType()),
+        StructField("max_chars", LongType()),
+    ]
+)
+
+
+def _lang_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+    n = pdf["n_chars"]
+    return pd.DataFrame(
+        {
+            "lang": [pdf["lang"].iloc[0]],
+            "n_docs": [len(pdf)],
+            # exact integer sum / count — same IEEE division as the oracle
+            "mean_chars": [float(int(n.sum())) / len(pdf)],
+            "max_chars": [int(n.max())],
+        }
+    )
+
+
+# --------------------------------------------------------------------------
+# B24 — grouped applyInPandas: whole-group pandas computation per language
+# (one shuffle on the group key, Arrow both ways).
+# --------------------------------------------------------------------------
+@_register(
+    "apply_in_pandas_lang_stats",
+    """
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def apply_in_pandas_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", "n_chars")
+        .groupBy("lang")
+        .applyInPandas(_lang_stats, schema=_LANG_STATS_SCHEMA)
+        .orderBy("lang")
+    )
