@@ -62,6 +62,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # v2 commit: per-task rename instead of sequential job-commit rename
+        # — matters for high-partition-count writes (many small files)
+        .config(
+            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2"
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
