@@ -899,3 +899,42 @@ def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_SQL_GROUPING_SETS)
+
+
+# --------------------------------------------------------------------------
+# B7 at scale — salted two-phase aggregation. When a group key is skewed
+# (one hot user dominating a partition), the standard fix is to aggregate
+# in two phases: partial by (key, salt) spreads the hot key over N
+# reducers, final by (key) combines the partials. The result is provably
+# identical to the direct groupBy — which is exactly what the oracle
+# checks. Exact integer cents make the two-phase sum bit-equal.
+# --------------------------------------------------------------------------
+@_register(
+    "salted_agg_user_value",
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100
+             AS sum_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def salted_agg_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_loader_spark.sources.tables import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    partial = (
+        ev.withColumn("_salt", F.pmod(F.col("event_id"), F.lit(8)))
+        .groupBy("user_id", "_salt")
+        .agg(F.count("*").alias("pc"), F.sum(cents).alias("ps"))
+    )
+    return (
+        partial.groupBy("user_id")
+        .agg(
+            F.sum("pc").alias("n_events"),
+            (F.sum("ps").cast("double") / 100).alias("sum_value"),
+        )
+        .orderBy("user_id")
+    )

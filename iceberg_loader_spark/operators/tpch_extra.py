@@ -733,3 +733,78 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntry_bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# Q21 shape — suppliers who kept multi-supplier orders waiting: their item
+# shipped late (> 90 days after order date) on an order where some OTHER
+# supplier also participated but NO other supplier shipped late.
+# Scale: one orderkey-shuffled self-join feeding semi+anti joins — all
+# equi-joins on the natural co-partition key.
+# --------------------------------------------------------------------------
+@_register(
+    "q21_waiting_suppliers",
+    """
+    WITH l AS (
+      SELECT l_orderkey, l_suppkey,
+             CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                  THEN 1 ELSE 0 END AS late
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    )
+    SELECT s_name, COUNT(DISTINCT l1.l_orderkey) AS numwait
+    FROM l l1
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE l1.late = 1
+      AND EXISTS (SELECT 1 FROM l l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM l l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey AND l3.late = 1)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    sup = load_table(spark, sf_dir, "supplier")
+    l = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.when(
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("late"),
+        )
+    )
+    l1 = l.filter(F.col("late") == 1).alias("l1")
+    others = l.select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp")
+    ).alias("l2")
+    late_others = (
+        l.filter(F.col("late") == 1)
+        .select(F.col("l_orderkey").alias("lo_key"), F.col("l_suppkey").alias("lo_supp"))
+        .alias("l3")
+    )
+    cand = l1.join(
+        others,
+        (F.col("o_key") == F.col("l1.l_orderkey"))
+        & (F.col("o_supp") != F.col("l1.l_suppkey")),
+        "left_semi",
+    ).join(
+        late_others,
+        (F.col("lo_key") == F.col("l1.l_orderkey"))
+        & (F.col("lo_supp") != F.col("l1.l_suppkey")),
+        "left_anti",
+    )
+    return (
+        cand.join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count_distinct("l_orderkey").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
