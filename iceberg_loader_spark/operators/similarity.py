@@ -296,3 +296,47 @@ def embedding_stats_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# B18 — array/higher-order scalar battery over the embedding column:
+# slice, sort, reverse-sort, position, contains, flatten — the list-
+# manipulation surface a feature-engineering pipeline leans on. All
+# computed on the exact fixed-point view so every value is an integer.
+# Map-only (no shuffle, no join).
+# --------------------------------------------------------------------------
+@_register(
+    "array_funcs_battery",
+    f"""
+    WITH fp AS (
+      SELECT vec_id, {_DUCK_FP.format(col='embedding')} AS e FROM embeddings
+      WHERE vec_id < 100
+    )
+    SELECT vec_id,
+           len(e) AS dim,
+           e[1:4] AS head4,
+           list_sort(e)[1:3] AS smallest3,
+           list_reverse_sort(e)[1:3] AS largest3,
+           list_position(e, list_min(e)) AS argmin_1based,
+           list_contains(e, 0) AS has_zero,
+           flatten([e[1:1], e[len(e):len(e)]]) AS first_last
+    FROM fp
+    ORDER BY vec_id
+    """,
+)
+def array_funcs_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    fp = emb.select("vec_id", _fixed_point(F.col("embedding")).alias("e"))
+    e = F.col("e")
+    return fp.select(
+        "vec_id",
+        F.size(e).alias("dim"),
+        F.slice(e, 1, 4).alias("head4"),
+        F.slice(F.sort_array(e), 1, 3).alias("smallest3"),
+        F.slice(F.sort_array(e, asc=False), 1, 3).alias("largest3"),
+        F.array_position(e, F.array_min(e)).alias("argmin_1based"),
+        F.array_contains(e, F.lit(0).cast("bigint")).alias("has_zero"),
+        F.flatten(
+            F.array(F.slice(e, 1, 1), F.slice(e, F.size(e), 1))
+        ).alias("first_last"),
+    ).orderBy("vec_id")
