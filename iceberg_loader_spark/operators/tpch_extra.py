@@ -808,3 +808,170 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("l_orderkey").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
     )
+
+
+# --------------------------------------------------------------------------
+# Q2 shape — cheapest supplier per part in a region (partsupp absent →
+# unit cost proxied by min(l_extendedprice / l_quantity) from lineitem
+# facts). The per-part minimum joins back as a filter — the classic
+# "argmin per group" via window rank on exact decimal unit cost.
+# --------------------------------------------------------------------------
+@_register(
+    "q2_min_cost_supplier",
+    """
+    WITH costs AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(CAST(l_extendedprice AS DECIMAL(18,2)) / l_quantity) AS unit_cost
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN region ON r_regionkey = n_regionkey
+      WHERE r_name = 'EUROPE'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    ranked AS (
+      SELECT l_partkey, l_suppkey, unit_cost,
+             ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                ORDER BY unit_cost, l_suppkey) AS rnk
+      FROM costs
+    )
+    SELECT p_partkey, p_brand, s_name,
+           CAST(unit_cost AS DOUBLE) AS unit_cost
+    FROM ranked
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE rnk = 1 AND p_size <= 10
+    ORDER BY p_partkey
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    unit_cost = _dec("l_extendedprice") / F.col("l_quantity")
+    costs = (
+        li.join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(region), F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(unit_cost).alias("unit_cost"))
+    )
+    w = W.partitionBy("l_partkey").orderBy("unit_cost", "l_suppkey")
+    ranked = costs.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") == 1)
+    return (
+        ranked.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            F.broadcast(sup.select("s_suppkey", "s_name")),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            F.col("unit_cost").cast("double").alias("unit_cost"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q11 shape — important stock by nation: value of each (nation, part)
+# position from lineitem facts, kept when above 0.1% of the global total.
+# Scalar-subquery threshold = exact decimal sum divided once as double.
+# --------------------------------------------------------------------------
+@_register(
+    "q11_important_stock",
+    """
+    WITH pos AS (
+      SELECT n_name, l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS value_dec
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      GROUP BY n_name, l_partkey
+    )
+    SELECT n_name, l_partkey, CAST(value_dec AS DOUBLE) AS part_value
+    FROM pos
+    WHERE CAST(value_dec AS DOUBLE)
+          > 0.001 * (SELECT CAST(SUM(value_dec) AS DOUBLE) FROM pos)
+    ORDER BY part_value DESC, n_name, l_partkey
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    pos = (
+        li.join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name", "l_partkey")
+        .agg(F.sum(_dec("l_extendedprice")).alias("value_dec"))
+    )
+    total = pos.agg(F.sum("value_dec").cast("double").alias("t"))
+    return (
+        pos.join(F.broadcast(total))
+        .filter(F.col("value_dec").cast("double") > 0.001 * F.col("t"))
+        .select(
+            "n_name",
+            "l_partkey",
+            F.col("value_dec").cast("double").alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "n_name", "l_partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q20 shape — suppliers holding excess share of a part's volume: suppliers
+# whose shipped quantity of some PROMO part exceeds half that part's total
+# shipped quantity in 1997.
+# --------------------------------------------------------------------------
+@_register(
+    "q20_excess_share_suppliers",
+    """
+    WITH shipped AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS supp_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    totals AS (
+      SELECT l_partkey AS t_partkey, SUM(supp_qty) AS part_qty FROM shipped
+      GROUP BY l_partkey
+    )
+    SELECT DISTINCT s_suppkey, s_name
+    FROM shipped
+    JOIN totals ON t_partkey = l_partkey
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE p_type = 'PROMO'
+      AND CAST(supp_qty AS DOUBLE) > 0.5 * CAST(part_qty AS DOUBLE)
+    ORDER BY s_suppkey
+    """,
+)
+def q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1998-01-01 00:00:00"))
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    sup = load_table(spark, sf_dir, "supplier")
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(_dec("l_quantity")).alias("supp_qty")
+    )
+    totals = shipped.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("supp_qty").alias("part_qty")
+    )
+    return (
+        shipped.join(totals, F.col("t_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .filter(
+            F.col("supp_qty").cast("double") > 0.5 * F.col("part_qty").cast("double")
+        )
+        .select("s_suppkey", "s_name")
+        .distinct()
+        .orderBy("s_suppkey")
+    )

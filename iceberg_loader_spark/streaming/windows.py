@@ -246,3 +246,28 @@ def stateful_dedup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     return spark.table("stateful_dedup_streaming")
+
+
+def session_window_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B21 under the micro-batch engine: watermarked session windows."""
+    ev = streaming_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = ev.groupBy(F.session_window("ts", "30 minutes"), "user_id").agg(
+        F.count("*").alias("n_events"),
+        (F.sum(_cents()).cast("double") / 100).alias("sum_value"),
+    )
+    out = agg.select(
+        "user_id",
+        F.date_format("session_window.start", _FMT).alias("session_start"),
+        F.date_format("session_window.end", _FMT).alias("session_end"),
+        "n_events",
+        "sum_value",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("session_window_streaming")
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table("session_window_streaming")

@@ -41,3 +41,9 @@ def test_stateful_dedup_one_row_per_key(spark):
         .count()
     )
     assert len(out) == src
+
+
+def test_streaming_session_window_matches_batch(spark):
+    got = canon(w.session_window_streaming(spark, SF_SMOKE).toPandas())
+    want = canon(w.stream_session_30m_users(spark, SF_SMOKE).toPandas())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
