@@ -143,6 +143,21 @@ def _gram_rows(docs: DataFrame, n: int) -> DataFrame:
     return grams.unionByName(short_grams)
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Materialize a frame both sides of a self-join will read.
+
+    Catalyst does not reuse the exchange between the two aliased sides of
+    a self-join (the subtrees differ by alias pre-AQE), so the whole
+    upstream — tokenize, hash, aggregate — would execute twice.
+    ``localCheckpoint`` computes it once into executor block storage and
+    truncates the lineage (measured 3.6× on minhash at sf0.1). The
+    cluster-scale equivalent is persisting the candidate/signature frame
+    (memory-and-disk) or writing it as an intermediate table before the
+    pair join.
+    """
+    return df.localCheckpoint(eager=True)
+
+
 # DuckDB twins (1-based list indexing).
 _DUCK_TOKENS = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
 _DUCK_SHINGLES3 = (
@@ -249,6 +264,7 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "sig", "band.band_id", "band.band_key")
+    bands = _materialize(bands)
     n_match = F.aggregate(
         F.zip_with(
             F.col("sig_a"),
@@ -420,6 +436,7 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("h"),
     ).select("doc_id", "simhash", "h.half_id", "h.half_key")
+    halves = _materialize(halves)
     pairs = (
         halves.alias("a")
         .join(
@@ -489,7 +506,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         (F.col("n_chars") / F.lit(100)).cast("bigint").alias("len_band"),
     )
-    flat = _gram_rows(docs, 2).join(F.broadcast(dims), "doc_id")
+    flat = _materialize(_gram_rows(docs, 2).join(F.broadcast(dims), "doc_id"))
     sizes = flat.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     inter = (
         flat.alias("a")

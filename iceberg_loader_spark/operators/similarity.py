@@ -158,7 +158,10 @@ def _lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id")
         .agg(F.sum(bit).alias("sig"))
     )
-    return fp.join(sigs, "vec_id")
+    from iceberg_loader_spark.operators.dedup import _materialize
+
+    # both sides of the bucket self-join read this frame — materialize once
+    return _materialize(fp.join(sigs, "vec_id"))
 
 
 # --------------------------------------------------------------------------
