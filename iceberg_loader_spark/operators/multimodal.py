@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     IntegerType,
     LongType,
     StructField,
@@ -176,3 +177,67 @@ def fake_decode(payload: bytes, mime: str) -> dict:
         "checksum": sum(buf) % 65536,
         "head": buf[:4].hex(),
     }
+
+
+_STRIDE = 8
+
+_DOWNSAMPLE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_samples", IntegerType()),
+        StructField("checksum", IntegerType()),
+        StructField("head_bytes", ArrayType(IntegerType())),
+    ]
+)
+
+
+def _downsample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Every-``_STRIDE``-th-byte downsample — the 'resize' plumbing shape.
+
+    An image resize / audio resample would replace the stride slice with a
+    codec call; the Arrow batch flow, schema contract, and per-row loop
+    are exactly what that production op uses.
+    """
+    for pdf in batches:
+        out = {"doc_id": [], "n_samples": [], "checksum": [], "head_bytes": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            buf = bytes(payload)
+            sampled = buf[:: _STRIDE]
+            out["doc_id"].append(doc_id)
+            out["n_samples"].append(len(sampled))
+            out["checksum"].append(sum(sampled) % 65536)
+            out["head_bytes"].append([int(b) for b in sampled[:4]])
+        yield pd.DataFrame(out)
+
+
+# --------------------------------------------------------------------------
+# B28 — stride downsample ("resize") through mapInPandas; the oracle
+# replays the byte math via 1-based substring over the ASCII corpus.
+# --------------------------------------------------------------------------
+@_register(
+    "multimodal_downsample",
+    f"""
+    WITH d AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n,
+             (octet_length(encode(text)) + {_STRIDE - 1}) // {_STRIDE} AS n_samples
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_samples AS INTEGER) AS n_samples,
+           CAST(list_sum(list_transform(range(0, n_samples),
+                i -> ascii(substring(text, i * {_STRIDE} + 1, 1)))) % 65536
+                AS INTEGER) AS checksum,
+           list_transform(range(0, least(4, n_samples)),
+                i -> CAST(ascii(substring(text, i * {_STRIDE} + 1, 1)) AS INTEGER))
+             AS head_bytes
+    FROM d
+    ORDER BY doc_id
+    """,
+)
+def multimodal_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mm = with_payload(load_table(spark, sf_dir, "documents"))
+    return (
+        mm.select("doc_id", "payload")
+        .mapInPandas(_downsample, schema=_DOWNSAMPLE_SCHEMA)
+        .orderBy("doc_id")
+    )

@@ -257,3 +257,47 @@ def token_stats_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# B27 — rolling-hash document fingerprint (Rabin-Karp shape): fold the
+# token stream through acc = (acc*31 + h(tok)) mod 2^31-1, where h is the
+# md5-derived 32-bit token hash. Unlike the order-free md5 fingerprint,
+# this hash is sensitive to token ORDER — the fingerprint a shingling
+# pipeline chains from. Fold order is pinned identically in both engines
+# (explicit seed, left fold).
+# --------------------------------------------------------------------------
+_RH_MOD = 2147483647
+_TOKS_SQL = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
+
+
+@_register(
+    "doc_rolling_hash",
+    f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform({_TOKS_SQL},
+                 t -> CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT))),
+             (acc, h) -> (acc * 31 + h) % {_RH_MOD}) AS rolling_hash,
+           len({_TOKS_SQL}) AS n_tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+    hs = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint")
+    )
+    rolling = F.aggregate(
+        hs,
+        F.lit(0).cast("bigint"),
+        lambda acc, h: (acc * 31 + h) % F.lit(_RH_MOD),
+    )
+    return docs.select(
+        "doc_id",
+        rolling.alias("rolling_hash"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+    ).orderBy("doc_id")
