@@ -343,3 +343,102 @@ def array_funcs_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(F.slice(e, 1, 1), F.slice(e, F.size(e), 1))
         ).alias("first_last"),
     ).orderBy("vec_id")
+
+
+_N_CENTROIDS = 16  # IVF coarse quantizer size (data-derived "training")
+
+_DUCK_IVF = f"""
+    fp AS (
+      SELECT vec_id, label, {_DUCK_FP.format(col='embedding')} AS e
+      FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id, label, e, {_DUCK_DOT.format(a='e', b='e')} AS nsq FROM fp
+    ),
+    centroids AS (
+      SELECT vec_id AS c_id, e AS c_e FROM fp WHERE vec_id < {_N_CENTROIDS}
+    ),
+    assigned AS (
+      SELECT vec_id, label, e, nsq, c_id FROM (
+        SELECT n.vec_id, n.label, n.e, n.nsq, c.c_id,
+               ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                 ORDER BY {_DUCK_DOT.format(a='n.e', b='c.c_e')} DESC, c.c_id) AS rnk
+        FROM norms n CROSS JOIN centroids c)
+      WHERE rnk = 1
+    )
+"""
+
+
+# --------------------------------------------------------------------------
+# B26 — IVF-style ANN: a 16-cell coarse quantizer (inner-product argmax
+# over data-derived centroids) partitions the corpus; queries probe only
+# their own cell (nprobe=1) and rank candidates by exact fixed-point
+# cosine. The complementary scale path to sign-LSH: cells adapt to the
+# data distribution where hyperplane buckets are data-oblivious. At
+# cluster scale the assignment is ONE broadcast join + argmax (no
+# shuffle), and the probe is an equi-join on cell id.
+# --------------------------------------------------------------------------
+@_register(
+    "ann_ivf_cosine",
+    f"""
+    WITH {_DUCK_IVF},
+    pairs AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS n_id, c.label AS n_label,
+             q.c_id AS cell,
+             CAST({_DUCK_DOT.format(a='q.e', b='c.e')} AS DOUBLE)
+               / (SQRT(CAST(q.nsq AS DOUBLE)) * SQRT(CAST(c.nsq AS DOUBLE))) AS cosine
+      FROM assigned q JOIN assigned c
+        ON q.c_id = c.c_id AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < 20
+    )
+    SELECT q_id, n_id, n_label, cell, cosine, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rnk
+      FROM pairs)
+    WHERE rnk <= 3
+    ORDER BY q_id, rnk
+    """,
+)
+def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    fp = emb.select(
+        "vec_id", "label", _fixed_point(F.col("embedding")).alias("e")
+    ).withColumn("nsq", _dot(F.col("e"), F.col("e")))
+    centroids = fp.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("c_id"), F.col("e").alias("c_e")
+    )
+    w_assign = W.partitionBy("vec_id").orderBy(
+        F.desc(_dot(F.col("e"), F.col("c_e"))), F.asc("c_id")
+    )
+    from iceberg_loader_spark.operators.dedup import _materialize
+
+    assigned = _materialize(
+        fp.join(F.broadcast(centroids))
+        .withColumn("rnk", F.row_number().over(w_assign))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "label", "e", "nsq", "c_id")
+    )
+    q = assigned.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("e").alias("q_e"),
+        F.col("nsq").alias("q_nsq"),
+        F.col("c_id").alias("cell"),
+    )
+    cosine = _dot(F.col("q_e"), F.col("e")).cast("double") / (
+        F.sqrt(F.col("q_nsq").cast("double")) * F.sqrt(F.col("nsq").cast("double"))
+    )
+    pairs = assigned.join(
+        F.broadcast(q),
+        (F.col("c_id") == F.col("cell")) & (F.col("vec_id") != F.col("q_id")),
+    ).select(
+        "q_id",
+        F.col("vec_id").alias("n_id"),
+        F.col("label").alias("n_label"),
+        "cell",
+        cosine.alias("cosine"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("q_id", "rnk")
+    )

@@ -53,3 +53,29 @@ def test_q6_pushes_every_predicate(spark):
 def test_knn_broadcasts_query_side(spark):
     plan = plan_of(QUERIES["knn_topk_cosine"](spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_bucketed_fact_join_is_shuffle_free(spark, tmp_path):
+    """The 100 TB answer for repeated fact-fact joins: bucket both tables
+    on the join key at write time; the sort-merge join then needs NO
+    exchange on either side."""
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    od = load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_totalprice")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bktdb LOCATION '{tmp_path}/bktdb'")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode("overwrite").saveAsTable("bktdb.li_b")
+    od.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable("bktdb.od_b")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bktdb.li_b").join(
+            spark.table("bktdb.od_b"),
+            spark.table("bktdb.li_b").l_orderkey == spark.table("bktdb.od_b").o_orderkey,
+        )
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bktdb.li_b")
+        spark.sql("DROP TABLE IF EXISTS bktdb.od_b")
+        spark.sql("DROP DATABASE IF EXISTS bktdb")
