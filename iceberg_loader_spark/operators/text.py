@@ -44,6 +44,9 @@ def _register(name: str, oracle: str | None = None):
            LENGTH(text) - LENGTH(REPLACE(text, '.', '')) AS n_periods,
            CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
              / LEN(STRING_SPLIT(text, ' ')) AS avg_word_len,
+           CAST(LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                    t -> t IN ('the', 'a', 'of', 'and'))) AS DOUBLE)
+             / LEN(STRING_SPLIT(text, ' ')) AS stopword_ratio,
            CASE WHEN LENGTH(text) >= 300 THEN 1 ELSE 0 END AS is_long
     FROM documents
     ORDER BY doc_id
@@ -65,6 +68,15 @@ def text_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.length(F.replace(F.col("text"), F.lit(" "))).cast("double") / n_words
             ).alias("avg_word_len"),
+            (
+                F.size(
+                    F.filter(
+                        F.split(F.lower("text"), " "),
+                        lambda t: t.isin("the", "a", "of", "and"),
+                    )
+                ).cast("double")
+                / n_words
+            ).alias("stopword_ratio"),
             F.when(F.length("text") >= 300, F.lit(1)).otherwise(F.lit(0)).alias("is_long"),
         )
         .orderBy("doc_id")
