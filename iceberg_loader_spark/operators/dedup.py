@@ -89,10 +89,6 @@ def dedup_events_by_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 # single-space split of lower(text) — DuckDB STRING_SPLIT reproduces it
 # byte-for-byte on the ASCII corpus.
 # --------------------------------------------------------------------------
-def _tokens(col):
-    return F.filter(F.split(F.lower(col), " "), lambda t: t != "")
-
-
 def _token_rows(docs: DataFrame) -> DataFrame:
     """(doc_id, pos, tok) — one row per non-empty token."""
     return docs.select(
