@@ -67,6 +67,14 @@ def get_spark(
         .config(
             "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2"
         )
+        # RocksDB state store: streaming state (session windows, stateful
+        # dedup) spills to local disk instead of growing the JVM heap —
+        # required posture for 100 TB streaming state, harmless locally
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
