@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from iceberg_loader_spark import get_spark
 from iceberg_loader_spark.operators import all_queries
+from iceberg_loader_spark.sources.tables import load_table
 
 
 def main() -> None:
@@ -27,8 +28,11 @@ def main() -> None:
     spark = get_spark("bench")
 
     qs = all_queries()
-    # warm-up: tiny action so JVM/codegen startup isn't billed to query 1
+    # warm-up: tiny action so JVM/codegen startup isn't billed to query 1,
+    # plus one count through the real parquet read path (datasource +
+    # vectorized-reader class init, footer cache) on the smallest table
     spark.range(1).count()
+    load_table(spark, sf_dir, "region").count()
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():
