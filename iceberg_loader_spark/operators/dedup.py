@@ -219,6 +219,15 @@ _DUCK_MINHASH_SIGS = f"""
     """,
 )
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_scored_pairs(spark, sf_dir).orderBy("a_id", "b_id")
+
+
+def _minhash_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scored MinHash/LSH candidate pairs (a_id, b_id, n_match, est_jaccard).
+
+    Shared by :func:`minhash_lsh_candidates` (pair listing) and
+    :func:`dedup_cluster_assign` (connected components over the pairs).
+    """
     # Physical shape: explode shingles ONCE, hash each (seed, shingle)
     # ONCE, then MIN-aggregate per doc. The array-expression spelling
     # (array_min over 8 transforms) reads nicer but Catalyst's projection
@@ -288,15 +297,124 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return (
-        pairs.select(
-            "a_id",
-            "b_id",
-            n_match.alias("n_match"),
-            (n_match.cast("double") / _N_HASHES).alias("est_jaccard"),
+    return pairs.select(
+        "a_id",
+        "b_id",
+        n_match.alias("n_match"),
+        (n_match.cast("double") / _N_HASHES).alias("est_jaccard"),
+    ).filter(F.col("n_match") >= _N_HASHES // 2)
+
+
+# --------------------------------------------------------------------------
+# B25 — near-dup cluster assignment: connected components over the scored
+# MinHash/LSH pairs, cluster id = MIN doc_id in the component, keeper =
+# the doc whose id equals the cluster id. This is the step that turns
+# candidate pairs into an actual dedup decision ("keep one per cluster").
+#
+# Spark side: iterative min-label propagation — each round every node
+# takes the min of its own label and its neighbors' labels; converges in
+# O(component diameter) rounds (near-dup clusters are shallow; capped at
+# 25). Each round is one shuffle keyed on doc_id, carrying (id, id) pairs
+# only; labels are localCheckpoint'd per round to truncate lineage (the
+# cluster-scale spelling is persist / an intermediate table per round).
+# DuckDB oracle: recursive CTE transitive closure (fine at oracle scale;
+# quadratic in component size, which iterative propagation avoids).
+# --------------------------------------------------------------------------
+_DUCK_MINHASH_PAIRS = f"""
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    good AS (
+      SELECT p.a_id, p.b_id
+      FROM cand p
+      JOIN sigs sa ON sa.doc_id = p.a_id
+      JOIN sigs sb ON sb.doc_id = p.b_id
+      WHERE list_sum(list_transform(range(1, {_N_HASHES + 1}),
+                     i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
+            >= {_N_HASHES // 2}
+    )
+"""
+
+
+@_register(
+    "dedup_cluster_assign",
+    f"""
+    WITH RECURSIVE {_DUCK_MINHASH_SIGS},
+    bands AS (
+      SELECT doc_id, band_id, sig[2*band_id + 1] || sig[2*band_id + 2] AS band_key
+      FROM sigs, (SELECT unnest(range({_N_BANDS})) AS band_id)
+    ),
+    {_DUCK_MINHASH_PAIRS},
+    edges AS (
+      SELECT a_id AS src, b_id AS dst FROM good
+      UNION ALL
+      SELECT b_id, a_id FROM good
+    ),
+    reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r
+    ),
+    comp AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node)
+    SELECT d.doc_id,
+           COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+           CASE WHEN COALESCE(c.cluster_id, d.doc_id) = d.doc_id
+                THEN 1 ELSE 0 END AS is_keeper
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _minhash_scored_pairs(spark, sf_dir).select("a_id", "b_id")
+    edges = _materialize(
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst")).unionAll(
+            pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
         )
-        .filter(F.col("n_match") >= _N_HASHES // 2)
-        .orderBy("a_id", "b_id")
+    )
+    labels = _materialize(
+        edges.select(F.col("src").alias("node")).distinct().select(
+            "node", F.col("node").alias("label")
+        )
+    )
+    for _ in range(25):
+        msgs = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .select(F.col("dst").alias("node"), "label")
+            .unionAll(labels)
+        )
+        new_labels = _materialize(
+            msgs.groupBy("node").agg(F.min("label").alias("label"))
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    comp = labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    return (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+            F.when(
+                F.coalesce("cluster_id", F.col("doc_id")) == F.col("doc_id"), 1
+            )
+            .otherwise(0)
+            .alias("is_keeper"),
+        )
+        .orderBy("doc_id")
     )
 
 
