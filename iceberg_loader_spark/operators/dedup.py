@@ -375,30 +375,32 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
         )
     )
+    # Seed with the 1-hop neighborhood min (edges are symmetric, so every
+    # node appears as dst) — this fuses the init and the first propagation
+    # round into one aggregate.
     labels = _materialize(
-        edges.select(F.col("src").alias("node")).distinct().select(
-            "node", F.col("node").alias("label")
+        edges.groupBy("dst")
+        .agg(F.min("src").alias("m"))
+        .select(
+            F.col("dst").alias("node"), F.least("m", "dst").alias("label")
         )
     )
+    # Convergence check without an old-vs-new join: labels only ever
+    # decrease, so sum(label) strictly decreases iff any label changed.
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(25):
         msgs = (
             edges.join(labels, edges["src"] == labels["node"])
             .select(F.col("dst").alias("node"), "label")
             .unionAll(labels)
         )
-        new_labels = _materialize(
+        labels = _materialize(
             msgs.groupBy("node").agg(F.min("label").alias("label"))
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     comp = labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
