@@ -313,3 +313,110 @@ def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         rolling.alias("rolling_hash"),
         F.size(toks).cast("bigint").alias("n_tokens"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Training-pipeline extras: deterministic dataset splitting and stratified
+# sampling. Both derive a stable per-document bucket in [0, 100) from
+# md5(doc_id) — reproducible across runs, engines, and cluster sizes
+# (no RNG state, no partition-order dependence), which is what makes a
+# 100 TB train/val/test split auditable. Map-only; the only shuffle is the
+# tiny per-stratum count aggregate in the sampling query.
+# --------------------------------------------------------------------------
+_BUCKET_SQL = (
+    "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+)
+
+
+def _bucket_col() -> F.Column:
+    """Stable [0,100) bucket: first 8 hex chars of md5(doc_id) mod 100."""
+    return (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+
+
+@_register(
+    "dataset_split_assign",
+    f"""
+    SELECT doc_id,
+           {_BUCKET_SQL} AS bucket,
+           CASE WHEN {_BUCKET_SQL} < 98 THEN 'train'
+                WHEN {_BUCKET_SQL} = 98 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """98/1/1 train/val/test assignment, deterministic in doc_id.
+
+    Map-only (no shuffle): the split label is a pure function of the row,
+    so it scales to any table size and any executor count, and re-running
+    on appended data never reassigns existing documents.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    b = _bucket_col()
+    return (
+        docs.select(
+            "doc_id",
+            b.alias("bucket"),
+            F.when(b < 98, F.lit("train"))
+            .when(b == 98, F.lit("val"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_register(
+    "stratified_sample_counts",
+    f"""
+    WITH rated AS (
+      SELECT lang, n_chars,
+             {_BUCKET_SQL} AS bucket,
+             CASE WHEN lang = 'en' THEN 5 ELSE 20 END AS rate_pct
+      FROM documents
+    )
+    SELECT lang,
+           MIN(rate_pct) AS rate_pct,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN bucket < rate_pct THEN 1 ELSE 0 END) AS n_sampled,
+           SUM(CASE WHEN bucket < rate_pct THEN n_chars ELSE 0 END)
+             AS sampled_chars
+    FROM rated
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsample: 5% of 'en', 20% elsewhere.
+
+    The rebalance-dominant-language recipe: membership is bucket <
+    per-stratum rate, so the sample is a stable subset (growing the rate
+    strictly grows the sample). One small aggregate shuffle on lang;
+    map-side partial aggregation carries four longs per stratum.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", F.lit(5)).otherwise(F.lit(20))
+    rated = docs.select(
+        "lang",
+        "n_chars",
+        _bucket_col().alias("bucket"),
+        rate.alias("rate_pct"),
+    )
+    in_sample = F.col("bucket") < F.col("rate_pct")
+    return (
+        rated.groupBy("lang")
+        .agg(
+            F.min("rate_pct").alias("rate_pct"),
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(in_sample, 1).otherwise(0)).alias("n_sampled"),
+            F.sum(F.when(in_sample, F.col("n_chars")).otherwise(0)).alias(
+                "sampled_chars"
+            ),
+        )
+        .orderBy("lang")
+    )
