@@ -79,3 +79,19 @@ def test_bucketed_fact_join_is_shuffle_free(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bktdb.li_b")
         spark.sql("DROP TABLE IF EXISTS bktdb.od_b")
         spark.sql("DROP DATABASE IF EXISTS bktdb")
+
+
+def test_dataset_split_assign_is_map_only(spark):
+    """Split assignment must be a pure per-row map: no aggregate, no
+    hash-partition exchange anywhere. (The single range Exchange is the
+    final ORDER BY, which exists only for oracle determinism.)"""
+    plan = plan_of(QUERIES["dataset_split_assign"](spark, SF_SMOKE))
+    assert "HashAggregate" not in plan
+    assert "hashpartitioning" not in plan
+
+
+def test_stratified_sample_partial_aggregates(spark):
+    """The stratum aggregate must partial-aggregate map-side so the
+    shuffle carries one row per (partition, lang), not per document."""
+    plan = plan_of(QUERIES["stratified_sample_counts"](spark, SF_SMOKE))
+    assert plan.count("HashAggregate") >= 2
