@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from iceberg_loader_spark.operators.dedup import _token_rows
 from iceberg_loader_spark.sources.tables import load_table
 
 QUERIES = {}
@@ -419,4 +420,119 @@ def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# Repetition-based quality filtering (the Gopher-rules shape): documents
+# dominated by one token or one bigram are boilerplate/spam candidates.
+# Per doc: distinct-token ratio, top-token fraction, top-bigram fraction,
+# and the combined is_repetitive verdict.
+#
+# Physical shape: one posexplode, two (doc_id, term)-keyed partial
+# aggregates (the shuffle carries counts, never text beyond single
+# terms), then a per-doc max. All ratios are exact-int divisions done
+# once at the end (IEEE-identical across engines).
+# --------------------------------------------------------------------------
+@_register(
+    "repetition_filter_documents",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                                        t -> t <> '')) AS tok
+      FROM documents
+    ),
+    tok_counts AS (
+      SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
+    ),
+    tok_stats AS (
+      SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_distinct,
+             MAX(c) AS top_tok
+      FROM tok_counts GROUP BY doc_id
+    ),
+    grams AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i+1])) AS gram
+      FROM (SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '), t -> t <> '')
+                     AS toks
+            FROM documents)
+    ),
+    gram_counts AS (
+      SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY doc_id, gram
+    ),
+    gram_stats AS (
+      SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_bigram
+      FROM gram_counts GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           t.n_tokens,
+           CAST(t.n_distinct AS DOUBLE) / t.n_tokens AS distinct_ratio,
+           CAST(t.top_tok AS DOUBLE) / t.n_tokens AS top_token_frac,
+           CAST(COALESCE(g.top_bigram, 0) AS DOUBLE)
+             / GREATEST(COALESCE(g.n_bigrams, 0), 1) AS top_bigram_frac,
+           CASE WHEN CAST(t.top_tok AS DOUBLE) / t.n_tokens > 0.20
+                  OR CAST(COALESCE(g.top_bigram, 0) AS DOUBLE)
+                     / GREATEST(COALESCE(g.n_bigrams, 0), 1) > 0.15
+                  OR CAST(t.n_distinct AS DOUBLE) / t.n_tokens < 0.30
+                THEN 1 ELSE 0 END AS is_repetitive
+    FROM tok_stats t LEFT JOIN gram_stats g USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def repetition_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality gate over ``documents``.
+
+    Flags documents whose top token exceeds 20% of all tokens, whose top
+    bigram exceeds 15% of bigrams, or whose distinct-token ratio falls
+    below 30%. Two partial-aggregated shuffles keyed on (doc_id, term);
+    the per-doc reduction then shuffles one row of counts per document.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _token_rows(docs)
+    tok_stats = (
+        toks.groupBy("doc_id", "tok")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.sum("count").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            F.max("count").alias("top_tok"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        toks.withColumn("nxt", F.lead("tok").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "tok", "nxt").alias("gram"))
+    )
+    gram_stats = (
+        grams.groupBy("doc_id", "gram")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.sum("count").alias("n_bigrams"), F.max("count").alias("top_bigram"))
+    )
+    top_token_frac = F.col("top_tok").cast("double") / F.col("n_tokens")
+    top_bigram_frac = F.coalesce(F.col("top_bigram"), F.lit(0)).cast(
+        "double"
+    ) / F.greatest(F.coalesce(F.col("n_bigrams"), F.lit(0)), F.lit(1))
+    distinct_ratio = F.col("n_distinct").cast("double") / F.col("n_tokens")
+    return (
+        tok_stats.join(gram_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            distinct_ratio.alias("distinct_ratio"),
+            top_token_frac.alias("top_token_frac"),
+            top_bigram_frac.alias("top_bigram_frac"),
+            F.when(
+                (top_token_frac > 0.20)
+                | (top_bigram_frac > 0.15)
+                | (distinct_ratio < 0.30),
+                1,
+            )
+            .otherwise(0)
+            .alias("is_repetitive"),
+        )
+        .orderBy("doc_id")
     )
