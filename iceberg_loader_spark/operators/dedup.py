@@ -654,3 +654,74 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.05)
         .orderBy("a_id", "b_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination: flag training documents sharing any 5-gram
+# with an evaluation set (stand-in: doc_id % 10 == 0). The canonical
+# pre-training hygiene pass — eval contamination is detected by exact
+# n-gram collision, the method used for public benchmark decontamination.
+#
+# Scale: both sides reduce to (md5(gram), doc_id) BEFORE the join — the
+# shuffle carries 32-hex-char hashes, never gram text; the eval side is a
+# small fraction of the corpus, so AQE broadcasts it. Documents shorter
+# than 5 tokens are excluded on both sides (no gram to collide on).
+# --------------------------------------------------------------------------
+_DUCK_GRAMS5 = f"""
+    toks AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(t) - 3),
+                    i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                             || t[i+3] || ' ' || t[i+4])))) AS g
+      FROM toks WHERE len(t) >= 5
+    )
+"""
+
+
+@_register(
+    "decontaminate_ngram_overlap",
+    f"""
+    WITH {_DUCK_GRAMS5}
+    SELECT tr.doc_id,
+           COUNT(DISTINCT tr.g) AS n_hit_grams,
+           COUNT(DISTINCT ev.doc_id) AS n_eval_docs
+    FROM (SELECT * FROM grams WHERE doc_id % 10 <> 0) tr
+    JOIN (SELECT * FROM grams WHERE doc_id % 10 = 0) ev ON tr.g = ev.g
+    GROUP BY tr.doc_id
+    ORDER BY tr.doc_id
+    """,
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training docs colliding with the eval split on any 5-gram.
+
+    Returns (doc_id, n_hit_grams, n_eval_docs) for every contaminated
+    training document — the drop list a pre-training pipeline feeds back
+    into its filter stage.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _token_rows(docs)
+    w = W.partitionBy("doc_id").orderBy("pos")
+    cur = toks
+    parts = [F.col("tok")]
+    for k in range(1, 5):
+        cur = cur.withColumn(f"t{k}", F.lead("tok", k).over(w))
+        parts.append(F.col(f"t{k}"))
+    grams = (
+        cur.filter(F.col("t4").isNotNull())
+        .select("doc_id", F.md5(F.concat_ws(" ", *parts)).alias("g"))
+        .distinct()
+    )
+    train = grams.filter(F.col("doc_id") % 10 != 0)
+    ev = grams.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("eval_id"), "g"
+    )
+    return (
+        train.join(ev, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("g").alias("n_hit_grams"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+        )
+        .orderBy("doc_id")
+    )
