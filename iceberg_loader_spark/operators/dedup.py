@@ -6,9 +6,10 @@ Near-dup variants (MinHash/LSH, SimHash, n-gram Jaccard) build on a word
 n-gram shingle set and md5-based hashing, chosen because DuckDB implements
 the identical md5, so every stage has an exact oracle twin.
 
-Determinism: minhash signatures are lexicographic MIN over md5 hex strings
-(not ints) — both engines order ASCII hex identically, so no hex→int
-conversion ambiguity exists anywhere in the pipeline.
+Determinism: minhash signatures are MIN over exact bigint hashes derived
+from the two 32-bit halves of one md5 per shingle (Kirsch-Mitzenmacher
+double hashing, h_i = h1 + i*h2 mod 2^32) — pure integer arithmetic both
+engines evaluate identically.
 """
 
 from __future__ import annotations
@@ -100,43 +101,37 @@ def _token_rows(docs: DataFrame) -> DataFrame:
 def _gram_rows(docs: DataFrame, n: int) -> DataFrame:
     """(doc_id, gram) — distinct word n-gram shingles per document.
 
-    Built with posexplode + ``lead`` windows instead of an array
-    ``transform`` with computed indices: dynamic ``arr[i]`` element access
-    inside a higher-order function is interpreted (not codegen'd) and
-    O(len) per access — ~4× slower end-to-end at sf0.1 — while the window
-    spelling stays in whole-stage codegen and its one shuffle partitions
-    by doc_id, which is exactly how the work should spread on a cluster.
-
-    Documents with fewer than n tokens keep the reference fallback
-    semantics (the whole token list becomes the shingle set): a cheap
-    anti-join union adds them back.
+    Single-pass shape: ONE shuffle (groupBy doc_id, with map-side partial
+    collect) gathers the ordered token array per document; grams are then
+    zip_with over n shifted slices — linear array work, unlike dynamic
+    ``arr[i]`` indexing in a transform, which is O(len) per access.
+    The short-document fallback (whole token list joined as one shingle,
+    reference semantics) is folded into the same projection via when(),
+    so no anti-join branch ever re-evaluates the token pipeline — the
+    previous two-branch spelling replayed the scan+window subtree three
+    times (8 exchanges in the plan; this one has 1).
     """
     toks = _token_rows(docs)
     if n == 1:
         return toks.select("doc_id", F.col("tok").alias("gram")).distinct()
-    w = W.partitionBy("doc_id").orderBy("pos")
-    cur = toks
-    parts = [F.col("tok")]
+    arr = toks.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "tok")))
+        .getField("tok")
+        .alias("ts")
+    )
+    sz = F.size("ts")
+    m = F.greatest(sz - F.lit(n - 1), F.lit(0))
+    cur = F.slice("ts", 1, m)
     for k in range(1, n):
-        cur = cur.withColumn(f"t{k}", F.lead("tok", k).over(w))
-        parts.append(F.col(f"t{k}"))
-    grams = (
-        cur.filter(F.col(f"t{n-1}").isNotNull())
-        .select("doc_id", F.concat_ws(" ", *parts).alias("gram"))
-        .distinct()
-    )
-    # fallback branch: docs too short for any n-gram
-    short = toks.join(
-        grams.select("doc_id").distinct(), "doc_id", "left_anti"
-    )
-    if n >= 3:
-        short_grams = short.groupBy("doc_id").agg(
-            F.concat_ws(" ", F.array_sort(F.collect_list(F.struct("pos", "tok")))
-                        .getField("tok")).alias("gram")
+        cur = F.zip_with(
+            cur,
+            F.slice("ts", k + 1, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
         )
-    else:
-        short_grams = short.select("doc_id", F.col("tok").alias("gram")).distinct()
-    return grams.unionByName(short_grams)
+    grams_arr = F.when(sz >= n, F.array_distinct(cur)).otherwise(
+        F.array(F.concat_ws(" ", "ts"))
+    )
+    return arr.select("doc_id", F.explode(grams_arr).alias("gram"))
 
 
 def _materialize(df: DataFrame) -> DataFrame:
@@ -169,22 +164,29 @@ _N_BANDS = 4  # LSH bands of 2 hashes each
 
 # --------------------------------------------------------------------------
 # B25 — MinHash + LSH fuzzy dedup. Pipeline: word-3-gram shingles →
-# 8-wide minhash signature (lexicographic MIN over seeded md5 hex — both
-# engines order ASCII hex identically) → 4 bands of 2 → candidate pairs =
-# docs sharing any band key → estimated Jaccard = matching-signature
-# fraction, kept when ≥ 0.5.
+# 8-wide minhash signature (MIN over h_i = h1 + i*h2 mod 2^32, where
+# h1/h2 are the two 32-bit halves of ONE md5 per shingle —
+# Kirsch-Mitzenmacher double hashing, 1 digest instead of 8) →
+# 4 bands of 2 → candidate pairs = docs sharing any band (both band ints
+# equal) → estimated Jaccard = matching-signature fraction, kept ≥ 0.5.
 #
-# Scale: the only shuffles carry (band_key, doc_id) and (doc_id, signature)
-# — never text. Band buckets bound the self-join (no O(n²) pair
-# enumeration); the signature re-join is an equi-join on doc_id that AQE
-# broadcasts when the candidate set is small.
+# Scale: the only shuffles carry (band ints, doc_id) and (doc_id,
+# signature) — never text. Band buckets bound the self-join (no O(n²)
+# pair enumeration); signatures ride through the band join so no re-join
+# against the hash pipeline is needed.
 # --------------------------------------------------------------------------
+_MH_MOD = 4294967296  # 2^32 — keeps h1 + i*h2 well inside BIGINT
+
 _DUCK_MINHASH_SIGS = f"""
     sigs AS (
       SELECT doc_id,
-             [{', '.join(f"list_min(list_transform(shingles, s -> md5('{h}:' || s)))" for h in range(_N_HASHES))}] AS sig
-      FROM (SELECT doc_id, {_DUCK_SHINGLES3} AS shingles
-            FROM (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents))
+             [{', '.join(f"list_min(list_transform(hp, p -> (p[1] + {h} * p[2]) % {_MH_MOD}))" for h in range(_N_HASHES))}] AS sig
+      FROM (SELECT doc_id,
+                   list_transform(shingles, s -> [
+                     CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT),
+                     CAST(('0x' || substring(md5(s), 9, 8)) AS BIGINT)]) AS hp
+            FROM (SELECT doc_id, {_DUCK_SHINGLES3} AS shingles
+                  FROM (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents)))
     )
 """
 
@@ -194,13 +196,13 @@ _DUCK_MINHASH_SIGS = f"""
     f"""
     WITH {_DUCK_MINHASH_SIGS},
     bands AS (
-      SELECT doc_id, band_id, sig[2*band_id + 1] || sig[2*band_id + 2] AS band_key
+      SELECT doc_id, band_id, sig[2*band_id + 1] AS k1, sig[2*band_id + 2] AS k2
       FROM sigs, (SELECT unnest(range({_N_BANDS})) AS band_id)
     ),
     pairs AS (
       SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
       FROM bands a JOIN bands b
-        ON a.band_id = b.band_id AND a.band_key = b.band_key
+        ON a.band_id = b.band_id AND a.k1 = b.k1 AND a.k2 = b.k2
        AND a.doc_id < b.doc_id
     )
     SELECT p.a_id, p.b_id,
@@ -228,25 +230,32 @@ def _minhash_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shared by :func:`minhash_lsh_candidates` (pair listing) and
     :func:`dedup_cluster_assign` (connected components over the pairs).
     """
-    # Physical shape: explode shingles ONCE, hash each (seed, shingle)
-    # ONCE, then MIN-aggregate per doc. The array-expression spelling
-    # (array_min over 8 transforms) reads nicer but Catalyst's projection
-    # collapse inlines the tokenize+shingle pipeline into all 8 signature
-    # elements — 8× the md5 work and a codegen blowup. The explode keeps
-    # every hash single-evaluated and partial-aggregates map-side, which is
-    # also the shape that scales: the shuffle carries (doc_id, 8 hex mins).
+    # Physical shape: explode shingles ONCE, md5 each shingle ONCE, then
+    # derive all 8 minhash functions from the two 32-bit halves of that
+    # single digest (Kirsch-Mitzenmacher double hashing: h_i = h1 + i*h2
+    # mod 2^32) and MIN-aggregate per doc. One md5 per shingle instead of
+    # 8 — the dominant CPU term — while the shuffle still carries only
+    # (doc_id, 8 bigint mins) after map-side partial aggregation. The
+    # array-expression spelling (array_min over transforms) would inline
+    # the tokenize+shingle pipeline into every signature element via
+    # projection collapse; the explode keeps it single-evaluated.
     docs = load_table(spark, sf_dir, "documents")
     shingles = _gram_rows(docs, 3)
-    hashed = shingles.select(
+    halves = shingles.select("doc_id", F.md5("gram").alias("hx")).select(
         "doc_id",
-        *[
-            F.md5(F.concat(F.lit(f"{h}:"), F.col("gram"))).alias(f"h{h}")
-            for h in range(_N_HASHES)
-        ],
+        F.conv(F.substring("hx", 1, 8), 16, 10).cast("bigint").alias("h1"),
+        F.conv(F.substring("hx", 9, 8), 16, 10).cast("bigint").alias("h2"),
     )
     sigs = (
-        hashed.groupBy("doc_id")
-        .agg(*[F.min(f"h{h}").alias(f"s{h}") for h in range(_N_HASHES)])
+        halves.groupBy("doc_id")
+        .agg(
+            *[
+                F.min(
+                    (F.col("h1") + F.lit(h) * F.col("h2")) % F.lit(_MH_MOD)
+                ).alias(f"s{h}")
+                for h in range(_N_HASHES)
+            ]
+        )
         .select(
             "doc_id",
             F.array(*[F.col(f"s{h}") for h in range(_N_HASHES)]).alias("sig"),
@@ -260,15 +269,14 @@ def _minhash_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(j).alias("band_id"),
-                        F.concat(F.col("sig")[2 * j], F.col("sig")[2 * j + 1]).alias(
-                            "band_key"
-                        ),
+                        F.col("sig")[2 * j].alias("k1"),
+                        F.col("sig")[2 * j + 1].alias("k2"),
                     )
                     for j in range(_N_BANDS)
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "sig", "band.band_id", "band.band_key")
+    ).select("doc_id", "sig", "band.band_id", "band.k1", "band.k2")
     bands = _materialize(bands)
     n_match = F.aggregate(
         F.zip_with(
@@ -286,7 +294,8 @@ def _minhash_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(
             bands.alias("b"),
             (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.k1") == F.col("b.k1"))
+            & (F.col("a.k2") == F.col("b.k2"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
@@ -324,7 +333,7 @@ _DUCK_MINHASH_PAIRS = f"""
     cand AS (
       SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
       FROM bands a JOIN bands b
-        ON a.band_id = b.band_id AND a.band_key = b.band_key
+        ON a.band_id = b.band_id AND a.k1 = b.k1 AND a.k2 = b.k2
        AND a.doc_id < b.doc_id
     ),
     good AS (
@@ -344,7 +353,7 @@ _DUCK_MINHASH_PAIRS = f"""
     f"""
     WITH RECURSIVE {_DUCK_MINHASH_SIGS},
     bands AS (
-      SELECT doc_id, band_id, sig[2*band_id + 1] || sig[2*band_id + 2] AS band_key
+      SELECT doc_id, band_id, sig[2*band_id + 1] AS k1, sig[2*band_id + 2] AS k2
       FROM sigs, (SELECT unnest(range({_N_BANDS})) AS band_id)
     ),
     {_DUCK_MINHASH_PAIRS},
