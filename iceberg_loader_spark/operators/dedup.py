@@ -114,13 +114,30 @@ def _gram_rows(docs: DataFrame, n: int) -> DataFrame:
     toks = _token_rows(docs)
     if n == 1:
         return toks.select("doc_id", F.col("tok").alias("gram")).distinct()
-    arr = toks.groupBy("doc_id").agg(
+    arr = _token_arrays(docs)
+    sz = F.size("ts")
+    grams_arr = F.when(sz >= n, F.array_distinct(_gram_expr(n))).otherwise(
+        F.array(F.concat_ws(" ", "ts"))
+    )
+    return arr.select("doc_id", F.explode(grams_arr).alias("gram"))
+
+
+def _token_arrays(docs: DataFrame) -> DataFrame:
+    """(doc_id, ts) — the ordered token array per document, built with one
+    partial-aggregated shuffle (collect under groupBy, ordered by the
+    explode position)."""
+    return _token_rows(docs).groupBy("doc_id").agg(
         F.array_sort(F.collect_list(F.struct("pos", "tok")))
         .getField("tok")
         .alias("ts")
     )
-    sz = F.size("ts")
-    m = F.greatest(sz - F.lit(n - 1), F.lit(0))
+
+
+def _gram_expr(n: int) -> F.Column:
+    """Array of word n-grams over the ``ts`` token array — zip_with over n
+    shifted slices (linear; dynamic ``ts[i]`` indexing in a transform is
+    O(len) per access). Empty when the document has < n tokens."""
+    m = F.greatest(F.size("ts") - F.lit(n - 1), F.lit(0))
     cur = F.slice("ts", 1, m)
     for k in range(1, n):
         cur = F.zip_with(
@@ -128,10 +145,7 @@ def _gram_rows(docs: DataFrame, n: int) -> DataFrame:
             F.slice("ts", k + 1, m),
             lambda a, b: F.concat(a, F.lit(" "), b),
         )
-    grams_arr = F.when(sz >= n, F.array_distinct(cur)).otherwise(
-        F.array(F.concat_ws(" ", "ts"))
-    )
-    return arr.select("doc_id", F.explode(grams_arr).alias("gram"))
+    return cur
 
 
 def _materialize(df: DataFrame) -> DataFrame:
@@ -709,17 +723,15 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     into its filter stage.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = _token_rows(docs)
-    w = W.partitionBy("doc_id").orderBy("pos")
-    cur = toks
-    parts = [F.col("tok")]
-    for k in range(1, 5):
-        cur = cur.withColumn(f"t{k}", F.lead("tok", k).over(w))
-        parts.append(F.col(f"t{k}"))
     grams = (
-        cur.filter(F.col("t4").isNotNull())
-        .select("doc_id", F.md5(F.concat_ws(" ", *parts)).alias("g"))
-        .distinct()
+        _token_arrays(docs)
+        .filter(F.size("ts") >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.transform(_gram_expr(5), F.md5))
+            ).alias("g"),
+        )
     )
     train = grams.filter(F.col("doc_id") % 10 != 0)
     ev = grams.filter(F.col("doc_id") % 10 == 0).select(
