@@ -113,7 +113,15 @@ def _gram_rows(docs: DataFrame, n: int) -> DataFrame:
     """
     toks = _token_rows(docs)
     if n == 1:
-        return toks.select("doc_id", F.col("tok").alias("gram")).distinct()
+        # collect_set under ONE doc_id shuffle, then explode (which
+        # preserves the partitioning) — a .distinct() here would partition
+        # on (doc_id, tok) and force every downstream per-doc aggregate to
+        # shuffle back to doc_id.
+        return (
+            toks.groupBy("doc_id")
+            .agg(F.collect_set("tok").alias("tk"))
+            .select("doc_id", F.explode("tk").alias("gram"))
+        )
     arr = _token_arrays(docs)
     sz = F.size("ts")
     grams_arr = F.when(sz >= n, F.array_distinct(_gram_expr(n))).otherwise(
