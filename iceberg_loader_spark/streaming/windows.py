@@ -271,3 +271,108 @@ def session_window_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     return spark.table("session_window_streaming")
+
+
+# --------------------------------------------------------------------------
+# B23+ — custom stateful operator via applyInPandasWithState: per-user
+# running (n_events, total_cents) maintained in the state store across
+# micro-batches, emitting the updated totals every batch ("update" mode).
+# This is the escape hatch for stateful logic the built-in operators
+# can't express (counters with custom merge, decaying scores, per-key
+# model state); dropDuplicatesWithinWatermark/session_window cover the
+# built-in cases above.
+#
+# Scale: state is keyed on user_id and lives in the state store (RocksDB
+# per the session config) — memory is bounded per key, not per stream;
+# the Arrow batch boundary carries only (user_id, value) columns.
+# --------------------------------------------------------------------------
+def running_user_totals_streaming(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 3
+) -> DataFrame:
+    """Per-user running totals across ``n_chunks`` forced micro-batches.
+
+    The events table is staged as ``n_chunks`` parquet files (split on
+    event_id, driver-side test scaffolding only) with
+    ``maxFilesPerTrigger=1`` so the stateful function provably carries
+    state from one micro-batch to the next; the last emission per user
+    equals the batch groupBy totals.
+    """
+    import hashlib
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from iceberg_loader_spark.sources.tables import ensure_compat
+
+    ensure_compat(spark)
+    src = f"{sf_dir}/events.parquet"
+    stage = f"/tmp/ils_state_{hashlib.md5(src.encode()).hexdigest()[:8]}"
+    if not os.path.isdir(stage):
+        os.makedirs(stage, exist_ok=True)
+        tab = pq.read_table(src, columns=["event_id", "user_id", "value"])
+        pdf = tab.to_pandas()
+        for i in range(n_chunks):
+            pdf[pdf["event_id"] % n_chunks == i].to_parquet(
+                f"{stage}/chunk{i}.parquet", index=False
+            )
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_cents", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("cents", LongType())]
+    )
+
+    def update_totals(key, pdf_iter, state: GroupState):
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            cents += int(pd.Series(pdf["value"] * 100).round().astype("int64").sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+        )
+
+    result = (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            update_totals,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    q = (
+        result.writeStream.format("memory")
+        .queryName("running_user_totals_streaming")
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table("running_user_totals_streaming")

@@ -47,3 +47,32 @@ def test_streaming_session_window_matches_batch(spark):
     got = canon(w.session_window_streaming(spark, SF_SMOKE).toPandas())
     want = canon(w.stream_session_30m_users(spark, SF_SMOKE).toPandas())
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_running_totals_carry_state_across_microbatches(spark):
+    """applyInPandasWithState: the final emission per user must equal the
+    batch groupBy totals, and at least one user must have emitted more
+    than once (proof the state actually crossed micro-batch boundaries)."""
+    from pyspark.sql import functions as F
+
+    from iceberg_loader_spark.sources.tables import load_table
+
+    out = w.running_user_totals_streaming(spark, SF_SMOKE).toPandas()
+    # >1 emission for some user == state carried across batches
+    assert out.groupby("user_id").size().max() > 1
+    final = out.sort_values("n_events").groupby("user_id").tail(1)
+    expected = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias(
+                "total_cents"
+            ),
+        )
+        .toPandas()
+    )
+    merged = final.merge(expected, on="user_id", suffixes=("_s", "_b"))
+    assert len(merged) == len(expected)
+    assert (merged["n_events_s"] == merged["n_events_b"]).all()
+    assert (merged["total_cents_s"] == merged["total_cents_b"]).all()
