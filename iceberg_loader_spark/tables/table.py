@@ -171,6 +171,63 @@ class Table:
             df = df.filter(F.expr(to_spark_sql(where)))
         return df
 
+    def scan_incremental(
+        self,
+        spark: SparkSession,
+        from_version: int,
+        to_version: int | None = None,
+        where: str | None = None,
+    ) -> DataFrame:
+        """Rows appended after ``from_version`` (exclusive) up to
+        ``to_version`` (inclusive) — the incremental append scan
+        (Iceberg's ``start-snapshot-id``/``end-snapshot-id`` read).
+
+        Only ``append`` snapshots may appear in the range; ``replace``
+        (compaction) snapshots are skipped because they rewrite bytes
+        without changing rows, and any row-changing operation
+        (overwrite/delete/merge) raises — a consumer that needs those
+        needs a CDC log, not a file diff. The appended files are read
+        directly, so an incremental consumer never rescans the base
+        table: cost is proportional to the delta, not the table.
+        """
+        ensure_compat(spark)
+        to_snap = self.snapshot(to_version)
+        versions = sorted(
+            v
+            for v in self.meta.list_versions()
+            if from_version < v <= to_snap.version
+        )
+        new_files: list[DataFile] = []
+        for v in versions:
+            snap = self.snapshot(v)
+            if snap.operation == "replace":
+                continue
+            if snap.operation != "append":
+                raise ValueError(
+                    f"incremental scan supports append-only history; "
+                    f"snapshot {v} is '{snap.operation}'"
+                )
+            if snap.parent_version is None:
+                parent_paths: set[str] = set()
+            else:
+                parent_paths = {
+                    f.path for f in self.snapshot(snap.parent_version).files
+                }
+            new_files.extend(
+                f for f in snap.files if f.path not in parent_paths
+            )
+        schema = T.StructType.fromJson(to_snap.schema_json)
+        spec = [PartitionField.from_json(d) for d in to_snap.partition_spec]
+        files, _ = prune_files(where, new_files, spec)
+        if not files:
+            df = spark.createDataFrame([], schema)
+        else:
+            paths = [os.path.join(self.root, f.path) for f in files]
+            df = spark.read.schema(schema).parquet(*paths)
+        if where:
+            df = df.filter(F.expr(to_spark_sql(where)))
+        return df
+
     # ---- physical write helpers -----------------------------------------
 
     def _codec(self) -> str:

@@ -120,3 +120,42 @@ def test_stats_recorded_in_manifest(spark, tmp_path):
     assert f.stats["name"] == ["abc", "zzz"]
     assert f.rows == 2
     assert os.path.isfile(os.path.join(wh.load_table("db.t").root, f.path))
+
+
+def test_incremental_scan_reads_only_the_delta(spark, tmp_path):
+    """scan_incremental returns exactly the rows appended in-range, skips
+    compaction snapshots, and refuses row-changing history."""
+    from iceberg_loader_spark.tables.maintenance import rewrite_data_files
+
+    wh = Warehouse(str(tmp_path))
+    loader = SparkLoader(spark, wh)
+    cfg = LoaderConfig(load_timestamp=False)
+    loader.load_data([{"id": 1}, {"id": 2}], "db.t", cfg)
+    t = wh.load_table("db.t")
+    base = t.meta.current_version()
+    loader.load_data([{"id": 3}], "db.t", cfg)
+    loader.load_data([{"id": 4}], "db.t", cfg)
+    t = wh.load_table("db.t")
+    assert sorted(
+        r.id for r in t.scan_incremental(spark, base).collect()
+    ) == [3, 4]
+    mid = sorted(t.meta.list_versions())[-2]
+    assert [
+        r.id for r in t.scan_incremental(spark, base, to_version=mid).collect()
+    ] == [3]
+    # predicate pushdown applies to the delta too
+    assert [
+        r.id for r in t.scan_incremental(spark, base, where="id > 3").collect()
+    ] == [4]
+    # compaction ("replace") in-range is skipped, not double-counted
+    rewrite_data_files(t, spark)
+    loader.load_data([{"id": 5}], "db.t", cfg)
+    t = wh.load_table("db.t")
+    assert sorted(
+        r.id for r in t.scan_incremental(spark, base).collect()
+    ) == [3, 4, 5]
+    # row-changing operations in-range raise
+    t.overwrite(spark.createDataFrame([(9,)], _schema()))
+    t = wh.load_table("db.t")
+    with pytest.raises(ValueError, match="append-only"):
+        t.scan_incremental(spark, base)
