@@ -938,3 +938,50 @@ def salted_agg_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# B7/B10 — percentiles. The exact interpolated percentile over integer
+# cents is oracle-checked (both engines evaluate lower + frac*(higher -
+# lower) on exactly-representable ints → bit-identical doubles); the
+# approx_percentile sketch is rows-only with an error-bound test, like
+# approx_distinct_users. Scale: exact percentile needs a per-group sort —
+# fine for bounded groups; the sketch is the 100 TB path (mergeable,
+# single pass, fixed memory).
+# --------------------------------------------------------------------------
+@_register(
+    "value_percentiles_by_type",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           quantile_cont(CAST(ROUND(value * 100, 0) AS BIGINT), 0.5) AS p50_cents,
+           quantile_cont(CAST(ROUND(value * 100, 0) AS BIGINT), 0.9) AS p90_cents,
+           quantile_cont(CAST(ROUND(value * 100, 0) AS BIGINT), 0.99) AS p99_cents
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    grp = ev.select("event_type", cents.alias("cents")).groupBy("event_type")
+    return grp.agg(
+        F.count("*").alias("n_events"),
+        F.percentile("cents", 0.5).alias("p50_cents"),
+        F.percentile("cents", 0.9).alias("p90_cents"),
+        F.percentile("cents", 0.99).alias("p99_cents"),
+    ).orderBy("event_type")
+
+
+@_register("approx_percentile_value")
+def approx_percentile_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable percentile sketch next to the exact value (rows-only
+    check + error-bound test — sketch internals differ across engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    grp = ev.select("event_type", cents.alias("cents")).groupBy("event_type")
+    return grp.agg(
+        F.approx_percentile("cents", 0.5, 10000).alias("approx_p50_cents"),
+        F.percentile("cents", 0.5).alias("exact_p50_cents"),
+    ).orderBy("event_type")

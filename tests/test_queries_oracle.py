@@ -54,7 +54,7 @@ def test_entry_smoke(spark):
 # Queries that intentionally omit a DuckDB oracle (approximate / non-SQL
 # semantics). The driver records a weaker rows-only check for these; each
 # needs its own dedicated assertion test below.
-NO_ORACLE = {"approx_distinct_users"}
+NO_ORACLE = {"approx_distinct_users", "approx_percentile_value"}
 
 
 def test_every_query_has_oracle_or_is_declared():
@@ -67,6 +67,16 @@ def test_approx_distinct_users_error_bound(spark):
     assert rows
     for r in rows:
         rel_err = abs(r.approx_users - r.exact_users) / max(r.exact_users, 1)
+        assert rel_err < 0.05, f"{r.event_type}: {rel_err:.3f}"
+
+
+def test_approx_percentile_error_bound(spark):
+    rows = QUERIES["approx_percentile_value"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        rel_err = abs(r.approx_p50_cents - r.exact_p50_cents) / max(
+            abs(r.exact_p50_cents), 1
+        )
         assert rel_err < 0.05, f"{r.event_type}: {rel_err:.3f}"
 
 
