@@ -985,3 +985,71 @@ def approx_percentile_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_percentile("cents", 0.5, 10000).alias("approx_p50_cents"),
         F.percentile("cents", 0.5).alias("exact_p50_cents"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Data-quality audit: referential integrity + key invariants as one
+# result set (the dbt-test / Deequ-style constraint sweep). Each check is
+# an independent aggregate; Spark unions them into one Expand-free plan
+# of four tiny jobs. Scale: anti-joins broadcast the PK side's keys only;
+# duplicate/null checks are single partial-aggregated scans.
+# --------------------------------------------------------------------------
+@_register(
+    "integrity_audit",
+    """
+    SELECT 'lineitem_orphan_orderkey' AS check_name,
+           (SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)) AS n_violations
+    UNION ALL
+    SELECT 'orders_orphan_custkey',
+           (SELECT COUNT(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'orders_duplicate_orderkey',
+           (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders
+                                  GROUP BY o_orderkey HAVING COUNT(*) > 1))
+    UNION ALL
+    SELECT 'lineitem_null_orderkey',
+           (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL)
+    ORDER BY check_name
+    """,
+)
+def integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").cast("long").alias("n_violations")).select(
+            F.lit(name).alias("check_name"), "n_violations"
+        )
+
+    checks = [
+        one(
+            "lineitem_orphan_orderkey",
+            li.select("l_orderkey").join(
+                od.select(F.col("o_orderkey").alias("l_orderkey")),
+                "l_orderkey",
+                "left_anti",
+            ),
+        ),
+        one(
+            "orders_orphan_custkey",
+            od.select("o_custkey").join(
+                cu.select(F.col("c_custkey").alias("o_custkey")),
+                "o_custkey",
+                "left_anti",
+            ),
+        ),
+        one(
+            "orders_duplicate_orderkey",
+            od.groupBy("o_orderkey").count().filter(F.col("count") > 1),
+        ),
+        one("lineitem_null_orderkey", li.filter(F.col("l_orderkey").isNull())),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("check_name")
