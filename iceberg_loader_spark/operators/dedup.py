@@ -228,8 +228,8 @@ _DUCK_MINHASH_SIGS = f"""
        AND a.doc_id < b.doc_id
     )
     SELECT p.a_id, p.b_id,
-           list_sum(list_transform(range(1, {_N_HASHES + 1}),
-                    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS n_match,
+           CAST(list_sum(list_transform(range(1, {_N_HASHES + 1}),
+                    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS BIGINT) AS n_match,
            CAST(list_sum(list_transform(range(1, {_N_HASHES + 1}),
                     i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE)
              / {_N_HASHES} AS est_jaccard

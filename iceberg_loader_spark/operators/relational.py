@@ -349,9 +349,9 @@ def window_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFram
     "window_running_user_value",
     """
     SELECT event_id, user_id,
-           SUM(CAST(FLOOR(value * 1000000) AS BIGINT))
+           CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT))
              OVER (PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_fp,
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_fp,
            LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
     FROM events
     ORDER BY user_id, event_id
@@ -479,7 +479,7 @@ def string_funcs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
            EXTRACT(hour FROM ts) AS hour,
            COUNT(*) AS n_events,
            COUNT(DISTINCT user_id) AS n_users,
-           SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS sum_value_fp
+           CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_value_fp
     FROM events
     GROUP BY 1, 2
     ORDER BY 1, 2
@@ -704,9 +704,9 @@ def window_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_range_trailing_spend",
     """
     SELECT o_orderkey, o_custkey,
-           SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
              OVER (PARTITION BY o_custkey ORDER BY DATEDIFF('day', TIMESTAMP '1995-01-01', o_orderdate)
-                   RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS trailing_cents
+                   RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing_cents
     FROM orders
     ORDER BY o_custkey, o_orderkey
     """,

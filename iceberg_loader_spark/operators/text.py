@@ -217,6 +217,16 @@ def language_id_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0)
             ),
         )
+        # Explicit select to match the oracle's column ORDER exactly
+        # (doc_id, stored_lang, predicted_lang, score_*, agree) — the
+        # driver's hash is column-order-sensitive.
+        .select(
+            "doc_id",
+            "stored_lang",
+            "predicted_lang",
+            *[f"score_{lg}" for lg in _LANG_ORDER],
+            "agree",
+        )
         .orderBy("doc_id")
     )
 
@@ -240,10 +250,10 @@ _TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
     )
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(len(toks)) AS total_tokens,
-           SUM(len(list_filter(toks, t -> t ~ '^[a-z]+$'))) AS word_tokens,
-           SUM(len(list_filter(toks, t -> t ~ '^[0-9]+$'))) AS num_tokens,
-           SUM(len(list_distinct(toks))) AS sum_distinct_per_doc,
+           CAST(SUM(len(toks)) AS BIGINT) AS total_tokens,
+           CAST(SUM(len(list_filter(toks, t -> t ~ '^[a-z]+$'))) AS BIGINT) AS word_tokens,
+           CAST(SUM(len(list_filter(toks, t -> t ~ '^[0-9]+$'))) AS BIGINT) AS num_tokens,
+           CAST(SUM(len(list_distinct(toks))) AS BIGINT) AS sum_distinct_per_doc,
            MIN(len(toks)) AS min_tokens,
            MAX(len(toks)) AS max_tokens
     FROM tokd

@@ -373,10 +373,10 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_late_by_priority",
     """
     SELECT o_orderpriority,
-           SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
-                    THEN 1 ELSE 0 END) AS late_count,
-           SUM(CASE WHEN l_shipdate <= o_orderdate + INTERVAL 90 DAY
-                    THEN 1 ELSE 0 END) AS ontime_count
+           CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                    THEN 1 ELSE 0 END) AS BIGINT) AS late_count,
+           CAST(SUM(CASE WHEN l_shipdate <= o_orderdate + INTERVAL 90 DAY
+                    THEN 1 ELSE 0 END) AS BIGINT) AS ontime_count
     FROM orders JOIN lineitem ON l_orderkey = o_orderkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
