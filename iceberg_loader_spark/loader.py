@@ -158,6 +158,17 @@ class _LoadState:
                 pa.field(self.cfg.load_ts_col, pa.timestamp("us"), nullable=True), col
             )
         self._ensure_table(data)
+        if self.cfg.load_timestamp:
+            # the audit column is force-evolved even when schema evolution
+            # is off (reference core/loader.py:156-160, "step 1.5") —
+            # otherwise cast_to_schema silently drops it on pre-existing
+            # tables created without it
+            from iceberg_loader_spark.types import arrow_to_spark as _a2s
+
+            ts_field = data.schema.field(self.cfg.load_ts_col)
+            self.table.add_columns(
+                [T.StructField(self.cfg.load_ts_col, _a2s(ts_field.type), True)]
+            )
         if self.cfg.schema_evolution:
             self._evolve(data)
         table_schema = self.table.schema()

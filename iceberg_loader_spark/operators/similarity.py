@@ -275,7 +275,7 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     )
     SELECT label, COUNT(*) AS n_vecs, MIN(dim) AS min_dim, MAX(dim) AS max_dim,
-           SUM({_DUCK_DOT.format(a='e', b='e')}) AS sum_nsq_fp
+           CAST(SUM({_DUCK_DOT.format(a='e', b='e')}) AS BIGINT) AS sum_nsq_fp
     FROM fp
     GROUP BY label
     ORDER BY label

@@ -394,9 +394,10 @@ def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            MIN(rate_pct) AS rate_pct,
            COUNT(*) AS n_docs,
-           SUM(CASE WHEN bucket < rate_pct THEN 1 ELSE 0 END) AS n_sampled,
-           SUM(CASE WHEN bucket < rate_pct THEN n_chars ELSE 0 END)
-             AS sampled_chars
+           CAST(SUM(CASE WHEN bucket < rate_pct THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_sampled,
+           CAST(SUM(CASE WHEN bucket < rate_pct THEN n_chars ELSE 0 END)
+             AS BIGINT) AS sampled_chars
     FROM rated
     GROUP BY lang
     ORDER BY lang
@@ -476,7 +477,7 @@ def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM gram_counts GROUP BY doc_id
     )
     SELECT t.doc_id,
-           t.n_tokens,
+           CAST(t.n_tokens AS BIGINT) AS n_tokens,
            CAST(t.n_distinct AS DOUBLE) / t.n_tokens AS distinct_ratio,
            CAST(t.top_tok AS DOUBLE) / t.n_tokens AS top_token_frac,
            CAST(COALESCE(g.top_bigram, 0) AS DOUBLE)

@@ -300,6 +300,7 @@ def running_user_totals_streaming(
     import hashlib
     import os
 
+    import numpy as np
     import pandas as pd
     import pyarrow.parquet as pq
 
@@ -351,7 +352,11 @@ def running_user_totals_streaming(
         n, cents = state.get if state.exists else (0, 0)
         for pdf in pdf_iter:
             n += len(pdf)
-            cents += int(pd.Series(pdf["value"] * 100).round().astype("int64").sum())
+            # explicit HALF_UP to match the batch path's F.round (pandas
+            # Series.round is half-to-even and diverges on exact .5 cents)
+            cents += int(
+                np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64").sum()
+            )
         state.update((n, cents))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}

@@ -127,33 +127,80 @@ class Snapshot:
 
 
 class CommitConflict(Exception):
-    """Another writer committed the version we targeted."""
+    """Another writer committed the version we targeted (retryable)."""
 
 
-class TableMetadata:
-    """Metadata accessor + committer for one table root."""
+class ConcurrentModification(Exception):
+    """A concurrent commit invalidated this operation's scanned input
+    (NOT retryable by rebase — the caller must re-scan and re-run).
 
-    def __init__(self, root: str):
-        self.root = root
-        self.meta_dir = os.path.join(root, META_DIR)
+    Raised when a copy-on-write rewrite (delete/merge/compaction)
+    discovers, during its commit retry, that files it scanned were
+    removed or that new data files appeared that its candidate
+    selection never saw — the same situation where Iceberg fails
+    snapshot validation instead of committing."""
 
-    # ---- reads -----------------------------------------------------------
+
+class MetadataBackend:
+    """Catalog/metadata I/O seam: everything ``TableMetadata`` needs from
+    the storage layer, so an object-store or Iceberg-catalog backend can
+    be slotted in without touching ``Table``.
+
+    The contract mirrors an Iceberg catalog commit: manifests are
+    immutable blobs keyed by version, ``write_manifest_exclusive`` must
+    fail (:class:`CommitConflict`) if the version already exists — this
+    is the linearization point — and ``publish_current`` atomically
+    repoints the table. On S3 the exclusive write maps to
+    ``If-None-Match: *`` conditional PUT; on a metastore/REST catalog it
+    maps to the CAS table-pointer swap.
+    """
 
     def exists(self) -> bool:
-        return os.path.isfile(os.path.join(self.meta_dir, CURRENT_FILE))
+        raise NotImplementedError
 
-    def current_version(self) -> int:
-        with open(os.path.join(self.meta_dir, CURRENT_FILE)) as f:
-            return int(f.read().strip())
+    def read_current(self) -> int:
+        raise NotImplementedError
 
-    def snapshot_path(self, version: int) -> str:
+    def read_manifest(self, version: int) -> dict:
+        """Raises FileNotFoundError if the manifest was expired/deleted."""
+        raise NotImplementedError
+
+    def list_versions(self) -> list[int]:
+        raise NotImplementedError
+
+    def write_manifest_exclusive(self, version: int, payload: dict) -> None:
+        raise NotImplementedError
+
+    def publish_current(self, version: int) -> None:
+        raise NotImplementedError
+
+    def delete_manifest(self, version: int) -> None:
+        raise NotImplementedError
+
+
+class LocalFSBackend(MetadataBackend):
+    """POSIX-filesystem backend: exclusive O_CREAT manifest write +
+    ``os.replace`` pointer publish (both atomic on POSIX)."""
+
+    def __init__(self, root: str):
+        self.meta_dir = os.path.join(root, META_DIR)
+
+    def _current_path(self) -> str:
+        return os.path.join(self.meta_dir, CURRENT_FILE)
+
+    def manifest_path(self, version: int) -> str:
         return os.path.join(self.meta_dir, f"v{version:09d}.json")
 
-    def load_snapshot(self, version: int | None = None) -> Snapshot:
-        if version is None:
-            version = self.current_version()
-        with open(self.snapshot_path(version)) as f:
-            return Snapshot.from_json(json.load(f))
+    def exists(self) -> bool:
+        return os.path.isfile(self._current_path())
+
+    def read_current(self) -> int:
+        with open(self._current_path()) as f:
+            return int(f.read().strip())
+
+    def read_manifest(self, version: int) -> dict:
+        with open(self.manifest_path(version)) as f:
+            return json.load(f)
 
     def list_versions(self) -> list[int]:
         if not os.path.isdir(self.meta_dir):
@@ -163,6 +210,63 @@ class TableMetadata:
             if name.startswith("v") and name.endswith(".json"):
                 out.append(int(name[1:-5]))
         return sorted(out)
+
+    def write_manifest_exclusive(self, version: int, payload: dict) -> None:
+        os.makedirs(self.meta_dir, exist_ok=True)
+        # exclusive create: a concurrent committer targeting the same
+        # version loses here and retries on the refreshed state
+        try:
+            fd = os.open(
+                self.manifest_path(version), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+            )
+        except FileExistsError as e:
+            raise CommitConflict(f"v{version} already committed") from e
+        with os.fdopen(fd, "w") as f:
+            json.dump(payload, f, separators=(",", ":"))
+
+    def publish_current(self, version: int) -> None:
+        tmp = os.path.join(self.meta_dir, f".{CURRENT_FILE}.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, self._current_path())
+
+    def delete_manifest(self, version: int) -> None:
+        os.remove(self.manifest_path(version))
+
+
+class TableMetadata:
+    """Metadata accessor + committer for one table root.
+
+    All storage I/O goes through ``backend`` (default: local POSIX) —
+    see :class:`MetadataBackend` for the swap contract.
+    """
+
+    def __init__(self, root: str, backend: MetadataBackend | None = None):
+        self.root = root
+        self.meta_dir = os.path.join(root, META_DIR)
+        self.backend = backend if backend is not None else LocalFSBackend(root)
+
+    # ---- reads -----------------------------------------------------------
+
+    def exists(self) -> bool:
+        return self.backend.exists()
+
+    def current_version(self) -> int:
+        return self.backend.read_current()
+
+    def snapshot_path(self, version: int) -> str:
+        return os.path.join(self.meta_dir, f"v{version:09d}.json")
+
+    def load_snapshot(self, version: int | None = None) -> Snapshot:
+        if version is None:
+            version = self.current_version()
+        return Snapshot.from_json(self.backend.read_manifest(version))
+
+    def delete_snapshot_manifest(self, version: int) -> None:
+        self.backend.delete_manifest(version)
+
+    def list_versions(self) -> list[int]:
+        return self.backend.list_versions()
 
     def snapshots(self) -> list[Snapshot]:
         return [self.load_snapshot(v) for v in self.list_versions()]
@@ -183,25 +287,13 @@ class TableMetadata:
         (None for table creation). Raises :class:`CommitConflict` if the
         table has advanced past it.
         """
-        os.makedirs(self.meta_dir, exist_ok=True)
         current = self.current_version() if self.exists() else None
         if current != expected_parent:
             raise CommitConflict(
                 f"table at v{current}, writer expected v{expected_parent}"
             )
-        path = self.snapshot_path(snapshot.version)
-        # exclusive create: a concurrent committer targeting the same
-        # version loses here and retries on the refreshed state
-        try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError as e:
-            raise CommitConflict(f"v{snapshot.version} already committed") from e
-        with os.fdopen(fd, "w") as f:
-            json.dump(snapshot.to_json(), f, separators=(",", ":"))
-        tmp = os.path.join(self.meta_dir, f".{CURRENT_FILE}.{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            f.write(str(snapshot.version))
-        os.replace(tmp, os.path.join(self.meta_dir, CURRENT_FILE))
+        self.backend.write_manifest_exclusive(snapshot.version, snapshot.to_json())
+        self.backend.publish_current(snapshot.version)
         return snapshot
 
 

@@ -24,7 +24,11 @@ import os
 
 from pyspark.sql import SparkSession
 
-from iceberg_loader_spark.tables.format import Snapshot, new_snapshot
+from iceberg_loader_spark.tables.format import (
+    ConcurrentModification,
+    Snapshot,
+    new_snapshot,
+)
 from iceberg_loader_spark.tables.table import Table
 
 log = logging.getLogger(__name__)
@@ -67,7 +71,7 @@ def expire_snapshots(
             f.path for s in expired for f in s.files if f.path not in live_paths
         }
         for s in expired:
-            os.remove(table.meta.snapshot_path(s.version))
+            table.meta.delete_snapshot_manifest(s.version)
         deleted = 0
         for rel in dead_paths:
             p = os.path.join(table.root, rel)
@@ -94,21 +98,36 @@ def rewrite_data_files(
     total_bytes = sum(f.bytes for f in snap.files)
     target = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
     spec = table.partition_spec()
-    df = table.scan(spark)
+    df = table.scan(spark, version=snap.version)
     if not spec:
         df = df.repartition(target)
     entries = table._write_data_files(df, spec, table._codec())
+    # Only the files we actually scanned are replaced. A writer that
+    # commits between the scan and the commit (or during a conflict
+    # retry) must have its files carried over, or its rows are lost —
+    # same carryover contract delete/merge use.
+    compacted_paths = {f.path for f in snap.files}
 
     def build(parent):
+        parent_paths = {f.path for f in parent.files}
+        missing = compacted_paths - parent_paths
+        if missing:
+            # a concurrent delete/merge/compaction removed files we
+            # rewrote — committing would resurrect their rows
+            raise ConcurrentModification(
+                f"compaction input files removed by a concurrent commit "
+                f"({len(missing)} files); re-run rewrite_data_files"
+            )
+        carried = [f for f in parent.files if f.path not in compacted_paths]
         return new_snapshot(
             parent,
             "replace",
             parent.schema_json,
             parent.partition_spec,
-            entries,
+            carried + entries,
             parent.properties,
             {
-                "rewritten-files": len(parent.files),
+                "rewritten-files": len(parent.files) - len(carried),
                 "added-files": len(entries),
                 "total-records": parent.total_rows,
             },

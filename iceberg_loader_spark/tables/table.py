@@ -44,6 +44,7 @@ from iceberg_loader_spark.tables.format import (
     DATA_DIR,
     DEFAULT_TABLE_PROPERTIES,
     CommitConflict,
+    ConcurrentModification,
     DataFile,
     Snapshot,
     TableMetadata,
@@ -210,9 +211,17 @@ class Table:
             if snap.parent_version is None:
                 parent_paths: set[str] = set()
             else:
-                parent_paths = {
-                    f.path for f in self.snapshot(snap.parent_version).files
-                }
+                try:
+                    parent_paths = {
+                        f.path for f in self.snapshot(snap.parent_version).files
+                    }
+                except FileNotFoundError:
+                    raise ValueError(
+                        f"snapshot history expired: parent manifest "
+                        f"v{snap.parent_version} of snapshot {v} was removed "
+                        f"by expire_snapshots; incremental scan from "
+                        f"{from_version} is impossible — full rescan required"
+                    ) from None
             new_files.extend(
                 f for f in snap.files if f.path not in parent_paths
             )
@@ -311,6 +320,30 @@ class Table:
         return entries
 
     # ---- commit loop -----------------------------------------------------
+
+    @staticmethod
+    def _validate_cow_input(
+        parent: Snapshot, scanned_paths: set[str], op: str
+    ) -> None:
+        """Snapshot validation for copy-on-write rewrites.
+
+        ``scanned_paths`` is the file set candidate selection ran
+        against. If the refreshed commit parent has files we never
+        scanned (concurrent append — rows that never met the predicate /
+        merge keys) or lost files we scanned (concurrent rewrite — our
+        output would resurrect their rows), the rewrite cannot be
+        rebased; raise :class:`ConcurrentModification` so the caller
+        re-scans, mirroring Iceberg's validation failure.
+        """
+        parent_paths = {f.path for f in parent.files}
+        added = parent_paths - scanned_paths
+        removed = scanned_paths - parent_paths
+        if added or removed:
+            raise ConcurrentModification(
+                f"{op}: concurrent commit changed the table's file set "
+                f"(+{len(added)}/-{len(removed)} files) after candidate "
+                f"selection; re-run the {op} against the current snapshot"
+            )
 
     def _commit_with_retry(self, build) -> Snapshot:
         """Optimistic-commit loop (reference: 10 retries, core/config.py:15-17).
@@ -416,8 +449,14 @@ class Table:
             rewritten = candidates
 
         rewritten_paths = {f.path for f in rewritten} | {f.path for f in dropped}
+        scanned_paths = {f.path for f in snap.files}
 
         def build(parent: Snapshot) -> Snapshot:
+            # Candidate selection was pinned to `snap`; a concurrent
+            # commit that added files (rows never filtered) or removed
+            # scanned files (our rewrite would resurrect their rows)
+            # invalidates it — fail validation like Iceberg, don't rebase.
+            self._validate_cow_input(parent, scanned_paths, "delete")
             remaining = [f for f in parent.files if f.path not in rewritten_paths]
             return new_snapshot(
                 parent,
@@ -513,7 +552,13 @@ class Table:
             - sum(f.rows for f in affected)
         )
 
+        scanned_paths = {f.path for f in snap.files}
+
         def build(parent: Snapshot) -> Snapshot:
+            # a concurrent append could hold rows with matching keys that
+            # the key semi-join never saw → duplicate keys after merge;
+            # fail validation like Iceberg rather than commit (ADVICE r1)
+            self._validate_cow_input(parent, scanned_paths, "merge")
             remaining = [f for f in parent.files if f.path not in affected_rel]
             return new_snapshot(
                 parent,

@@ -23,23 +23,69 @@ from iceberg_loader_spark import get_spark  # noqa: E402
 from iceberg_loader_spark.sources.tables import TABLE_NAMES  # noqa: E402
 
 
+def dtype_class(s: pd.Series) -> str:
+    """Coarse dtype class, kept STRICT the way the driver's hash is.
+
+    int vs float is a mismatch (DuckDB HUGEINT→float64 must be caught
+    here, not silently coerced), bool vs int is a mismatch, everything
+    non-numeric hashes as its string rendering.
+    """
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    return "str"
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name + rows by all columns; normalize WITHIN a
+    dtype class only (int64 widths, datetime units) — never across."""
     df = df.reindex(sorted(df.columns), axis=1)
     out = {}
     for c in df.columns:
         s = df[c]
-        if pd.api.types.is_float_dtype(s):
+        cls = dtype_class(s)
+        if cls == "float":
             out[c] = s.astype("float64")
-        elif pd.api.types.is_integer_dtype(s):
+        elif cls == "int":
             out[c] = s.astype("int64")
-        elif pd.api.types.is_datetime64_any_dtype(s):
+        elif cls == "datetime":
             out[c] = s.astype("datetime64[us]")
-        elif pd.api.types.is_bool_dtype(s):
-            out[c] = s.astype("int64")
+        elif cls == "bool":
+            out[c] = s.astype("bool")
         else:
             out[c] = s.astype("string")
     df = pd.DataFrame(out)
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(sdf: pd.DataFrame, odf: pd.DataFrame) -> None:
+    """Driver-strict comparison; raises AssertionError on first diff.
+
+    Mirrors the driver's gate: (1) column-name ORDER as produced (its
+    schema_match), (2) per-column dtype-class identity (its value hash
+    is type-sensitive), (3) exact values with columns sorted by name
+    and rows sorted by all columns.
+    """
+    if list(sdf.columns) != list(odf.columns):
+        raise AssertionError(
+            f"column ORDER differs: spark={list(sdf.columns)} oracle={list(odf.columns)}"
+        )
+    for c in sorted(sdf.columns):
+        ca, cb = dtype_class(sdf[c]), dtype_class(odf[c])
+        if ca != cb:
+            raise AssertionError(
+                f"dtype class differs on {c!r}: spark={ca}({sdf[c].dtype}) "
+                f"oracle={cb}({odf[c].dtype})"
+            )
+    a, b = canon(sdf), canon(odf)
+    if len(a) != len(b):
+        raise AssertionError(f"row counts differ: spark={len(a)} oracle={len(b)}")
+    pd.testing.assert_frame_equal(a, b, check_exact=True, check_dtype=False)
 
 
 def main() -> int:
@@ -64,14 +110,9 @@ def main() -> int:
                 print(f"  ~ {name}: no oracle (rows-only) rows={len(sdf)} [{time.time()-t0:.1f}s]")
                 continue
             odf = con.sql(oracles[name]).df()
-            a, b = canon(sdf), canon(odf)
-            if list(a.columns) != list(b.columns):
-                raise AssertionError(f"columns differ: spark={list(a.columns)} oracle={list(b.columns)}")
-            if len(a) != len(b):
-                raise AssertionError(f"row counts differ: spark={len(a)} oracle={len(b)}")
-            pd.testing.assert_frame_equal(a, b, check_exact=True, check_dtype=False)
+            compare(sdf, odf)
             n_pass += 1
-            print(f"  ✓ {name}: rows={len(a)} [{time.time()-t0:.1f}s]")
+            print(f"  ✓ {name}: rows={len(sdf)} [{time.time()-t0:.1f}s]")
         except Exception as e:  # noqa: BLE001
             n_fail += 1
             print(f"  ✗ {name}: {type(e).__name__}: {e}")
