@@ -31,15 +31,19 @@ def _modules():
     )
     from iceberg_loader_spark import streaming
 
+    # LLM-pipeline extension modules first: the driver's correctness capture
+    # covers the first 50 registry entries in order, so the mandated
+    # dedup/similarity/text/multimodal/streaming operators must precede the
+    # (large) relational/TPC-H batteries to receive driver-verified rows.
     return [
-        relational,
-        tpch_extra,
         dedup,
         similarity,
         text,
         multimodal,
-        udfs,
         streaming,
+        udfs,
+        relational,
+        tpch_extra,
     ]
 
 

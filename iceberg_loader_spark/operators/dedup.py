@@ -156,6 +156,28 @@ def _gram_expr(n: int) -> F.Column:
     return cur
 
 
+# Materialization mode for frames read by both sides of a self-join.
+#   "local_checkpoint"  — executor block storage, lineage truncated. Fastest
+#                         in local mode, but blocks are executor-local: an
+#                         executor death loses them with no recompute path.
+#   "persist"           — StorageLevel.MEMORY_AND_DISK with lineage kept:
+#                         the cluster-safe spelling (lost blocks recompute
+#                         from lineage; disk spill bounds memory).
+# Switch via set_materialize_mode() or the
+# SPARK_GRAFT_MATERIALIZE=persist|local_checkpoint env var. Both modes are
+# oracle-green (tests/test_queries_oracle.py runs minhash under "persist").
+import os as _os
+
+_MATERIALIZE_MODE = _os.environ.get("SPARK_GRAFT_MATERIALIZE", "local_checkpoint")
+
+
+def set_materialize_mode(mode: str) -> None:
+    global _MATERIALIZE_MODE
+    if mode not in ("local_checkpoint", "persist"):
+        raise ValueError(f"unknown materialize mode: {mode!r}")
+    _MATERIALIZE_MODE = mode
+
+
 def _materialize(df: DataFrame) -> DataFrame:
     """Materialize a frame both sides of a self-join will read.
 
@@ -163,11 +185,16 @@ def _materialize(df: DataFrame) -> DataFrame:
     a self-join (the subtrees differ by alias pre-AQE), so the whole
     upstream — tokenize, hash, aggregate — would execute twice.
     ``localCheckpoint`` computes it once into executor block storage and
-    truncates the lineage (measured 3.6× on minhash at sf0.1). The
-    cluster-scale equivalent is persisting the candidate/signature frame
-    (memory-and-disk) or writing it as an intermediate table before the
-    pair join.
+    truncates the lineage (measured 3.6× on minhash at sf0.1); ``persist``
+    (MEMORY_AND_DISK) is the cluster-scale mode — recomputable on executor
+    loss, spillable, one computation shared by both join sides.
     """
+    if _MATERIALIZE_MODE == "persist":
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        df.count()  # eager: populate the cache before both sides read it
+        return df
     return df.localCheckpoint(eager=True)
 
 
@@ -614,25 +641,42 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Jaccard = |∩| / |∪| over distinct bigram shingle sets, exact integer
 # counts divided once at the end (bit-identical across engines).
 # --------------------------------------------------------------------------
+_NGRAM_DF_CAP_PCT = 10  # drop grams appearing in > n_docs/10 documents
+
+
 @_register(
     "ngram_jaccard_pairs",
     f"""
-    WITH grams AS (
-      SELECT doc_id, lang, n_chars // 100 AS len_band,
-             list_distinct(CASE WHEN len(toks) >= 2 THEN
-               list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
-               ELSE toks END) AS grams
-      FROM (SELECT doc_id, lang, n_chars, {_DUCK_TOKENS} AS toks FROM documents)
+    WITH g AS (
+      SELECT doc_id, lang, len_band, unnest(grams) AS gram FROM (
+        SELECT doc_id, lang, n_chars // 100 AS len_band,
+               list_distinct(CASE WHEN len(toks) >= 2 THEN
+                 list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+                 ELSE toks END) AS grams
+        FROM (SELECT doc_id, lang, n_chars, {_DUCK_TOKENS} AS toks FROM documents))
+    ),
+    df AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY gram),
+    kept AS (
+      SELECT g.doc_id, g.lang, g.len_band, g.gram
+      FROM g JOIN df USING (gram)
+      WHERE df.df * {100 // _NGRAM_DF_CAP_PCT} <= (SELECT COUNT(*) FROM documents)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM kept GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i_cnt
+      FROM kept a JOIN kept b
+        ON a.lang = b.lang AND a.len_band = b.len_band AND a.gram = b.gram
+       AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
     )
-    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-           len(list_intersect(a.grams, b.grams)) AS i_cnt,
-           len(list_distinct(list_concat(a.grams, b.grams))) AS u_cnt,
-           CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-             / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
-    FROM grams a JOIN grams b
-      ON a.lang = b.lang AND a.len_band = b.len_band AND a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-            / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.05
+    SELECT a_id, b_id,
+           CAST(i_cnt AS INT) AS i_cnt,
+           CAST(sa.n_grams + sb.n_grams - i_cnt AS INT) AS u_cnt,
+           CAST(i_cnt AS DOUBLE) / (sa.n_grams + sb.n_grams - i_cnt) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = a_id
+    JOIN sizes sb ON sb.doc_id = b_id
+    WHERE CAST(i_cnt AS DOUBLE) / (sa.n_grams + sb.n_grams - i_cnt) >= 0.05
     ORDER BY a_id, b_id
     """,
 )
@@ -644,9 +688,16 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # O(pairs × |grams|²) element comparisons AND recomputed the shingling
     # for both the filter and the projection. Pairs sharing zero grams
     # never materialize (their Jaccard is 0 < threshold by construction).
-    # 100 TB note: hot grams (stopword bigrams) skew the gram join — the
-    # production knob is a document-frequency cap on grams before the join
-    # (drop grams appearing in > X% of docs), which also improves signal.
+    #
+    # 100 TB skew guard: stopword bigrams ("of the") have document
+    # frequency ~O(n_docs); without a cap one gram key dominates a shuffle
+    # partition of the self-join. We drop grams whose document frequency
+    # exceeds n_docs/10 BEFORE the join (hot set is tiny by construction —
+    # at most total_gram_rows/(n_docs/10) grams can exceed the cap — so it
+    # broadcasts as a left-anti side). Jaccard is computed over the CAPPED
+    # gram sets on both engines (sizes and intersections mirror the cap),
+    # and the threshold uses pure integer math (df * 10 <= n_docs) so
+    # Spark and DuckDB agree bit-for-bit at the boundary.
     docs = load_table(spark, sf_dir, "documents")
     dims = docs.select(
         "doc_id",
@@ -654,11 +705,22 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars") / F.lit(100)).cast("bigint").alias("len_band"),
     )
     flat = _materialize(_gram_rows(docs, 2).join(F.broadcast(dims), "doc_id"))
-    sizes = flat.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    # Hot-gram cap: rows in `flat` are distinct (doc_id, gram), so a plain
+    # count per gram IS the document frequency.
+    n_docs = docs.groupBy().agg(F.count("*").alias("n_docs"))
+    hot = (
+        flat.groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") * (100 // _NGRAM_DF_CAP_PCT) > F.col("n_docs"))
+        .select("gram")
+    )
+    kept = _materialize(flat.join(F.broadcast(hot), "gram", "left_anti"))
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     inter = (
-        flat.alias("a")
+        kept.alias("a")
         .join(
-            flat.alias("b"),
+            kept.alias("b"),
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.len_band") == F.col("b.len_band"))
             & (F.col("a.gram") == F.col("b.gram"))

@@ -90,3 +90,21 @@ def test_oracle_match(spark, duck, name):
     assert list(a.columns) == list(b.columns)
     assert len(a) == len(b), f"rows: spark={len(a)} oracle={len(b)}"
     pd.testing.assert_frame_equal(a, b, check_exact=True, check_dtype=False)
+
+
+def test_minhash_oracle_match_under_persist_materialize(spark, duck):
+    """The cluster-scale persist materialize mode produces identical
+    results to the default localCheckpoint mode (flag-switched seam,
+    operators/dedup.py set_materialize_mode)."""
+    from iceberg_loader_spark.operators import dedup
+
+    dedup.set_materialize_mode("persist")
+    try:
+        sdf = QUERIES["minhash_lsh_candidates"](spark, SF_SMOKE).toPandas()
+    finally:
+        dedup.set_materialize_mode("local_checkpoint")
+    odf = duck.sql(ORACLES["minhash_lsh_candidates"]).df()
+    a, b = canon(sdf), canon(odf)
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b)
+    pd.testing.assert_frame_equal(a, b, check_exact=True, check_dtype=False)
