@@ -352,10 +352,13 @@ def running_user_totals_streaming(
         n, cents = state.get if state.exists else (0, 0)
         for pdf in pdf_iter:
             n += len(pdf)
-            # explicit HALF_UP to match the batch path's F.round (pandas
-            # Series.round is half-to-even and diverges on exact .5 cents)
+            # explicit HALF_UP *away from zero* to match the batch path's
+            # F.round (pandas Series.round is half-to-even; plain
+            # floor(x+0.5) is half-up toward +inf and diverges on negative
+            # exact-.5 cents, e.g. -12.5 -> -12 instead of -13)
+            x = pdf["value"].to_numpy() * 100
             cents += int(
-                np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64").sum()
+                np.copysign(np.floor(np.abs(x) + 0.5), x).astype("int64").sum()
             )
         state.update((n, cents))
         yield pd.DataFrame(

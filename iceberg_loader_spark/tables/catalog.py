@@ -17,8 +17,13 @@ from iceberg_loader_spark.tables.format import TableMetadata
 
 
 class Warehouse:
-    def __init__(self, path: str):
+    def __init__(self, path: str, backend_factory=None):
+        """``backend_factory(table_root) -> MetadataBackend`` selects the
+        metadata storage implementation per table (default: local POSIX;
+        pass an :class:`~iceberg_loader_spark.tables.objectstore
+        .ObjectStoreBackend` factory for S3-semantics metadata)."""
         self.path = path
+        self.backend_factory = backend_factory
         os.makedirs(path, exist_ok=True)
 
     def table_root(self, identifier: str) -> str:
@@ -28,7 +33,9 @@ class Warehouse:
         return os.path.join(self.path, *parts)
 
     def metadata(self, identifier: str) -> TableMetadata:
-        return TableMetadata(self.table_root(identifier))
+        root = self.table_root(identifier)
+        backend = self.backend_factory(root) if self.backend_factory else None
+        return TableMetadata(root, backend=backend)
 
     def table_exists(self, identifier: str) -> bool:
         return self.metadata(identifier).exists()
@@ -52,6 +59,6 @@ class Warehouse:
             return []
         out = []
         for name in sorted(os.listdir(ns_dir)):
-            if TableMetadata(os.path.join(ns_dir, name)).exists():
+            if self.metadata(f"{namespace}.{name}").exists():
                 out.append(f"{namespace}.{name}")
         return out

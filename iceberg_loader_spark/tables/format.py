@@ -292,9 +292,51 @@ class TableMetadata:
             raise CommitConflict(
                 f"table at v{current}, writer expected v{expected_parent}"
             )
-        self.backend.write_manifest_exclusive(snapshot.version, snapshot.to_json())
+        try:
+            self.backend.write_manifest_exclusive(
+                snapshot.version, snapshot.to_json()
+            )
+        except CommitConflict:
+            # A manifest already exists at our target version. Either a
+            # concurrent writer beat us (it will/did publish — normal
+            # race) or a previous writer CRASHED between manifest write
+            # and pointer publish, leaving an orphan that would wedge the
+            # table forever (every retry rebases to the same parent and
+            # loses the exclusive create again). Recover the orphan, then
+            # surface the conflict so the caller rebases.
+            self._recover_orphan(snapshot.version)
+            raise
         self.backend.publish_current(snapshot.version)
         return snapshot
+
+    def _recover_orphan(self, version: int) -> None:
+        """Roll the table pointer forward over a crashed writer's
+        completed-but-unpublished manifest at ``version``.
+
+        Only acts when the manifest is provably an orphan: ``_current``
+        still points below ``version`` AND the manifest parses AND its
+        ``parent_version`` equals the current pointer (i.e. it is the
+        legitimate next snapshot that was never published). Publishing it
+        is idempotent with the original writer's own publish, so a
+        still-alive writer racing us is harmless. Unreadable/partial
+        manifests (crash mid-write) are left alone — they may be a
+        concurrent writer mid-flight.
+        """
+        try:
+            current = self.current_version() if self.exists() else None
+        except OSError:
+            return
+        if current is not None and current >= version:
+            return  # genuine race: the other writer published; just rebase
+        try:
+            payload = self.backend.read_manifest(version)
+        except Exception:
+            return  # partial or vanished manifest — nothing provable
+        if (
+            payload.get("version") == version
+            and payload.get("parent_version") == current
+        ):
+            self.backend.publish_current(version)
 
 
 def new_snapshot(

@@ -79,7 +79,7 @@ class Table:
         self.warehouse = warehouse
         self.identifier = identifier
         self.root = warehouse.table_root(identifier)
-        self.meta = TableMetadata(self.root)
+        self.meta = warehouse.metadata(identifier)
 
     # ---- creation --------------------------------------------------------
 
@@ -184,12 +184,14 @@ class Table:
         (Iceberg's ``start-snapshot-id``/``end-snapshot-id`` read).
 
         Only ``append`` snapshots may appear in the range; ``replace``
-        (compaction) snapshots are skipped because they rewrite bytes
-        without changing rows, and any row-changing operation
-        (overwrite/delete/merge) raises — a consumer that needs those
-        needs a CDC log, not a file diff. The appended files are read
-        directly, so an incremental consumer never rescans the base
-        table: cost is proportional to the delta, not the table.
+        (compaction) and ``evolve-schema`` snapshots are skipped because
+        they change no rows (compaction rewrites bytes, evolution only
+        widens the schema — its file set is the parent's, unchanged), and
+        any row-changing operation (overwrite/delete/merge) raises — a
+        consumer that needs those needs a CDC log, not a file diff. The
+        appended files are read directly, so an incremental consumer
+        never rescans the base table: cost is proportional to the delta,
+        not the table.
         """
         ensure_compat(spark)
         to_snap = self.snapshot(to_version)
@@ -201,7 +203,7 @@ class Table:
         new_files: list[DataFile] = []
         for v in versions:
             snap = self.snapshot(v)
-            if snap.operation == "replace":
+            if snap.operation in ("replace", "evolve-schema"):
                 continue
             if snap.operation != "append":
                 raise ValueError(
@@ -323,7 +325,10 @@ class Table:
 
     @staticmethod
     def _validate_cow_input(
-        parent: Snapshot, scanned_paths: set[str], op: str
+        parent: Snapshot,
+        scanned_paths: set[str],
+        op: str,
+        added_may_conflict=None,
     ) -> None:
         """Snapshot validation for copy-on-write rewrites.
 
@@ -334,15 +339,26 @@ class Table:
         output would resurrect their rows), the rewrite cannot be
         rebased; raise :class:`ConcurrentModification` so the caller
         re-scans, mirroring Iceberg's validation failure.
+
+        ``added_may_conflict(files) -> files`` narrows the concurrently
+        ADDED set to files that could actually conflict (Iceberg's
+        conflict-detection filter): for DELETE it re-applies the same
+        metadata predicate used for candidate selection, so steady
+        append load on unrelated partitions never starves a long delete.
+        Removed-scanned-files always abort — no filter can prove a
+        vanished file irrelevant.
         """
         parent_paths = {f.path for f in parent.files}
-        added = parent_paths - scanned_paths
+        added = [f for f in parent.files if f.path not in scanned_paths]
         removed = scanned_paths - parent_paths
+        if added and added_may_conflict is not None:
+            added = added_may_conflict(added)
         if added or removed:
             raise ConcurrentModification(
                 f"{op}: concurrent commit changed the table's file set "
-                f"(+{len(added)}/-{len(removed)} files) after candidate "
-                f"selection; re-run the {op} against the current snapshot"
+                f"(+{len(added)} conflicting/-{len(removed)} files) after "
+                f"candidate selection; re-run the {op} against the current "
+                f"snapshot"
             )
 
     def _commit_with_retry(self, build) -> Snapshot:
@@ -453,10 +469,18 @@ class Table:
 
         def build(parent: Snapshot) -> Snapshot:
             # Candidate selection was pinned to `snap`; a concurrent
-            # commit that added files (rows never filtered) or removed
-            # scanned files (our rewrite would resurrect their rows)
-            # invalidates it — fail validation like Iceberg, don't rebase.
-            self._validate_cow_input(parent, scanned_paths, "delete")
+            # commit that added files WHICH MAY MATCH the predicate (rows
+            # never filtered) or removed scanned files (our rewrite would
+            # resurrect their rows) invalidates it — fail validation like
+            # Iceberg, don't rebase. Appends whose files provably cannot
+            # match (same prune_files metadata check used for candidate
+            # selection) carry over safely and do not abort.
+            self._validate_cow_input(
+                parent,
+                scanned_paths,
+                "delete",
+                added_may_conflict=lambda fs: prune_files(where, fs, spec)[0],
+            )
             remaining = [f for f in parent.files if f.path not in rewritten_paths]
             return new_snapshot(
                 parent,

@@ -76,3 +76,23 @@ def test_running_totals_carry_state_across_microbatches(spark):
     assert len(merged) == len(expected)
     assert (merged["n_events_s"] == merged["n_events_b"]).all()
     assert (merged["total_cents_s"] == merged["total_cents_b"]).all()
+
+
+def test_stream_cents_rounding_matches_spark_round_on_negatives(spark):
+    """The stateful-stream cents math (copysign half-up) must match the
+    batch path's F.round HALF_UP away-from-zero on negative exact-.5
+    values too (ADVICE r2: floor(x+0.5) rounds -12.5 -> -12, F.round
+    gives -13)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    vals = [-0.125, -0.005, -1.115, 0.125, 0.005, 2.675]
+    sdf = spark.createDataFrame([(v,) for v in vals], "value double")
+    batch = [
+        r.c for r in sdf.select(
+            F.round(F.col("value") * 100, 0).cast("long").alias("c")
+        ).collect()
+    ]
+    x = np.array(vals) * 100
+    stream = np.copysign(np.floor(np.abs(x) + 0.5), x).astype("int64").tolist()
+    assert stream == batch
