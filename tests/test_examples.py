@@ -1,0 +1,40 @@
+"""Runnable-examples smoke: the examples/ scripts (ports of the
+reference's examples, /root/reference/examples/) run green end-to-end
+against the embedded warehouse — the repo's analogue of the reference's
+run_examples_smoke.sh CI step."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+import pytest
+
+_EXAMPLES_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "examples")
+
+
+def _load(name: str):
+    spec = importlib.util.spec_from_file_location(
+        f"examples_{name}", os.path.join(_EXAMPLES_DIR, f"{name}.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.usefixtures("spark")
+def test_load_with_commits_example(tmp_path):
+    mod = _load("load_with_commits")
+    result = mod.run_example(str(tmp_path))
+    assert result["rows_loaded"] == 2000
+    assert result["batches_processed"] == 20
+
+
+@pytest.mark.usefixtures("spark")
+def test_load_upsert_example(tmp_path):
+    _load("load_upsert").run_upsert_example(str(tmp_path))
+
+
+@pytest.mark.usefixtures("spark")
+def test_advanced_scenarios_example(tmp_path):
+    _load("advanced_scenarios").run_scenarios(str(tmp_path))
