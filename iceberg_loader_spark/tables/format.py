@@ -213,16 +213,21 @@ class LocalFSBackend(MetadataBackend):
 
     def write_manifest_exclusive(self, version: int, payload: dict) -> None:
         os.makedirs(self.meta_dir, exist_ok=True)
-        # exclusive create: a concurrent committer targeting the same
-        # version loses here and retries on the refreshed state
+        # Write the full payload to a temp file first, then publish it
+        # with os.link — atomic AND exclusive (link(2) fails with EEXIST
+        # if the target exists). A crash can therefore never leave a
+        # torn half-written manifest at a version number, which would
+        # otherwise block that version forever (unparseable orphans are
+        # deliberately not auto-recovered, see _recover_orphan).
+        tmp = os.path.join(self.meta_dir, f".v{version}.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(payload, f, separators=(",", ":"))
         try:
-            fd = os.open(
-                self.manifest_path(version), os.O_CREAT | os.O_EXCL | os.O_WRONLY
-            )
+            os.link(tmp, self.manifest_path(version))
         except FileExistsError as e:
             raise CommitConflict(f"v{version} already committed") from e
-        with os.fdopen(fd, "w") as f:
-            json.dump(payload, f, separators=(",", ":"))
+        finally:
+            os.unlink(tmp)
 
     def publish_current(self, version: int) -> None:
         tmp = os.path.join(self.meta_dir, f".{CURRENT_FILE}.{uuid.uuid4().hex}")

@@ -95,3 +95,23 @@ def test_stratified_sample_partial_aggregates(spark):
     shuffle carries one row per (partition, lang), not per document."""
     plan = plan_of(QUERIES["stratified_sample_counts"](spark, SF_SMOKE))
     assert plan.count("HashAggregate") >= 2
+
+
+def test_ngram_jaccard_hot_gram_cap_in_plan(spark):
+    """The document-frequency cap must appear as a broadcast LEFT ANTI
+    join against the (tiny) hot-gram set BEFORE the pair self-join —
+    the 100 TB skew guard for stopword bigrams. ``_materialize``
+    (localCheckpoint) truncates lineage, so inspect the logical pipeline
+    with materialization disabled."""
+    from iceberg_loader_spark.operators import dedup
+
+    orig = dedup._materialize
+    dedup._materialize = lambda df: df
+    try:
+        plan = plan_of(QUERIES["ngram_jaccard_pairs"](spark, SF_SMOKE))
+    finally:
+        dedup._materialize = orig
+    assert "LeftAnti" in plan, "hot-gram cap (anti join) missing from plan"
+    # the hot set is broadcast, never shuffled
+    anti_idx = plan.index("LeftAnti")
+    assert "Broadcast" in plan[max(0, anti_idx - 2000) : anti_idx + 2000]

@@ -108,3 +108,28 @@ def test_minhash_oracle_match_under_persist_materialize(spark, duck):
     assert list(a.columns) == list(b.columns)
     assert len(a) == len(b)
     pd.testing.assert_frame_equal(a, b, check_exact=True, check_dtype=False)
+
+
+def test_llm_pipeline_queries_lead_the_registry():
+    """The driver's correctness capture covers the first 50 registry
+    entries in order — the mandated LLM-pipeline operators (dedup,
+    similarity, text, multimodal, streaming) must all sit inside that
+    window (round-2 verdict item #4)."""
+    first50 = list(QUERIES)[:50]
+    for key in (
+        "minhash_lsh_candidates",
+        "simhash_neardup_pairs",
+        "dedup_cluster_assign",
+        "ngram_jaccard_pairs",
+        "decontaminate_ngram_overlap",
+        "knn_topk_cosine",
+        "ann_lsh_cosine",
+        "ann_ivf_cosine",
+        "embedding_neardup_lsh",
+        "language_id_stopwords",
+        "multimodal_frame_sample",
+        "multimodal_downsample",
+        "stream_tumbling_1h",
+        "stream_session_30m_users",
+    ):
+        assert key in first50, f"{key} outside the driver's 50-query window"

@@ -159,3 +159,20 @@ def test_incremental_scan_reads_only_the_delta(spark, tmp_path):
     t = wh.load_table("db.t")
     with pytest.raises(ValueError, match="append-only"):
         t.scan_incremental(spark, base)
+
+
+def test_manifest_write_is_atomic_and_exclusive(tmp_path):
+    """write_manifest_exclusive publishes via link(2): full content or
+    nothing, and the second writer for a version always loses."""
+    import json
+
+    from iceberg_loader_spark.tables.format import LocalFSBackend
+
+    backend = LocalFSBackend(str(tmp_path))
+    backend.write_manifest_exclusive(1, {"version": 1, "files": []})
+    with pytest.raises(CommitConflict):
+        backend.write_manifest_exclusive(1, {"version": 1, "files": []})
+    assert backend.read_manifest(1) == {"version": 1, "files": []}
+    # no temp litter left behind
+    leftovers = [n for n in os.listdir(backend.meta_dir) if n.endswith(".tmp")]
+    assert leftovers == []
