@@ -793,7 +793,9 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     into its filter stage.
     """
     docs = load_table(spark, sf_dir, "documents")
-    grams = (
+    # materialized once: train and eval below both read this frame, and
+    # without it each side re-runs the whole tokenize+shingle+md5 pipeline
+    grams = _materialize(
         _token_arrays(docs)
         .filter(F.size("ts") >= 5)
         .select(
