@@ -443,18 +443,26 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dst").alias("node"), F.least("m", "dst").alias("label")
         )
     )
+    def _hop(lbls: DataFrame) -> DataFrame:
+        """One min-label propagation step (monotone toward the fixpoint)."""
+        return (
+            edges.join(lbls, edges["src"] == lbls["node"])
+            .select(F.col("dst").alias("node"), "label")
+            .unionAll(lbls)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+
     # Convergence check without an old-vs-new join: labels only ever
     # decrease, so sum(label) strictly decreases iff any label changed.
+    # TWO hops per materialized round: same fixpoint (the update is
+    # monotone and idempotent at convergence), but half the
+    # materializations and driver sync barriers — at cluster scale each
+    # barrier is a full stage wait, so this halves the critical path for
+    # the same total propagation distance (25+ hops available).
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(25):
-        msgs = (
-            edges.join(labels, edges["src"] == labels["node"])
-            .select(F.col("dst").alias("node"), "label")
-            .unionAll(labels)
-        )
-        labels = _materialize(
-            msgs.groupBy("node").agg(F.min("label").alias("label"))
-        )
+    for _ in range(13):
+        labels = _materialize(_hop(_hop(labels)))
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
             break
