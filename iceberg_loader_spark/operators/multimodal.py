@@ -29,6 +29,7 @@ from pyspark.sql.types import (
     ArrayType,
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -196,6 +197,72 @@ def fake_decode(payload: bytes, mime: str) -> dict:
         "checksum": sum(buf) % 65536,
         "head": buf[:4].hex(),
     }
+
+
+_DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("checksum", IntegerType()),
+        StructField("head_hex", StringType()),
+    ]
+)
+
+
+def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Vectorized batch equivalent of :func:`fake_decode`: per-document
+    byte-sum checksum via one ``np.bincount`` over the flattened buffer,
+    head bytes via slicing the same buffer. The production decode swaps
+    the arithmetic for a codec call; batch flow and schema stay as-is."""
+    for pdf in batches:
+        flat, lens, starts = _flatten_payloads(pdf)
+        n = len(lens)
+        doc_rep = np.repeat(np.arange(n, dtype=np.int64), lens)
+        checksum = np.bincount(doc_rep, weights=flat, minlength=n).astype(
+            np.int64
+        ) % 65536
+        heads = [
+            flat[s : s + min(4, ln)].tobytes().hex()
+            for s, ln in zip(starts.tolist(), lens.tolist())
+        ]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].to_numpy(np.int64),
+                "mime": pdf["mime"],
+                "n_bytes": lens.astype(np.int32),
+                "checksum": checksum.astype(np.int32),
+                "head_hex": pd.Series(heads, dtype=object),
+            }
+        )
+
+
+# --------------------------------------------------------------------------
+# B28 — decode features through mapInPandas: the end-to-end decode
+# plumbing (payload + mime in, typed features out) with the deterministic
+# stand-in where the codec would run. The oracle replays the byte math on
+# the ASCII corpus.
+# --------------------------------------------------------------------------
+@_register(
+    "multimodal_decode_features",
+    """
+    SELECT doc_id,
+           'text/plain' AS mime,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           CAST(list_sum(list_transform(range(1, octet_length(encode(text)) + 1),
+                i -> ascii(substring(text, i, 1)))) % 65536 AS INTEGER) AS checksum,
+           lower(hex(encode(substring(text, 1, 4)))) AS head_hex
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mm = with_payload(load_table(spark, sf_dir, "documents"))
+    return (
+        mm.select("doc_id", "payload", F.col("meta.mime").alias("mime"))
+        .mapInPandas(_decode_batch, schema=_DECODE_SCHEMA)
+        .orderBy("doc_id")
+    )
 
 
 _STRIDE = 8

@@ -40,3 +40,34 @@ def test_fake_decode_deterministic():
     assert a == b
     assert a["n_bytes"] == 11
     assert a["head"] == b"hell".hex()
+
+
+def test_decode_features_match_fake_decode_rowwise(spark):
+    """The vectorized batch decode must agree with the scalar
+    fake_decode contract on every row."""
+    from tests.conftest import SF_SMOKE
+
+    import __spark_entry__ as entrymod
+
+    rows = (
+        entrymod.queries()["multimodal_decode_features"](spark, SF_SMOKE)
+        .limit(50)
+        .collect()
+    )
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(200)
+        .collect()
+    }
+    checked = 0
+    for r in rows:
+        if r.doc_id not in docs:
+            continue
+        want = mm.fake_decode(docs[r.doc_id].encode(), "text/plain")
+        assert r.n_bytes == want["n_bytes"]
+        assert r.checksum == want["checksum"]
+        assert r.head_hex == want["head"]
+        checked += 1
+    assert checked > 0
