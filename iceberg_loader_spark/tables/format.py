@@ -226,6 +226,18 @@ class LocalFSBackend(MetadataBackend):
             os.link(tmp, self.manifest_path(version))
         except FileExistsError as e:
             raise CommitConflict(f"v{version} already committed") from e
+        except OSError:
+            # filesystem without hardlinks: fall back to exclusive create
+            # (loses torn-write immunity, keeps the exclusivity contract)
+            try:
+                fd = os.open(
+                    self.manifest_path(version),
+                    os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+                )
+            except FileExistsError as e:
+                raise CommitConflict(f"v{version} already committed") from e
+            with os.fdopen(fd, "w") as f, open(tmp) as src:
+                f.write(src.read())
         finally:
             os.unlink(tmp)
 
