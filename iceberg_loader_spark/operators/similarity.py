@@ -347,6 +347,31 @@ def array_funcs_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _N_CENTROIDS = 16  # IVF coarse quantizer size (data-derived "training")
 
+
+def _ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, e, nsq, c_id): every vector assigned to its
+    max-inner-product centroid cell — ONE broadcast join + argmax window,
+    materialized once for cell self-joins."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    fp = emb.select(
+        "vec_id", "label", _fixed_point(F.col("embedding")).alias("e")
+    ).withColumn("nsq", _dot(F.col("e"), F.col("e")))
+    centroids = fp.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("c_id"), F.col("e").alias("c_e")
+    )
+    w_assign = W.partitionBy("vec_id").orderBy(
+        F.desc(_dot(F.col("e"), F.col("c_e"))), F.asc("c_id")
+    )
+    from iceberg_loader_spark.operators.dedup import _materialize
+
+    return _materialize(
+        fp.join(F.broadcast(centroids))
+        .withColumn("rnk", F.row_number().over(w_assign))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "label", "e", "nsq", "c_id")
+    )
+
+
 _DUCK_IVF = f"""
     fp AS (
       SELECT vec_id, label, {_DUCK_FP.format(col='embedding')} AS e
@@ -399,24 +424,7 @@ _DUCK_IVF = f"""
     """,
 )
 def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    fp = emb.select(
-        "vec_id", "label", _fixed_point(F.col("embedding")).alias("e")
-    ).withColumn("nsq", _dot(F.col("e"), F.col("e")))
-    centroids = fp.filter(F.col("vec_id") < _N_CENTROIDS).select(
-        F.col("vec_id").alias("c_id"), F.col("e").alias("c_e")
-    )
-    w_assign = W.partitionBy("vec_id").orderBy(
-        F.desc(_dot(F.col("e"), F.col("c_e"))), F.asc("c_id")
-    )
-    from iceberg_loader_spark.operators.dedup import _materialize
-
-    assigned = _materialize(
-        fp.join(F.broadcast(centroids))
-        .withColumn("rnk", F.row_number().over(w_assign))
-        .filter(F.col("rnk") == 1)
-        .select("vec_id", "label", "e", "nsq", "c_id")
-    )
+    assigned = _ivf_assigned(spark, sf_dir)
     q = assigned.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("q_id"),
         F.col("e").alias("q_e"),
@@ -441,4 +449,74 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
         .orderBy("q_id", "rnk")
+    )
+
+
+_SEMDEDUP_THRESH = 0.5  # cosine at/above which two vectors are "semantic dups"
+
+
+# --------------------------------------------------------------------------
+# B25/B26 — SemDeDup-style semantic dedup: vectors landing in the same IVF
+# cell whose exact fixed-point cosine reaches the threshold are duplicates;
+# within each duplicate relation the LOWEST vec_id wins (no transitive
+# closure — a vector is dropped iff a lower-id near-identical neighbor
+# shares its cell, the standard cheap SemDeDup keeper rule).
+#
+# Scale: cell-local self-join only (cells are the unit of pair
+# enumeration — at 100 TB the quantizer's k grows so cells stay bounded),
+# shuffle carries fixed-point int arrays, keeper decision is one
+# aggregation; no global pair table, no O(n²).
+# --------------------------------------------------------------------------
+@_register(
+    "semantic_dedup_ivf",
+    f"""
+    WITH {_DUCK_IVF},
+    dups AS (
+      SELECT b.vec_id, COUNT(*) AS n_dups_before
+      FROM assigned a JOIN assigned b
+        ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+      WHERE CAST({_DUCK_DOT.format(a='a.e', b='b.e')} AS DOUBLE)
+              / (SQRT(CAST(a.nsq AS DOUBLE)) * SQRT(CAST(b.nsq AS DOUBLE)))
+            >= {_SEMDEDUP_THRESH}
+      GROUP BY b.vec_id
+    )
+    SELECT v.vec_id, v.label, v.c_id AS cell,
+           CAST(COALESCE(d.n_dups_before, 0) AS BIGINT) AS n_dups_before,
+           CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS is_keeper
+    FROM assigned v LEFT JOIN dups d ON d.vec_id = v.vec_id
+    ORDER BY v.vec_id
+    """,
+)
+def semantic_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assigned = _ivf_assigned(spark, sf_dir)
+    cosine = _dot(F.col("a.e"), F.col("b.e")).cast("double") / (
+        F.sqrt(F.col("a.nsq").cast("double"))
+        * F.sqrt(F.col("b.nsq").cast("double"))
+    )
+    dups = (
+        assigned.alias("a")
+        .join(
+            assigned.alias("b"),
+            (F.col("a.c_id") == F.col("b.c_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cosine >= _SEMDEDUP_THRESH)
+        .groupBy(F.col("b.vec_id").alias("vec_id"))
+        .agg(F.count("*").alias("n_dups_before"))
+    )
+    return (
+        assigned.select("vec_id", "label", F.col("c_id").alias("cell"))
+        .join(dups, "vec_id", "left")
+        .select(
+            "vec_id",
+            "label",
+            "cell",
+            F.coalesce("n_dups_before", F.lit(0).cast("bigint")).alias(
+                "n_dups_before"
+            ),
+            F.when(F.col("n_dups_before").isNull(), 1)
+            .otherwise(0)
+            .alias("is_keeper"),
+        )
+        .orderBy("vec_id")
     )
