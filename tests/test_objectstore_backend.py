@@ -209,3 +209,43 @@ def test_expiry_works_through_backend(tmp_path):
     assert meta.list_versions() == [2]
     with pytest.raises(FileNotFoundError):
         meta.load_snapshot(1)
+
+
+def test_cow_validation_and_compaction_on_object_store(spark, tmp_path):
+    """delete_where's snapshot validation and rewrite_data_files both work
+    unchanged on the conditional-PUT backend (the seam is below Table)."""
+    from iceberg_loader_spark.tables.format import ConcurrentModification
+    from iceberg_loader_spark.tables.maintenance import (
+        expire_snapshots,
+        rewrite_data_files,
+    )
+
+    store = InMemoryStore()
+    wh = _warehouse(tmp_path, store)
+    t = Table.create(wh, "db.t", _schema())
+    for v in (1, 2, 3):
+        t.append(spark.createDataFrame([(v,)], _schema()))
+    t = wh.load_table("db.t")
+
+    # concurrent append between candidate selection and commit -> abort
+    orig = t._commit_with_retry
+
+    def inject(build):
+        wh.load_table("db.t").append(spark.createDataFrame([(9,)], _schema()))
+        return orig(build)
+
+    t._commit_with_retry = inject
+    with pytest.raises(ConcurrentModification):
+        t.delete_where(spark, "id == 1")
+    assert sorted(
+        r.id for r in wh.load_table("db.t").scan(spark).collect()
+    ) == [1, 2, 3, 9]
+
+    # compaction + expiry through the backend
+    t2 = wh.load_table("db.t")
+    rewrite_data_files(t2, spark)
+    res = expire_snapshots(t2, keep_last=1)
+    assert res["expired"] > 0
+    final = wh.load_table("db.t")
+    assert sorted(r.id for r in final.scan(spark).collect()) == [1, 2, 3, 9]
+    assert final.meta.list_versions() == [final.meta.current_version()]
