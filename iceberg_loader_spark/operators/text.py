@@ -547,3 +547,71 @@ def repetition_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Data-mixture rebalancing: per (source, lang) corpus shares and the
+# resampling weight that would flatten the mixture to uniform-over-groups
+# — the knob a pre-training pipeline turns to hit a target domain mix.
+# One hash aggregate + a broadcast of the single-row totals; map-only
+# after the groupBy, deterministic (every double is one division of
+# exact integer counts).
+# --------------------------------------------------------------------------
+@_register(
+    "source_mixture_weights",
+    """
+    WITH g AS (
+      SELECT source, lang,
+             COUNT(*) AS n_docs,
+             SUM(n_chars) AS n_chars_total
+      FROM documents
+      GROUP BY source, lang
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs,
+             CAST(SUM(n_chars_total) AS BIGINT) AS total_chars,
+             COUNT(*) AS n_groups
+      FROM g
+    )
+    SELECT g.source, g.lang,
+           CAST(g.n_docs AS BIGINT) AS n_docs,
+           CAST(g.n_chars_total AS BIGINT) AS n_chars_total,
+           CAST(g.n_docs AS DOUBLE) / t.total_docs AS doc_share,
+           CAST(g.n_chars_total AS DOUBLE) / t.total_chars AS char_share,
+           (1.0 / t.n_groups) / (CAST(g.n_docs AS DOUBLE) / t.total_docs)
+             AS uniform_weight
+    FROM g, tot t
+    ORDER BY source, lang
+    """,
+)
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("n_chars_total"),
+    )
+    tot = g.groupBy().agg(
+        F.sum("n_docs").alias("total_docs"),
+        F.sum("n_chars_total").alias("total_chars"),
+        F.count("*").alias("n_groups"),
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "n_chars_total",
+            (F.col("n_docs").cast("double") / F.col("total_docs")).alias(
+                "doc_share"
+            ),
+            (
+                F.col("n_chars_total").cast("double") / F.col("total_chars")
+            ).alias("char_share"),
+            (
+                (F.lit(1.0) / F.col("n_groups"))
+                / (F.col("n_docs").cast("double") / F.col("total_docs"))
+            ).alias("uniform_weight"),
+        )
+        .orderBy("source", "lang")
+    )
