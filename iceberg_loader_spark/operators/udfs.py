@@ -113,3 +113,52 @@ def apply_in_pandas_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(_lang_stats, schema=_LANG_STATS_SCHEMA)
         .orderBy("lang")
     )
+
+
+def _arrow_token_count(batches):
+    """RecordBatch-level token counting: pure pyarrow.compute kernels, no
+    pandas conversion at all — the lowest-overhead Python escape hatch
+    (single-spaced corpus: tokens = spaces + 1, mirrored in the oracle)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for b in batches:
+        text = b.column("text")
+        n_tokens = pc.add(pc.count_substring(text, " "), 1)
+        yield pa.RecordBatch.from_arrays(
+            [
+                b.column("doc_id"),
+                n_tokens.cast(pa.int64()),
+                pc.utf8_length(text).cast(pa.int64()),
+            ],
+            ["doc_id", "n_tokens", "n_chars_utf8"],
+        )
+
+
+# --------------------------------------------------------------------------
+# B24 — mapInArrow: the third UDF entry point (scalar pandas_udf and
+# grouped applyInPandas above). Arrow RecordBatches in and out with zero
+# pandas materialization — the shape a high-throughput tokenizer bridge
+# (e.g. a Rust BPE via its Arrow FFI) plugs into.
+# --------------------------------------------------------------------------
+@_register(
+    "map_in_arrow_token_count",
+    """
+    SELECT doc_id,
+           CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT)
+             AS n_tokens,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars_utf8
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def map_in_arrow_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", "text")
+        .mapInArrow(
+            _arrow_token_count,
+            schema="doc_id long, n_tokens long, n_chars_utf8 long",
+        )
+        .orderBy("doc_id")
+    )
