@@ -24,6 +24,7 @@ result dict mirrors ``core/loader.py:250-258``.
 
 from __future__ import annotations
 
+import json
 import os
 import urllib.parse
 import uuid
@@ -600,6 +601,63 @@ class Table:
             )
 
         return self._commit_with_retry(build)
+
+    def rollback(self, version: int) -> Snapshot:
+        """Roll the table back to a previous snapshot's state (Iceberg's
+        ``rollback_to_snapshot``): commits a NEW snapshot that restores the
+        old file set, so history stays append-only and time travel over
+        the bad snapshots still works until they are expired."""
+        target = self.snapshot(version)  # raises if expired/absent
+
+        def build(parent: Snapshot) -> Snapshot:
+            return new_snapshot(
+                parent,
+                "rollback",
+                target.schema_json,
+                target.partition_spec,
+                target.files,
+                parent.properties,
+                {
+                    "rolled-back-to": version,
+                    "total-records": target.total_rows,
+                },
+            )
+
+        return self._commit_with_retry(build)
+
+    # ---- metadata tables (Iceberg's `tbl.snapshots` / `tbl.files`) -------
+
+    def snapshots_df(self, spark: SparkSession) -> DataFrame:
+        """History as a DataFrame — the `tbl.snapshots` metadata table."""
+        rows = [
+            (
+                s.version,
+                s.snapshot_id,
+                s.parent_version,
+                s.timestamp_ms,
+                s.operation,
+                len(s.files),
+                s.total_rows,
+            )
+            for s in self.history()
+        ]
+        return spark.createDataFrame(
+            rows,
+            "version int, snapshot_id string, parent_version int, "
+            "timestamp_ms long, operation string, n_files int, total_rows long",
+        )
+
+    def files_df(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Current (or given) snapshot's file manifest as a DataFrame —
+        the `tbl.files` metadata table (path, rows, bytes, partition)."""
+        snap = self.snapshot(version)
+        rows = [
+            (f.path, f.rows, f.bytes, json.dumps(f.partition, sort_keys=True))
+            for f in snap.files
+        ]
+        return spark.createDataFrame(
+            rows, "path string, rows long, bytes long, partition_json string"
+        )
 
     # ---- schema evolution (SURVEY A28) -----------------------------------
 

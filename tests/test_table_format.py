@@ -176,3 +176,38 @@ def test_manifest_write_is_atomic_and_exclusive(tmp_path):
     # no temp litter left behind
     leftovers = [n for n in os.listdir(backend.meta_dir) if n.endswith(".tmp")]
     assert leftovers == []
+
+
+def test_rollback_restores_previous_state(spark, tmp_path):
+    wh = Warehouse(str(tmp_path))
+    t = Table.create(wh, "db.t", _schema())
+    t.append(spark.createDataFrame([(1,)], _schema()))
+    t = wh.load_table("db.t")
+    good = t.meta.current_version()
+    t.append(spark.createDataFrame([(2,)], _schema()))
+    t.delete_where(spark, "id == 1")
+    t = wh.load_table("db.t")
+    assert sorted(r.id for r in t.scan(spark).collect()) == [2]
+    t.rollback(good)
+    t = wh.load_table("db.t")
+    assert sorted(r.id for r in t.scan(spark).collect()) == [1]
+    assert t.snapshot().operation == "rollback"
+    # history is append-only: the bad snapshots still exist for time travel
+    assert t.scan(spark, version=good + 1).count() == 2
+    # incremental consumers must refuse to jump a rollback silently
+    with pytest.raises(ValueError, match="append-only"):
+        t.scan_incremental(spark, good)
+
+
+def test_metadata_tables(spark, tmp_path):
+    wh = Warehouse(str(tmp_path))
+    t = Table.create(wh, "db.t", _schema())
+    t.append(spark.createDataFrame([(1,), (2,)], _schema()))
+    t.append(spark.createDataFrame([(3,)], _schema()))
+    t = wh.load_table("db.t")
+    snaps = t.snapshots_df(spark).orderBy("version").collect()
+    assert [s.operation for s in snaps] == ["create", "append", "append"]
+    assert snaps[-1].total_rows == 3
+    files = t.files_df(spark).collect()
+    assert sum(f.rows for f in files) == 3
+    assert all(f.path.startswith("data/") for f in files)
