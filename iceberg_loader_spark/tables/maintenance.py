@@ -135,3 +135,45 @@ def rewrite_data_files(
 
     table._commit_with_retry(build)
     return {"rewritten": len(snap.files), "added": len(entries)}
+
+
+def remove_orphan_files(table: Table, older_than_ms: int | None = None) -> dict:
+    """Delete data files referenced by NO snapshot manifest — the debris a
+    crashed writer leaves behind (files are written to ``data/<uuid>/``
+    BEFORE the commit; a failure between write and commit orphans them).
+
+    ``older_than_ms`` (epoch millis) guards in-flight writes: files newer
+    than the cutoff are kept even if unreferenced, because a concurrent
+    writer may be about to commit them. Default: 3 hours ago, matching
+    Iceberg's ``remove_orphan_files`` default posture.
+    """
+    import time as _time
+
+    if older_than_ms is None:
+        older_than_ms = int(_time.time() * 1000) - 3 * 3600 * 1000
+    live = {
+        f.path for snap in table.history() for f in snap.files
+    }
+    data_root = os.path.join(table.root, "data")
+    removed = kept_recent = 0
+    for dirpath, _dirnames, filenames in os.walk(data_root):
+        for fn in filenames:
+            abs_path = os.path.join(dirpath, fn)
+            rel = os.path.relpath(abs_path, table.root).replace(os.sep, "/")
+            if rel in live:
+                continue
+            if not fn.endswith(".parquet"):
+                continue
+            if os.path.getmtime(abs_path) * 1000 >= older_than_ms:
+                kept_recent += 1  # possibly in-flight — leave it
+                continue
+            os.remove(abs_path)
+            removed += 1
+    # prune now-empty staging dirs (best effort)
+    for dirpath, dirnames, filenames in os.walk(data_root, topdown=False):
+        if dirpath != data_root and not dirnames and not filenames:
+            try:
+                os.rmdir(dirpath)
+            except OSError:
+                pass
+    return {"removed": removed, "kept_recent": kept_recent}

@@ -105,3 +105,42 @@ def test_compaction_preserves_rows(spark, tmp_path):
     assert t2.snapshot().operation == "replace"
     assert len(t2.snapshot().files) < n_files_before
     assert sorted(r.id for r in t2.scan(spark).collect()) == [0, 1, 2, 3, 4]
+
+
+def test_remove_orphan_files_deletes_uncommitted_debris(spark, tmp_path):
+    """Files written by a crashed writer (present under data/, referenced
+    by no manifest) are removed; live and recent files survive."""
+    import os
+    import time
+
+    from pyspark.sql import types as T
+
+    from iceberg_loader_spark.tables import Warehouse
+    from iceberg_loader_spark.tables.maintenance import remove_orphan_files
+    from iceberg_loader_spark.tables.table import Table
+
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    wh = Warehouse(str(tmp_path))
+    t = Table.create(wh, "db.t", schema)
+    t.append(spark.createDataFrame([(1,)], schema))
+    t = wh.load_table("db.t")
+    # simulate a crashed writer: parquet in a staging dir, never committed
+    orphan_dir = os.path.join(t.root, "data", "deadbeef")
+    os.makedirs(orphan_dir)
+    orphan = os.path.join(orphan_dir, "part-0.parquet")
+    spark.createDataFrame([(99,)], schema).toPandas().to_parquet(orphan)
+    old = time.time() - 4 * 3600
+    os.utime(orphan, (old, old))
+    # a RECENT unreferenced file stays (may be in-flight)
+    recent_dir = os.path.join(t.root, "data", "cafe0000")
+    os.makedirs(recent_dir)
+    recent = os.path.join(recent_dir, "part-0.parquet")
+    spark.createDataFrame([(98,)], schema).toPandas().to_parquet(recent)
+
+    res = remove_orphan_files(t)
+    assert res == {"removed": 1, "kept_recent": 1}
+    assert not os.path.exists(orphan)
+    assert not os.path.exists(orphan_dir)  # empty staging dir pruned
+    assert os.path.exists(recent)
+    # committed data untouched
+    assert [r.id for r in wh.load_table("db.t").scan(spark).collect()] == [1]
