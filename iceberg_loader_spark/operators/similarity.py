@@ -520,3 +520,83 @@ def semantic_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# --------------------------------------------------------------------------
+# B26 — multi-probe IVF ANN (nprobe=2): each query probes its TWO nearest
+# centroid cells instead of one — the standard recall knob (candidates
+# roughly double, recall approaches exact search, still no O(n²)).
+# Cells partition the corpus, so the two probes yield disjoint candidate
+# sets and no dedup is needed before ranking.
+# --------------------------------------------------------------------------
+@_register(
+    "ann_ivf_nprobe2",
+    f"""
+    WITH {_DUCK_IVF},
+    probes AS (
+      SELECT vec_id AS q_id, c_id AS probe_cell, e AS q_e, nsq AS q_nsq FROM (
+        SELECT n.vec_id, c.c_id, n.e, n.nsq,
+               ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                 ORDER BY {_DUCK_DOT.format(a='n.e', b='c.c_e')} DESC, c.c_id) AS rnk
+        FROM norms n CROSS JOIN centroids c
+        WHERE n.vec_id < 20)
+      WHERE rnk <= 2
+    ),
+    pairs AS (
+      SELECT p.q_id, c.vec_id AS n_id, c.label AS n_label, p.probe_cell,
+             CAST({_DUCK_DOT.format(a='p.q_e', b='c.e')} AS DOUBLE)
+               / (SQRT(CAST(p.q_nsq AS DOUBLE)) * SQRT(CAST(c.nsq AS DOUBLE))) AS cosine
+      FROM probes p JOIN assigned c
+        ON c.c_id = p.probe_cell AND c.vec_id <> p.q_id
+    )
+    SELECT q_id, n_id, n_label, probe_cell, cosine, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rnk
+      FROM pairs)
+    WHERE rnk <= 3
+    ORDER BY q_id, rnk
+    """,
+)
+def ann_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    fp = emb.select(
+        "vec_id", "label", _fixed_point(F.col("embedding")).alias("e")
+    ).withColumn("nsq", _dot(F.col("e"), F.col("e")))
+    centroids = fp.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("c_id"), F.col("e").alias("c_e")
+    )
+    w_probe = W.partitionBy("vec_id").orderBy(
+        F.desc(_dot(F.col("e"), F.col("c_e"))), F.asc("c_id")
+    )
+    probes = (
+        fp.filter(F.col("vec_id") < 20)
+        .join(F.broadcast(centroids))
+        .withColumn("rnk", F.row_number().over(w_probe))
+        .filter(F.col("rnk") <= 2)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("c_id").alias("probe_cell"),
+            F.col("e").alias("q_e"),
+            F.col("nsq").alias("q_nsq"),
+        )
+    )
+    assigned = _ivf_assigned(spark, sf_dir)
+    cosine = _dot(F.col("q_e"), F.col("e")).cast("double") / (
+        F.sqrt(F.col("q_nsq").cast("double")) * F.sqrt(F.col("nsq").cast("double"))
+    )
+    pairs = assigned.join(
+        F.broadcast(probes),
+        (F.col("c_id") == F.col("probe_cell"))
+        & (F.col("vec_id") != F.col("q_id")),
+    ).select(
+        "q_id",
+        F.col("vec_id").alias("n_id"),
+        F.col("label").alias("n_label"),
+        "probe_cell",
+        cosine.alias("cosine"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("q_id", "rnk")
+    )
