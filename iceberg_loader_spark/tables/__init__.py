@@ -23,6 +23,19 @@ schema so Catalyst's parquet pushdown/pruning applies unchanged.
 """
 
 from iceberg_loader_spark.tables.catalog import Warehouse
-from iceberg_loader_spark.tables.format import Snapshot, TableMetadata
+from iceberg_loader_spark.tables.format import (
+    CommitConflict,
+    ConcurrentModification,
+    MetadataBackend,
+    Snapshot,
+    TableMetadata,
+)
 
-__all__ = ["Warehouse", "Snapshot", "TableMetadata"]
+__all__ = [
+    "Warehouse",
+    "Snapshot",
+    "TableMetadata",
+    "MetadataBackend",
+    "CommitConflict",
+    "ConcurrentModification",
+]
