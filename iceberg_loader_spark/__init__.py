@@ -15,9 +15,7 @@ Layout:
     operators/   Part B query surface (relational, dedup, similarity, text,
                  multimodal)
     streaming/   Structured Streaming ops (windows, watermark, stateful dedup)
-    functions/   scalar helpers shared across operators
     sources/     ingest adapters (dicts/messy-JSON, Arrow IPC, REST)
-    plans/       plan-inspection helpers (pushdown/broadcast assertions)
 """
 
 from iceberg_loader_spark.session import get_spark
