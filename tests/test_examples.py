@@ -38,3 +38,9 @@ def test_load_upsert_example(tmp_path):
 @pytest.mark.usefixtures("spark")
 def test_advanced_scenarios_example(tmp_path):
     _load("advanced_scenarios").run_scenarios(str(tmp_path))
+
+
+@pytest.mark.usefixtures("spark")
+def test_load_stream_example(tmp_path):
+    result = _load("load_stream").run_stream_load(str(tmp_path), target_mb=2)
+    assert result["rows_loaded"] > 0
