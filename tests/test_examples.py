@@ -44,3 +44,9 @@ def test_advanced_scenarios_example(tmp_path):
 def test_load_stream_example(tmp_path):
     result = _load("load_stream").run_stream_load(str(tmp_path), target_mb=2)
     assert result["rows_loaded"] > 0
+
+
+@pytest.mark.usefixtures("spark")
+def test_maintenance_example(tmp_path):
+    res = _load("maintenance_example").main(str(tmp_path))
+    assert res["expired"]["expired"] > 0
