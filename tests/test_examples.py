@@ -50,3 +50,8 @@ def test_load_stream_example(tmp_path):
 def test_maintenance_example(tmp_path):
     res = _load("maintenance_example").main(str(tmp_path))
     assert res["expired"]["expired"] > 0
+
+
+@pytest.mark.usefixtures("spark")
+def test_load_complex_json_example(tmp_path):
+    _load("load_complex_json").run_complex_load(str(tmp_path))
