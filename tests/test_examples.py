@@ -55,3 +55,8 @@ def test_maintenance_example(tmp_path):
 @pytest.mark.usefixtures("spark")
 def test_load_complex_json_example(tmp_path):
     _load("load_complex_json").run_complex_load(str(tmp_path))
+
+
+@pytest.mark.usefixtures("spark")
+def test_load_timestamp_partitioning_example(tmp_path):
+    _load("load_timestamp_partitioning").main(str(tmp_path))
