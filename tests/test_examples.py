@@ -60,3 +60,8 @@ def test_load_complex_json_example(tmp_path):
 @pytest.mark.usefixtures("spark")
 def test_load_timestamp_partitioning_example(tmp_path):
     _load("load_timestamp_partitioning").main(str(tmp_path))
+
+
+@pytest.mark.usefixtures("spark")
+def test_load_from_api_example(tmp_path):
+    _load("load_from_api").main(str(tmp_path))
