@@ -65,3 +65,8 @@ def test_load_timestamp_partitioning_example(tmp_path):
 @pytest.mark.usefixtures("spark")
 def test_load_from_api_example(tmp_path):
     _load("load_from_api").main(str(tmp_path))
+
+
+@pytest.mark.usefixtures("spark")
+def test_compare_complex_json_fail_example(tmp_path):
+    _load("compare_complex_json_fail").run_comparison(str(tmp_path))
