@@ -384,3 +384,127 @@ def running_user_totals_streaming(
     q.processAllAvailable()
     q.stop()
     return spark.table("running_user_totals_streaming")
+
+
+def run_stateful_sessionizer(
+    spark: SparkSession,
+    stage_dir: str,
+    gap_minutes: int = 30,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Custom stateful sessionization with EVENT-TIME TIMEOUTS — the full
+    ``applyInPandasWithState`` surface (B21/B23): per-user session state
+    that (a) splits when a new event arrives after the gap, and (b) is
+    FINALIZED AND EVICTED by the state-store timeout when the watermark
+    passes session-end + gap, so abandoned keys never leak state.
+
+    ``stage_dir`` holds ordered parquet chunks (one micro-batch each via
+    ``maxFilesPerTrigger=1``); returns the finalized-sessions memory sink
+    as a DataFrame (user_id, s_start_ms, s_end_ms, n_events). Sessions
+    still open at end-of-input remain in state (correct streaming
+    behavior — they'd finalize on the next watermark advance).
+    """
+    import os
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from iceberg_loader_spark.sources.tables import ensure_compat
+
+    ensure_compat(spark)
+    gap_ms = gap_minutes * 60 * 1000
+    in_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("s_start_ms", LongType()),
+            StructField("s_end_ms", LongType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start_ms", LongType()),
+            StructField("end_ms", LongType()),
+            StructField("n", LongType()),
+        ]
+    )
+
+    def sessionize(key, pdf_iter, state: GroupState):
+        user_id = key[0]
+        if state.hasTimedOut:
+            start_ms, end_ms, n = state.get
+            state.remove()  # evict — no state leak for abandoned keys
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "s_start_ms": [start_ms],
+                    "s_end_ms": [end_ms],
+                    "n_events": [n],
+                }
+            )
+            return
+        closed: list[tuple[int, int, int]] = []
+        cur = state.get if state.exists else None
+        for pdf in pdf_iter:
+            ts_ms = (
+                pdf["ts"].astype("datetime64[ms]").astype("int64").sort_values()
+            )
+            for t in ts_ms:
+                t = int(t)
+                if cur is None:
+                    cur = (t, t, 1)
+                elif t - cur[1] > gap_ms:
+                    closed.append(cur)  # arrival-side session split
+                    cur = (t, t, 1)
+                else:
+                    cur = (cur[0], max(cur[1], t), cur[2] + 1)
+        if cur is not None:
+            state.update(cur)
+            # finalize when the watermark passes session-end + gap
+            state.setTimeoutTimestamp(cur[1] + gap_ms)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "s_start_ms": [c[0] for c in closed],
+                    "s_end_ms": [c[1] for c in closed],
+                    "n_events": [c[2] for c in closed],
+                }
+            )
+
+    stream = (
+        spark.readStream.schema(in_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage_dir)
+        .withWatermark("ts", watermark)
+    )
+    result = stream.groupBy("user_id").applyInPandasWithState(
+        sessionize,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    name = "stateful_sessions_" + os.path.basename(stage_dir.rstrip("/"))
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)

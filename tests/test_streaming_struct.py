@@ -96,3 +96,67 @@ def test_stream_cents_rounding_matches_spark_round_on_negatives(spark):
     x = np.array(vals) * 100
     stream = np.copysign(np.floor(np.abs(x) + 0.5), x).astype("int64").tolist()
     assert stream == batch
+
+
+def test_stateful_sessionizer_event_time_timeout(spark, tmp_path):
+    """The applyInPandasWithState sessionizer finalizes sessions via
+    EVENT-TIME TIMEOUT when the watermark passes session-end + gap, and
+    splits sessions on late-gap arrivals. Three ordered micro-batches:
+
+      chunk0: users 1,2 at 10:00          (sessions open)
+      chunk1: user 2 at 12:00             (watermark -> 11:50: user 1's
+                                           10:00 session times out; user
+                                           2's split closes its first)
+      chunk2: user 3 at 14:00             (watermark -> 13:50: user 2's
+                                           12:00 session times out)
+
+    User 3's session stays in state (no later watermark) — correct
+    streaming behavior, asserted absent.
+    """
+    from datetime import datetime
+
+    import pandas as pd
+
+    from iceberg_loader_spark.streaming.windows import run_stateful_sessionizer
+
+    stage = str(tmp_path / "sessions_stage")
+    import os
+
+    os.makedirs(stage)
+    chunks = [
+        [(1, datetime(2024, 1, 1, 10, 0)), (2, datetime(2024, 1, 1, 10, 0)),
+         (2, datetime(2024, 1, 1, 10, 10))],
+        [(2, datetime(2024, 1, 1, 12, 0))],
+        [(3, datetime(2024, 1, 1, 14, 0))],
+    ]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for i, rows in enumerate(chunks):
+        # microsecond timestamps: pandas defaults to TIMESTAMP(NANOS),
+        # which the session's nanos-compat conf reads as long
+        tab = pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            }
+        )
+        pq.write_table(tab, f"{stage}/chunk{i}.parquet")
+
+    out = run_stateful_sessionizer(spark, stage, gap_minutes=30)
+    got = {
+        (r.user_id, r.s_start_ms, r.s_end_ms, r.n_events)
+        for r in out.collect()
+    }
+
+    def ms(*args):
+        return int(datetime(*args).timestamp() * 1000)
+
+    assert (1, ms(2024, 1, 1, 10, 0), ms(2024, 1, 1, 10, 0), 1) in got
+    # user 2's first session (10:00-10:10, 2 events) closed — via split
+    # or timeout depending on batch interleaving; either path must emit it
+    assert (2, ms(2024, 1, 1, 10, 0), ms(2024, 1, 1, 10, 10), 2) in got
+    # user 2's second session finalized by the chunk2 watermark
+    assert (2, ms(2024, 1, 1, 12, 0), ms(2024, 1, 1, 12, 0), 1) in got
+    # user 3 still open — in state, not in output
+    assert not any(u == 3 for (u, *_rest) in got)
