@@ -602,6 +602,28 @@ class Table:
 
         return self._commit_with_retry(build)
 
+    def set_partition_spec(self, spec: list[PartitionField]) -> Snapshot:
+        """Partition-spec evolution (Iceberg's ``ADD/REPLACE PARTITION
+        FIELD``): future writes use the new spec; existing files keep the
+        partition values they were written with. Mixed-spec tables plan
+        correctly because pruning reads each file's own partition dict
+        (a file without a value for a pruned key is simply not pruned by
+        it) — same contract as Iceberg spec evolution."""
+        validate_spec(spec, self.schema())
+
+        def build(parent: Snapshot) -> Snapshot:
+            return new_snapshot(
+                parent,
+                "evolve-partition",
+                parent.schema_json,
+                [pf.to_json() for pf in spec],
+                parent.files,
+                parent.properties,
+                {"partition-spec": [pf.to_json() for pf in spec]},
+            )
+
+        return self._commit_with_retry(build)
+
     def rollback(self, version: int) -> Snapshot:
         """Roll the table back to a previous snapshot's state (Iceberg's
         ``rollback_to_snapshot``): commits a NEW snapshot that restores the

@@ -132,6 +132,9 @@ def test_stateful_sessionizer_event_time_timeout(spark, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    import time as _time
+
+    now = _time.time()
     for i, rows in enumerate(chunks):
         # microsecond timestamps: pandas defaults to TIMESTAMP(NANOS),
         # which the session's nanos-compat conf reads as long
@@ -141,7 +144,10 @@ def test_stateful_sessionizer_event_time_timeout(spark, tmp_path):
                 "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
             }
         )
-        pq.write_table(tab, f"{stage}/chunk{i}.parquet")
+        path = f"{stage}/chunk{i}.parquet"
+        pq.write_table(tab, path)
+        # FileStreamSource orders by mtime — pin strictly increasing
+        os.utime(path, (now + i, now + i))
 
     out = run_stateful_sessionizer(spark, stage, gap_minutes=30)
     got = {
