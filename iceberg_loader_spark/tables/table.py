@@ -185,9 +185,10 @@ class Table:
         (Iceberg's ``start-snapshot-id``/``end-snapshot-id`` read).
 
         Only ``append`` snapshots may appear in the range; ``replace``
-        (compaction) and ``evolve-schema`` snapshots are skipped because
-        they change no rows (compaction rewrites bytes, evolution only
-        widens the schema — its file set is the parent's, unchanged), and
+        (compaction), ``evolve-schema`` and ``evolve-partition`` snapshots
+        are skipped because they change no rows (compaction rewrites
+        bytes, evolution only changes metadata — the file set is the
+        parent's, unchanged), and
         any row-changing operation (overwrite/delete/merge) raises — a
         consumer that needs those needs a CDC log, not a file diff. The
         appended files are read directly, so an incremental consumer
@@ -204,7 +205,7 @@ class Table:
         new_files: list[DataFile] = []
         for v in versions:
             snap = self.snapshot(v)
-            if snap.operation in ("replace", "evolve-schema"):
+            if snap.operation in ("replace", "evolve-schema", "evolve-partition"):
                 continue
             if snap.operation != "append":
                 raise ValueError(

@@ -211,3 +211,53 @@ def test_metadata_tables(spark, tmp_path):
     files = t.files_df(spark).collect()
     assert sum(f.rows for f in files) == 3
     assert all(f.path.startswith("data/") for f in files)
+
+
+def test_partition_spec_evolution(spark, tmp_path):
+    """Spec evolution: future writes use the new spec, old files keep
+    their (absent) partition values, pruning and deletes work across the
+    mixed-spec file set, incremental scans skip the evolution snapshot."""
+    from datetime import datetime
+
+    from iceberg_loader_spark.tables.partitioning import PartitionField
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("ts", T.TimestampNTZType())]
+    )
+    wh = Warehouse(str(tmp_path))
+    t = Table.create(wh, "db.t", schema)
+    t.append(
+        spark.createDataFrame(
+            [(1, datetime(2023, 1, 1)), (2, datetime(2023, 1, 2))], schema
+        )
+    )
+    t = wh.load_table("db.t")
+    base = t.meta.current_version()
+    assert t.partition_spec() == []
+    t.set_partition_spec([PartitionField(transform="day", source="ts")])
+    t = wh.load_table("db.t")
+    assert [pf.name for pf in t.partition_spec()] == ["ts_day"]
+    t.append(
+        spark.createDataFrame(
+            [(3, datetime(2023, 2, 1)), (4, datetime(2023, 2, 2))], schema
+        )
+    )
+    t = wh.load_table("db.t")
+    # new files carry partition values; the old file has none
+    parts = [f.partition for f in t.snapshot().files]
+    assert any(p.get("ts_day") for p in parts) and any(not p for p in parts)
+    # pruning on the new key drops new-spec files but keeps the old file
+    may, clean = prune_files(
+        "ts == '2023-02-01'", t.snapshot().files, t.partition_spec()
+    )
+    assert any(not f.partition for f in may)  # old file conservatively kept
+    assert all(f.partition.get("ts_day") != "2023-02-02" for f in may)
+    # full scan + filtered scan correct across mixed specs
+    assert t.scan(spark).count() == 4
+    assert [r.id for r in t.scan(spark, where="ts == '2023-02-01'").collect()] == [3]
+    # incremental scan skips the evolve-partition snapshot
+    assert sorted(r.id for r in t.scan_incremental(spark, base).collect()) == [3, 4]
+    # delete across mixed specs
+    t.delete_where(spark, "id == 1")
+    t = wh.load_table("db.t")
+    assert sorted(r.id for r in t.scan(spark).collect()) == [2, 3, 4]
