@@ -89,17 +89,36 @@ def expire_snapshots(
 
 
 def rewrite_data_files(
-    table: Table, spark: SparkSession, target_file_mb: int = 512
+    table: Table,
+    spark: SparkSession,
+    target_file_mb: int = 512,
+    sort_by: list[str] | None = None,
+    target_files: int | None = None,
 ) -> dict:
-    """A35: compaction — coalesce small files into ~target-size files."""
+    """A35: compaction — coalesce small files into ~target-size files.
+
+    ``sort_by``: cluster rows by these columns during the rewrite
+    (Iceberg's sort-order rewrite): a range repartition + within-file
+    sort gives each output file a tight, near-disjoint min/max range on
+    the sort columns, so metadata pruning on them approaches
+    one-file-per-predicate at scan time — the cheap version of Z-ordering
+    and the single biggest pruning lever at 100 TB.
+    """
     snap = table.snapshot()
     if not snap.files:
         return {"rewritten": 0, "added": 0}
     total_bytes = sum(f.bytes for f in snap.files)
-    target = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+    target = target_files or max(
+        1, round(total_bytes / (target_file_mb * 1024 * 1024))
+    )
     spec = table.partition_spec()
     df = table.scan(spark, version=snap.version)
-    if not spec:
+    if sort_by:
+        # range partition on the sort key -> near-disjoint per-file ranges
+        df = df.repartitionByRange(target, *sort_by).sortWithinPartitions(
+            *sort_by
+        )
+    elif not spec:
         df = df.repartition(target)
     entries = table._write_data_files(df, spec, table._codec())
     # Only the files we actually scanned are replaced. A writer that

@@ -144,3 +144,36 @@ def test_remove_orphan_files_deletes_uncommitted_debris(spark, tmp_path):
     assert os.path.exists(recent)
     # committed data untouched
     assert [r.id for r in wh.load_table("db.t").scan(spark).collect()] == [1]
+
+
+def test_sorted_compaction_tightens_file_ranges(spark, tmp_path):
+    """rewrite_data_files(sort_by=...) clusters rows so output files get
+    near-disjoint min/max ranges -> point predicates prune to ~1 file."""
+    from pyspark.sql import types as T
+
+    from iceberg_loader_spark.tables import Warehouse
+    from iceberg_loader_spark.tables.filters import prune_files
+    from iceberg_loader_spark.tables.maintenance import rewrite_data_files
+    from iceberg_loader_spark.tables.table import Table
+
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    wh = Warehouse(str(tmp_path))
+    t = Table.create(wh, "db.t", schema)
+    # interleaved appends -> every file spans nearly the full id range
+    for i in range(4):
+        t.append(
+            spark.createDataFrame([(j,) for j in range(i, 400, 4)], schema)
+        )
+    t = wh.load_table("db.t")
+    may_before, _ = prune_files("id == 7", t.snapshot().files, [])
+    assert len(may_before) == 4  # no pruning possible
+
+    rewrite_data_files(t, spark, sort_by=["id"], target_files=4)
+    t = wh.load_table("db.t")
+    files = t.snapshot().files
+    may_after, clean = prune_files("id == 7", files, [])
+    assert len(files) > 1
+    assert len(may_after) < len(files), "sorted rewrite must enable pruning"
+    # rows intact
+    assert t.scan(spark).count() == 400
+    assert [r.id for r in t.scan(spark, where="id == 7").collect()] == [7]
