@@ -96,6 +96,9 @@ class Table:
         t = cls(warehouse, identifier)
         if t.meta.exists():
             raise FileExistsError(f"table {identifier} already exists")
+        # ensure the root exists even before the first data write, so
+        # namespace listings see empty tables regardless of backend
+        os.makedirs(t.root, exist_ok=True)
         spec = partition_spec or []
         try:
             warnings = validate_spec(spec, schema)

@@ -249,3 +249,10 @@ def test_cow_validation_and_compaction_on_object_store(spark, tmp_path):
     final = wh.load_table("db.t")
     assert sorted(r.id for r in final.scan(spark).collect()) == [1, 2, 3, 9]
     assert final.meta.list_versions() == [final.meta.current_version()]
+
+
+def test_list_tables_sees_empty_table_on_object_store(tmp_path):
+    store = InMemoryStore()
+    wh = _warehouse(tmp_path, store)
+    Table.create(wh, "db.empty", _schema())
+    assert wh.list_tables("db") == ["db.empty"]
