@@ -49,6 +49,9 @@ class Warehouse:
         return Table(self, identifier)
 
     def drop_table(self, identifier: str) -> None:
+        # drop metadata through the backend (on an object store the local
+        # rmtree alone would leave the manifests — and the table — alive)
+        self.metadata(identifier).backend.drop()
         root = self.table_root(identifier)
         if os.path.isdir(root):
             shutil.rmtree(root)

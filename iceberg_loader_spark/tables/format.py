@@ -177,6 +177,10 @@ class MetadataBackend:
     def delete_manifest(self, version: int) -> None:
         raise NotImplementedError
 
+    def drop(self) -> None:
+        """Delete ALL table metadata (manifests + current pointer)."""
+        raise NotImplementedError
+
 
 class LocalFSBackend(MetadataBackend):
     """POSIX-filesystem backend: exclusive O_CREAT manifest write +
@@ -249,6 +253,11 @@ class LocalFSBackend(MetadataBackend):
 
     def delete_manifest(self, version: int) -> None:
         os.remove(self.manifest_path(version))
+
+    def drop(self) -> None:
+        import shutil
+
+        shutil.rmtree(self.meta_dir, ignore_errors=True)
 
 
 class TableMetadata:

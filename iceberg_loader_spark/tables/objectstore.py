@@ -208,3 +208,7 @@ class ObjectStoreBackend(MetadataBackend):
 
     def delete_manifest(self, version: int) -> None:
         self.store.delete(self._manifest_key(version))
+
+    def drop(self) -> None:
+        for key in self.store.list_keys(f"{self.prefix}/_meta/"):
+            self.store.delete(key)

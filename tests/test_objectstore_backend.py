@@ -256,3 +256,19 @@ def test_list_tables_sees_empty_table_on_object_store(tmp_path):
     wh = _warehouse(tmp_path, store)
     Table.create(wh, "db.empty", _schema())
     assert wh.list_tables("db") == ["db.empty"]
+
+
+def test_drop_table_removes_store_metadata(spark, tmp_path):
+    """drop_table must delete the manifests from the STORE, not just the
+    local data dir — otherwise the table resurrects on the next load."""
+    store = InMemoryStore()
+    wh = _warehouse(tmp_path, store)
+    t = Table.create(wh, "db.t", _schema())
+    t.append(spark.createDataFrame([(1,)], _schema()))
+    assert wh.table_exists("db.t")
+    wh.drop_table("db.t")
+    assert not wh.table_exists("db.t")
+    assert store.list_keys("") == []  # no metadata blobs left behind
+    # and the identifier is reusable
+    Table.create(wh, "db.t", _schema())
+    assert wh.load_table("db.t").snapshot().version == 1
