@@ -269,7 +269,6 @@ class TableMetadata:
 
     def __init__(self, root: str, backend: MetadataBackend | None = None):
         self.root = root
-        self.meta_dir = os.path.join(root, META_DIR)
         self.backend = backend if backend is not None else LocalFSBackend(root)
 
     # ---- reads -----------------------------------------------------------
@@ -279,9 +278,6 @@ class TableMetadata:
 
     def current_version(self) -> int:
         return self.backend.read_current()
-
-    def snapshot_path(self, version: int) -> str:
-        return os.path.join(self.meta_dir, f"v{version:09d}.json")
 
     def load_snapshot(self, version: int | None = None) -> Snapshot:
         if version is None:
