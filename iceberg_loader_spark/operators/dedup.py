@@ -168,14 +168,26 @@ def _gram_expr(n: int) -> F.Column:
 # oracle-green (tests/test_queries_oracle.py runs minhash under "persist").
 import os as _os
 
-_MATERIALIZE_MODE = _os.environ.get("SPARK_GRAFT_MATERIALIZE", "local_checkpoint")
+
+def _validated_mode(mode: str) -> str:
+    if mode not in ("local_checkpoint", "persist"):
+        raise ValueError(
+            f"unknown materialize mode: {mode!r} "
+            "(expected 'local_checkpoint' or 'persist')"
+        )
+    return mode
+
+
+# Fail loudly at import on a bad env value — a typo silently falling back
+# to local_checkpoint would run the mode that is unsafe on executor loss.
+_MATERIALIZE_MODE = _validated_mode(
+    _os.environ.get("SPARK_GRAFT_MATERIALIZE", "local_checkpoint")
+)
 
 
 def set_materialize_mode(mode: str) -> None:
     global _MATERIALIZE_MODE
-    if mode not in ("local_checkpoint", "persist"):
-        raise ValueError(f"unknown materialize mode: {mode!r}")
-    _MATERIALIZE_MODE = mode
+    _MATERIALIZE_MODE = _validated_mode(mode)
 
 
 def _materialize(df: DataFrame) -> DataFrame:

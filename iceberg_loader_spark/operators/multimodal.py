@@ -272,7 +272,7 @@ _DOWNSAMPLE_SCHEMA = StructType(
         StructField("doc_id", LongType()),
         StructField("n_samples", IntegerType()),
         StructField("checksum", IntegerType()),
-        StructField("head_bytes", ArrayType(IntegerType())),
+        StructField("head_bytes", StringType()),
     ]
 )
 
@@ -306,15 +306,19 @@ def _downsample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             np.int64
         ) % 65536
         # head_bytes = first min(4, ns) samples per doc: 4 vectorized
-        # gathers into an (n, 4) matrix, then per-row list slicing (object
-        # output column — unavoidable for array<int>).
+        # gathers into an (n, 4) matrix, then per-row join into a
+        # canonical comma-separated string (hashable downstream — array
+        # columns break pandas-based result canonicalizers).
         head_n = np.minimum(ns, 4).astype(np.int64)
         mat = np.zeros((n, 4), dtype=np.int64)
         for k in range(4):
             has = ns > k
             if flat.size and has.any():
                 mat[has, k] = flat[starts[has] + k * _STRIDE]
-        heads = [row[:c] for row, c in zip(mat.tolist(), head_n.tolist())]
+        heads = [
+            ",".join(map(str, row[:c]))
+            for row, c in zip(mat.tolist(), head_n.tolist())
+        ]
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"].to_numpy(np.int64),
@@ -342,9 +346,9 @@ def _downsample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
            CAST(list_sum(list_transform(range(0, n_samples),
                 i -> ascii(substring(text, i * {_STRIDE} + 1, 1)))) % 65536
                 AS INTEGER) AS checksum,
-           list_transform(range(0, least(4, n_samples)),
-                i -> CAST(ascii(substring(text, i * {_STRIDE} + 1, 1)) AS INTEGER))
-             AS head_bytes
+           array_to_string(list_transform(range(0, least(4, n_samples)),
+                i -> CAST(ascii(substring(text, i * {_STRIDE} + 1, 1)) AS INTEGER)),
+                ',') AS head_bytes
     FROM d
     ORDER BY doc_id
     """,

@@ -668,6 +668,18 @@ def unpivot_flag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # B11 — ranking-function battery with a total order.
+#
+# SCALE NOTE (deliberate single-partition window): NTILE / PERCENT_RANK /
+# CUME_DIST over a TOTAL order require every row's global position, so the
+# empty `W.orderBy(...)` funnels the whole input through one task — Spark
+# warns `WindowExec: No Partition Defined`. That is acceptable ONLY because
+# supplier is a bounded dimension table (O(10k-100k) rows at any SF, ~1% of
+# lineitem). If this battery were ever pointed at a fact table, respell:
+#   dense_rank/percent_rank/cume_dist -> join against an aggregated
+#     (value -> count, running count) frame (two shuffles, fully parallel);
+#   ntile(k) -> rank via the same join, then bucket = (rank-1)*k/n.
+# The partitioned analytic windows (B12, window_top_orders_per_customer)
+# are the fact-table-safe patterns and stay parallel.
 # --------------------------------------------------------------------------
 @_register(
     "window_rank_battery",
@@ -858,18 +870,37 @@ def stats_battery_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# B10 — approximate distinct (HLL). No oracle twin: approximate by design;
-# the driver records a rows-only check, and tests assert <5% relative error
-# against the exact count.
+# B10 — approximate distinct (HLL), made self-verifying: the query computes
+# BOTH the HLL estimate and the exact distinct count, and emits the exact
+# count plus a deterministic within-5%-bound verdict. The oracle recomputes
+# the exact side and asserts the verdict — so a sketch drifting out of its
+# error bound turns the driver row red instead of being unverifiable.
+# (The raw estimate itself is engine-specific and deliberately not output.)
 # --------------------------------------------------------------------------
-@_register("approx_distinct_users")
+@_register(
+    "approx_distinct_users",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS hll_within_5pct
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    approx = F.approx_count_distinct("user_id")
+    exact = F.countDistinct("user_id")
     return (
         ev.groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id").alias("approx_users"),
-            F.countDistinct("user_id").alias("exact_users"),
+            exact.alias("exact_users"),
+            (
+                F.abs(approx.cast("double") - exact)
+                / F.greatest(exact, F.lit(1))
+                <= F.lit(0.05)
+            ).alias("hll_within_5pct"),
         )
         .orderBy("event_type")
     )
@@ -974,16 +1005,35 @@ def value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
-@_register("approx_percentile_value")
+@_register(
+    "approx_percentile_value",
+    """
+    SELECT event_type,
+           quantile_cont(CAST(ROUND(value * 100, 0) AS BIGINT), 0.5)
+             AS exact_p50_cents,
+           TRUE AS sketch_within_5pct
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
 def approx_percentile_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable percentile sketch next to the exact value (rows-only
-    check + error-bound test — sketch internals differ across engines)."""
+    """Mergeable percentile sketch made self-verifying: computes the
+    sketch estimate AND the exact interpolated percentile, emits the exact
+    value plus a within-5%-bound verdict the oracle asserts (sketch
+    internals differ across engines, so the estimate itself stays
+    internal)."""
     ev = load_table(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100, 0).cast("bigint")
     grp = ev.select("event_type", cents.alias("cents")).groupBy("event_type")
+    approx = F.approx_percentile("cents", 0.5, 10000).cast("double")
+    exact = F.percentile("cents", 0.5)
     return grp.agg(
-        F.approx_percentile("cents", 0.5, 10000).alias("approx_p50_cents"),
-        F.percentile("cents", 0.5).alias("exact_p50_cents"),
+        exact.alias("exact_p50_cents"),
+        (
+            F.abs(approx - exact) / F.greatest(F.abs(exact), F.lit(1.0))
+            <= F.lit(0.05)
+        ).alias("sketch_within_5pct"),
     ).orderBy("event_type")
 
 

@@ -317,12 +317,13 @@ def embedding_stats_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id,
            len(e) AS dim,
-           e[1:4] AS head4,
-           list_sort(e)[1:3] AS smallest3,
-           list_reverse_sort(e)[1:3] AS largest3,
+           array_to_string(e[1:4], ',') AS head4,
+           array_to_string(list_sort(e)[1:3], ',') AS smallest3,
+           array_to_string(list_reverse_sort(e)[1:3], ',') AS largest3,
            list_position(e, list_min(e)) AS argmin_1based,
            list_contains(e, 0) AS has_zero,
-           flatten([e[1:1], e[len(e):len(e)]]) AS first_last
+           array_to_string(flatten([e[1:1], e[len(e):len(e)]]), ',')
+             AS first_last
     FROM fp
     ORDER BY vec_id
     """,
@@ -331,16 +332,20 @@ def array_funcs_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
     fp = emb.select("vec_id", _fixed_point(F.col("embedding")).alias("e"))
     e = F.col("e")
+
+    def _joined(arr):  # array<bigint> -> canonical "a,b,c" string
+        return F.array_join(arr.cast("array<string>"), ",")
+
     return fp.select(
         "vec_id",
         F.size(e).alias("dim"),
-        F.slice(e, 1, 4).alias("head4"),
-        F.slice(F.sort_array(e), 1, 3).alias("smallest3"),
-        F.slice(F.sort_array(e, asc=False), 1, 3).alias("largest3"),
+        _joined(F.slice(e, 1, 4)).alias("head4"),
+        _joined(F.slice(F.sort_array(e), 1, 3)).alias("smallest3"),
+        _joined(F.slice(F.sort_array(e, asc=False), 1, 3)).alias("largest3"),
         F.array_position(e, F.array_min(e)).alias("argmin_1based"),
         F.array_contains(e, F.lit(0).cast("bigint")).alias("has_zero"),
-        F.flatten(
-            F.array(F.slice(e, 1, 1), F.slice(e, F.size(e), 1))
+        _joined(
+            F.flatten(F.array(F.slice(e, 1, 1), F.slice(e, F.size(e), 1)))
         ).alias("first_last"),
     ).orderBy("vec_id")
 

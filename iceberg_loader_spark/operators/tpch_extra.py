@@ -472,8 +472,12 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Q15 shape — top supplier(s) by quarterly revenue, via a max-window
-# instead of a scalar subquery (same plan DuckDB runs).
+# Q15 shape — top supplier(s) by quarterly revenue. The scalar MAX is a
+# separate one-row aggregate cross-joined (broadcast) against the
+# per-supplier revenue frame — NOT a partition-less max-window, which
+# would funnel every supplier's row through a single task; the revenue
+# frame grows linearly with suppliers, so the window spelling dies at
+# scale while the scalar-agg spelling stays fully parallel.
 # --------------------------------------------------------------------------
 @_register(
     "q15_top_supplier",
@@ -499,14 +503,14 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= _ts("1998-01-01 00:00:00"))
         & (F.col("l_shipdate") < _ts("1998-04-01 00:00:00"))
     )
+    per_supp = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+        .cast("double")
+        .alias("total_revenue")
+    )
+    max_rev = per_supp.agg(F.max("total_revenue").alias("max_rev"))
     rev = (
-        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(
-            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
-            .cast("double")
-            .alias("total_revenue")
-        )
-        .withColumn("max_rev", F.max("total_revenue").over(W.partitionBy()))
+        per_supp.join(F.broadcast(max_rev))
         .filter(F.col("total_revenue") == F.col("max_rev"))
         .drop("max_rev")
     )

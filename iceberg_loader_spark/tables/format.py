@@ -246,10 +246,30 @@ class LocalFSBackend(MetadataBackend):
             os.unlink(tmp)
 
     def publish_current(self, version: int) -> None:
-        tmp = os.path.join(self.meta_dir, f".{CURRENT_FILE}.{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            f.write(str(version))
-        os.replace(tmp, self._current_path())
+        # Monotonic publish: with orphan recovery (_recover_orphan) there
+        # can be two publishers for one version — a slow-but-alive writer
+        # and the competitor that recovered its manifest. If the slow
+        # writer's delayed publish ran unguarded after newer commits, it
+        # would roll the pointer backwards. ObjectStoreBackend enforces
+        # "never move the pointer backwards" with a CAS loop; here an
+        # flock-serialized read-compare-replace gives the same guarantee.
+        import fcntl
+
+        os.makedirs(self.meta_dir, exist_ok=True)
+        lock_path = os.path.join(self.meta_dir, f".{CURRENT_FILE}.lock")
+        with open(lock_path, "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            try:
+                if self.read_current() >= version:
+                    return
+            except (OSError, ValueError):
+                pass  # no/unreadable pointer: first publish wins
+            tmp = os.path.join(
+                self.meta_dir, f".{CURRENT_FILE}.{uuid.uuid4().hex}"
+            )
+            with open(tmp, "w") as f:
+                f.write(str(version))
+            os.replace(tmp, self._current_path())
 
     def delete_manifest(self, version: int) -> None:
         os.remove(self.manifest_path(version))

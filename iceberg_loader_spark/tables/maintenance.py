@@ -113,14 +113,21 @@ def rewrite_data_files(
     )
     spec = table.partition_spec()
     df = table.scan(spark, version=snap.version)
-    if sort_by:
+    if sort_by and not spec:
         # range partition on the sort key -> near-disjoint per-file ranges
         df = df.repartitionByRange(target, *sort_by).sortWithinPartitions(
             *sort_by
         )
     elif not spec:
         df = df.repartition(target)
-    entries = table._write_data_files(df, spec, table._codec())
+    # Partitioned tables: _write_data_files repartitions by the partition
+    # columns (one task per partition value), so the sort must happen
+    # INSIDE that method, after its repartition — a pre-sort here would be
+    # destroyed. Within each partition the rows are then sort-clustered,
+    # giving tight per-file min/max on the sort columns.
+    entries = table._write_data_files(
+        df, spec, table._codec(), sort_within=sort_by if spec else None
+    )
     # Only the files we actually scanned are replaced. A writer that
     # commits between the scan and the commit (or during a conflict
     # retry) must have its files carried over, or its rows are lost —

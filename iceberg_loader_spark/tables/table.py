@@ -250,9 +250,19 @@ class Table:
         return self.properties().get("write.parquet.compression-codec", "zstd")
 
     def _write_data_files(
-        self, df: DataFrame, spec: list[PartitionField], codec: str
+        self,
+        df: DataFrame,
+        spec: list[PartitionField],
+        codec: str,
+        sort_within: list[str] | None = None,
     ) -> list[DataFile]:
-        """Write df's rows as new parquet files; return manifest entries."""
+        """Write df's rows as new parquet files; return manifest entries.
+
+        ``sort_within``: sort rows by these columns INSIDE each write task,
+        after the partition-value repartition. This is how a sort-clustered
+        rewrite on a partitioned table keeps its clustering — any sort
+        applied by the caller before this method would be destroyed by the
+        partition repartition below."""
         staging_rel = f"{DATA_DIR}/{uuid.uuid4().hex}"
         staging_abs = os.path.join(self.root, staging_rel)
         out = df
@@ -270,6 +280,9 @@ class Table:
             # partition would need a salt column appended here; AQE rebalances
             # the rest.
             writer_df = out.repartition(*[F.col(c) for c in pcols])
+        if sort_within:
+            cols = (pcols if pcols else []) + list(sort_within)
+            writer_df = writer_df.sortWithinPartitions(*cols)
         writer = writer_df.write.mode("errorifexists").option("compression", codec)
         if pcols:
             writer = writer.partitionBy(*pcols)

@@ -177,3 +177,54 @@ def test_sorted_compaction_tightens_file_ranges(spark, tmp_path):
     # rows intact
     assert t.scan(spark).count() == 400
     assert [r.id for r in t.scan(spark, where="id == 7").collect()] == [7]
+
+
+def test_sorted_compaction_on_partitioned_table(spark, tmp_path):
+    """sort_by must survive the partition-column repartition inside
+    _write_data_files: within each partition the rewritten file(s) carry
+    the full sorted clustering, i.e. per-file min/max stats on the sort
+    column are recorded and rows are stored in sorted order."""
+    from pyspark.sql import types as T
+
+    from iceberg_loader_spark.tables import Warehouse
+    from iceberg_loader_spark.tables.maintenance import rewrite_data_files
+    from iceberg_loader_spark.tables.partitioning import PartitionField
+    from iceberg_loader_spark.tables.table import Table
+
+    schema = T.StructType(
+        [
+            T.StructField("bucket", T.StringType()),
+            T.StructField("id", T.LongType()),
+        ]
+    )
+    wh = Warehouse(str(tmp_path))
+    t = Table.create(
+        wh,
+        "db.p",
+        schema,
+        partition_spec=[PartitionField(transform="identity", source="bucket")],
+    )
+    import random
+
+    rng = random.Random(7)
+    rows = [(b, i) for b in ("a", "b") for i in rng.sample(range(1000), 400)]
+    t.append(spark.createDataFrame(rows, schema))
+    t = wh.load_table("db.p")
+
+    rewrite_data_files(t, spark, sort_by=["id"])
+    t = wh.load_table("db.p")
+    files = t.snapshot().files
+    assert len(files) >= 2  # one+ per partition value
+    for f in files:
+        assert f.partition, "rewrite must keep the partition layout"
+        assert "id" in f.stats, "sort column stats must be recorded"
+    # rows actually stored in sorted order inside each file
+    import pyarrow.parquet as pq
+
+    for f in files:
+        ids = pq.read_table(
+            os.path.join(t.root, f.path), columns=["id"]
+        ).column("id").to_pylist()
+        assert ids == sorted(ids), f"{f.path} not sort-clustered"
+    # content intact
+    assert t.scan(spark).count() == 800

@@ -81,6 +81,15 @@ def test_bucketed_fact_join_is_shuffle_free(spark, tmp_path):
         spark.sql("DROP DATABASE IF EXISTS bktdb")
 
 
+def test_q15_has_no_global_window(spark):
+    """The scalar MAX over per-supplier revenue must be an aggregate +
+    broadcast join, never a partition-less window (which would funnel the
+    linearly-growing revenue frame through ONE task at scale)."""
+    plan = plan_of(QUERIES["q15_top_supplier"](spark, SF_SMOKE))
+    assert "Window" not in plan, "q15 must not use a window operator"
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
 def test_dataset_split_assign_is_map_only(spark):
     """Split assignment must be a pure per-row map: no aggregate, no
     hash-partition exchange anywhere. (The single range Exchange is the

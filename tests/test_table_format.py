@@ -178,6 +178,22 @@ def test_manifest_write_is_atomic_and_exclusive(tmp_path):
     assert leftovers == []
 
 
+def test_publish_current_never_moves_backwards(tmp_path):
+    """A slow writer's delayed publish must not roll the pointer back past
+    a newer commit (the orphan-recovery path creates a second publisher
+    per version — same contract as ObjectStoreBackend's CAS loop)."""
+    from iceberg_loader_spark.tables.format import LocalFSBackend
+
+    backend = LocalFSBackend(str(tmp_path))
+    backend.publish_current(3)
+    assert backend.read_current() == 3
+    backend.publish_current(5)
+    backend.publish_current(3)  # stale publisher arrives late
+    assert backend.read_current() == 5
+    backend.publish_current(6)
+    assert backend.read_current() == 6
+
+
 def test_rollback_restores_previous_state(spark, tmp_path):
     wh = Warehouse(str(tmp_path))
     t = Table.create(wh, "db.t", _schema())
