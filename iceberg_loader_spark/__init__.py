@@ -18,8 +18,25 @@ Layout:
     sources/     ingest adapters (dicts/messy-JSON, Arrow IPC, REST)
 """
 
+from iceberg_loader_spark.config import LoaderConfig
+from iceberg_loader_spark.loader import (
+    SparkLoader,
+    load_batches_to_table,
+    load_data_to_table,
+    load_ipc_stream_to_table,
+)
 from iceberg_loader_spark.session import get_spark
+from iceberg_loader_spark.tables import Warehouse
 
 __version__ = "0.1.0"
 
-__all__ = ["get_spark", "__version__"]
+__all__ = [
+    "LoaderConfig",
+    "SparkLoader",
+    "Warehouse",
+    "get_spark",
+    "load_batches_to_table",
+    "load_data_to_table",
+    "load_ipc_stream_to_table",
+    "__version__",
+]

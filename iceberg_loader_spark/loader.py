@@ -129,6 +129,57 @@ class SparkLoader:
         return state.result()
 
 
+# ---- module-level convenience API ---------------------------------------
+# The reference's quickstart surface (src/iceberg_loader/__init__.py:7-13,
+# iceberg_loader.py:13-52): one-call loads that construct the loader
+# internally. ``Warehouse`` plays the reference's ``Catalog`` role.
+
+
+def load_data_to_table(
+    data,
+    table_identifier: str,
+    spark: SparkSession,
+    warehouse: Warehouse | str,
+    config: LoaderConfig | None = None,
+) -> dict:
+    """One-call load of an in-memory dataset (Arrow table, pandas
+    DataFrame, Spark DataFrame, or list of dicts) into a table —
+    the reference's ``load_data_to_iceberg`` (iceberg_loader.py:13-24)."""
+    loader = SparkLoader(spark, _as_warehouse(warehouse), config)
+    return loader.load_data(data, table_identifier, config)
+
+
+def load_batches_to_table(
+    batch_iterator: Iterable[pa.RecordBatch] | Iterator[pa.RecordBatch],
+    table_identifier: str,
+    spark: SparkSession,
+    warehouse: Warehouse | str,
+    config: LoaderConfig | None = None,
+) -> dict:
+    """One-call buffered batch-iterator load — the reference's
+    ``load_batches_to_iceberg`` (iceberg_loader.py:27-38)."""
+    loader = SparkLoader(spark, _as_warehouse(warehouse), config)
+    return loader.load_data_batches(batch_iterator, table_identifier, config)
+
+
+def load_ipc_stream_to_table(
+    stream_source,
+    table_identifier: str,
+    spark: SparkSession,
+    warehouse: Warehouse | str,
+    config: LoaderConfig | None = None,
+) -> dict:
+    """One-call Arrow IPC stream load — the reference's
+    ``load_ipc_stream_to_iceberg`` (iceberg_loader.py:41-52)."""
+    loader = SparkLoader(spark, _as_warehouse(warehouse), config)
+    return loader.load_ipc_stream(stream_source, table_identifier, config)
+
+
+def _as_warehouse(warehouse: Warehouse | str) -> Warehouse:
+    """Accept a Warehouse or a plain root path (quickstart ergonomics)."""
+    return warehouse if isinstance(warehouse, Warehouse) else Warehouse(warehouse)
+
+
 class _LoadState:
     """Per-call strategy + flush state (first-write decay, loader.py:203-208)."""
 

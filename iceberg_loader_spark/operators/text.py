@@ -615,3 +615,259 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF top-terms per document — the classic sparse-feature extraction
+# step (keyword extraction / relevance weighting) an LLM-data pipeline
+# runs before clustering or retrieval indexing.
+#
+# Determinism: the IDF factor is the integer pseudo-IDF
+# ``(N * 1000) div df`` (monotone in the real ln(N/df)), so the score
+# ``tf * idf_milli`` is an exact BIGINT both engines compute identically —
+# no libm log in the compare path.
+#
+# Physical shape: posexplode → (doc_id, tok) partial-aggregated count
+# (shuffle #1, carries counts) → per-token document frequency
+# (shuffle #2, carries (tok, df) pairs only) → broadcast the one-row
+# corpus count → rank window per doc_id. The df join key is the token;
+# stopword skew is bounded because both sides are post-aggregation
+# (one row per (doc, tok) / per tok), never raw occurrences.
+# --------------------------------------------------------------------------
+@_register(
+    "tfidf_top5_per_doc",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                                        t -> t <> '')) AS tok
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok
+    ),
+    df AS (
+      SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+             tf.tf * ((n.n_docs * 1000) // df.df) AS score_milli
+      FROM tf JOIN df USING (tok) CROSS JOIN n
+    )
+    SELECT doc_id, tok, tf, df, score_milli, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+               ORDER BY score_milli DESC, tok) AS rnk
+      FROM scored)
+    WHERE rnk <= 5
+    ORDER BY doc_id, rnk
+    """,
+)
+def tfidf_top5_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_loader_spark.operators.dedup import _materialize
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _token_rows(docs).select("doc_id", "tok")
+    # tf is read twice (df derivation + the scoring join) — materialize so
+    # the tokenize+shuffle runs once. df comes from tf, NOT from raw toks:
+    # tf already has one row per (doc, tok), so COUNT(*) per tok IS the
+    # document frequency, and the second shuffle carries the aggregated
+    # frame instead of re-exploding every token occurrence.
+    tf = _materialize(
+        toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df, "tok")
+        .join(F.broadcast(n))
+        .withColumn(
+            "score_milli",
+            F.col("tf") * ((F.col("n_docs") * 1000) / F.col("df")).cast("bigint"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score_milli"), F.asc("tok"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("doc_id", "tok", "tf", "df", "score_milli", "rnk")
+        .orderBy("doc_id", "rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-language quality-percentile gate — "keep documents at or above the
+# language's P25 quality score": the percentile-threshold spelling of
+# quality filtering (absolute thresholds drift across languages; a
+# per-stratum percentile self-calibrates).
+#
+# Determinism: the score is an exact BIGINT (10×chars + 1000×stopword
+# ratio numerator over words, all integer math); the per-lang P25 is the
+# interpolated percentile over those ints — the same
+# lower + frac*(higher-lower) both engines evaluate bit-identically on
+# exactly-representable values (same contract as value_percentiles_by_type).
+#
+# Physical shape: one map-only scoring pass, one per-lang percentile
+# aggregate (tiny: one row per language), broadcast the thresholds back,
+# map-only filter. No data-sized shuffle: the only wide op carries scored
+# (lang, score) pairs into a bounded-cardinality aggregate.
+# --------------------------------------------------------------------------
+@_register(
+    "quality_percentile_gate",
+    """
+    WITH scored AS (
+      SELECT doc_id, lang,
+             LENGTH(text) * 10
+             + (LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                     t -> t IN ('the', 'a', 'of', 'and'))) * 1000)
+               // LEN(STRING_SPLIT(text, ' ')) AS score_fp
+      FROM documents
+    ),
+    thresholds AS (
+      SELECT lang, quantile_cont(score_fp, 0.25) AS p25 FROM scored GROUP BY lang
+    )
+    SELECT s.doc_id, s.lang, s.score_fp, t.p25
+    FROM scored s JOIN thresholds t USING (lang)
+    WHERE s.score_fp >= t.p25
+    ORDER BY s.doc_id
+    """,
+)
+def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.split("text", " "))
+    stop_hits = F.size(
+        F.filter(
+            F.split(F.lower("text"), " "),
+            lambda t: t.isin("the", "a", "of", "and"),
+        )
+    )
+    score = (
+        F.length("text") * 10
+        + F.floor((stop_hits * 1000) / n_words).cast("bigint")
+    )
+    from iceberg_loader_spark.operators.dedup import _materialize
+
+    # scored feeds both the threshold aggregate and the gate join —
+    # materialize so the text scoring pass runs once, not twice
+    scored = _materialize(
+        docs.select("doc_id", "lang", score.alias("score_fp"))
+    )
+    thresholds = scored.groupBy("lang").agg(
+        F.percentile("score_fp", 0.25).alias("p25")
+    )
+    return (
+        scored.join(F.broadcast(thresholds), "lang")
+        .filter(F.col("score_fp") >= F.col("p25"))
+        .select("doc_id", "lang", "score_fp", "p25")
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Document length histogram — fixed-width 64-char buckets with per-bucket
+# token stats: the length-distribution audit run before choosing
+# truncation / packing parameters. Integer-division bucketing (not
+# floor(log2(...))) keeps the bucket id exact in both engines.
+# Map-only scoring + one bounded aggregate.
+# --------------------------------------------------------------------------
+@_register(
+    "doc_length_histogram",
+    """
+    WITH b AS (
+      SELECT LENGTH(text) // 64 AS bucket_64,
+             LENGTH(text) AS n,
+             LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), t -> t <> ''))
+               AS n_toks
+      FROM documents
+    )
+    SELECT bucket_64,
+           COUNT(*) AS n_docs,
+           MIN(n) AS min_chars,
+           MAX(n) AS max_chars,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens
+    FROM b
+    GROUP BY bucket_64
+    ORDER BY bucket_64
+    """,
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.length("text")
+    n_toks = F.size(
+        F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+    )
+    b = docs.select(
+        F.floor(n / 64).cast("bigint").alias("bucket_64"),
+        n.alias("n"),
+        n_toks.alias("n_toks"),
+    )
+    return (
+        b.groupBy("bucket_64")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n").alias("min_chars"),
+            F.max("n").alias("max_chars"),
+            F.sum("n_toks").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("bucket_64")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing — greedy sequential fill of 2048-token bins per source:
+# the pre-training batching step that concatenates documents into
+# fixed-token-budget sequences. Deterministic: docs are packed in doc_id
+# order within each source; a doc starts the next bin when its tokens
+# would not start before the budget boundary (bin id = integer division
+# of the PRECEDING cumulative token count).
+#
+# Physical shape: one map-only token count, one per-source running-sum
+# window (partitioned by source — parallel across sources; within a
+# source the prefix sum is inherently sequential, which is the packing
+# order contract, not a perf bug), map-only bin arithmetic. At 100 TB
+# you shard the window key further (source, shard) with per-shard bin
+# offsets joined back — same program, noted here for the scale path.
+# --------------------------------------------------------------------------
+@_register(
+    "pack_sequences_by_source",
+    """
+    WITH counted AS (
+      SELECT doc_id, source,
+             LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), t -> t <> ''))
+               AS n_toks
+      FROM documents
+    ),
+    runs AS (
+      SELECT doc_id, source, n_toks,
+             SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - n_toks
+               AS toks_before
+      FROM counted
+    )
+    SELECT doc_id, source, n_toks,
+           CAST(toks_before // 2048 AS BIGINT) AS bin_id,
+           CAST(toks_before % 2048 AS BIGINT) AS bin_offset
+    FROM runs
+    ORDER BY doc_id
+    """,
+)
+def pack_sequences_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_toks = F.size(
+        F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+    ).cast("bigint")
+    counted = docs.select("doc_id", "source", n_toks.alias("n_toks"))
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    runs = counted.withColumn(
+        "toks_before", F.sum("n_toks").over(w) - F.col("n_toks")
+    )
+    return runs.select(
+        "doc_id",
+        "source",
+        "n_toks",
+        F.floor(F.col("toks_before") / 2048).alias("bin_id"),
+        (F.col("toks_before") % 2048).alias("bin_offset"),
+    ).orderBy("doc_id")

@@ -2,13 +2,23 @@
 
 Behavior parity with ``/root/reference src/iceberg_loader/utils/arrow.py``:
 
-* key union across all rows, first-seen order (arrow.py:26-31)
+* key union across all rows, first-seen order (the reference iterates a
+  ``set`` union, arrow.py:49 — nondeterministic order; we pin first-seen
+  order as a deliberate improvement)
 * dict/list values → compact JSON strings: ``json.dumps(...,
   ensure_ascii=False, separators=(',',':'))`` (arrow.py:12, 58-59) —
   golden outputs ``'{"a":1,"b":"x"}'``, ``'[1,2,3]'``
   (tests/test_arrow_utils.py:34-43)
-* per-column Arrow inference; on failure every scalar is stringified
-  (arrow.py:39-42)
+* empty input → 0-row, 0-column table (arrow.py:20-23,
+  tests/test_arrow_utils.py:26-31)
+* SCALAR TYPING — deliberate, documented divergence (SURVEY §1.2): the
+  reference stringifies EVERY scalar before Arrow sees it
+  (arrow.py:54-61: ``{'id': 1}`` yields ``id: string = '1'``), so every
+  reference table is all-string. By default we keep per-column Arrow
+  type inference (ints stay int64, bools stay bool) and stringify only
+  when a column's values are not type-compatible (arrow.py:39-42's
+  fallback). Pass ``stringify_scalars=True`` for byte-level reference
+  parity.
 * all-null columns land as string (arrow.py:65-67)
 * ``create_record_batches_from_dicts`` chunks an iterator into batches of
   ``batch_size`` (default 10 000, arrow.py:137-156)
@@ -32,16 +42,27 @@ def json_serialize(value) -> str:
     return json.dumps(value, ensure_ascii=False, separators=(",", ":"))
 
 
-def _normalize_value(v):
+def _normalize_value(v, stringify_scalars: bool = False):
     if isinstance(v, (dict, list)):
         return json_serialize(v)
+    if stringify_scalars and v is not None:
+        return str(v)  # reference contract: every scalar → str (arrow.py:61)
     return v
 
 
-def create_arrow_table_from_data(data: list[dict]) -> pa.Table:
-    """Union-of-keys dict rows → Arrow table (arrow.py:19-72)."""
+def create_arrow_table_from_data(
+    data: list[dict], stringify_scalars: bool = False
+) -> pa.Table:
+    """Union-of-keys dict rows → Arrow table (arrow.py:19-72).
+
+    ``stringify_scalars=False`` (default) keeps typed inference — a
+    deliberate divergence from the reference, which stringifies every
+    scalar (see module docstring). ``True`` reproduces the reference's
+    all-string tables exactly.
+    """
     if not data:
-        raise ValueError("no rows to convert")
+        # reference parity: 0-row, 0-column table (arrow.py:20-23)
+        return pa.Table.from_arrays([], schema=pa.schema([]))
     keys: list[str] = []
     seen = set()
     for row in data:
@@ -51,7 +72,9 @@ def create_arrow_table_from_data(data: list[dict]) -> pa.Table:
                 keys.append(k)
     arrays, fields = [], []
     for k in keys:
-        values = [_normalize_value(row.get(k)) for row in data]
+        values = [
+            _normalize_value(row.get(k), stringify_scalars) for row in data
+        ]
         try:
             arr = pa.array(values)
         except (pa.ArrowInvalid, pa.ArrowTypeError):
@@ -65,19 +88,21 @@ def create_arrow_table_from_data(data: list[dict]) -> pa.Table:
 
 
 def create_record_batches_from_dicts(
-    data_iterator: Iterable[dict], batch_size: int = 10000
+    data_iterator: Iterable[dict],
+    batch_size: int = 10000,
+    stringify_scalars: bool = False,
 ) -> Iterator[pa.RecordBatch]:
     """Chunk dict rows into RecordBatches (arrow.py:137-156)."""
     chunk: list[dict] = []
     for row in data_iterator:
         chunk.append(row)
         if len(chunk) >= batch_size:
-            for b in create_arrow_table_from_data(chunk).to_batches():
-                yield b
+            tbl = create_arrow_table_from_data(chunk, stringify_scalars)
+            yield from tbl.to_batches()
             chunk = []
     if chunk:
-        for b in create_arrow_table_from_data(chunk).to_batches():
-            yield b
+        tbl = create_arrow_table_from_data(chunk, stringify_scalars)
+        yield from tbl.to_batches()
 
 
 def convert_column_type(column: pa.ChunkedArray | pa.Array, target: pa.DataType):

@@ -173,6 +173,88 @@ def stream_session_30m_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Stream-stream interval join shape — click→purchase conversion
+# attribution: each purchase is attributed to the SAME USER's most recent
+# click in the preceding 30 minutes. The join condition (equi-key +
+# bounded event-time range) is exactly what Structured Streaming's
+# stream-stream join requires to bound state: with watermarks on both
+# sides the engine keeps only 30 minutes of click state per user. The
+# batch spelling below is the same DataFrame program; the micro-batch
+# runner (conversion_attribution_streaming) runs it under the streaming
+# engine and the test asserts it matches this batch result.
+#
+# Scale: equi-join on user_id (hash-partitioned both sides, AQE handles
+# skew); the interval predicate prunes within the join, and the
+# latest-click winner is a per-purchase rank window — key cardinality is
+# purchases, never the cross product.
+# --------------------------------------------------------------------------
+@_register(
+    "stream_conversion_attribution",
+    f"""
+    WITH pairs AS (
+      SELECT p.event_id AS purchase_id,
+             p.user_id,
+             p.ts AS p_ts,
+             c.event_id AS click_id,
+             c.ts AS c_ts,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+               ORDER BY c.ts DESC, c.event_id DESC) AS rnk
+      FROM events p JOIN events c
+        ON p.user_id = c.user_id
+       AND p.event_type = 'purchase' AND c.event_type = 'click'
+       AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 30 MINUTE
+    )
+    SELECT purchase_id, user_id,
+           strftime(p_ts, '{_DUCK_FMT}') AS purchase_ts,
+           click_id,
+           CAST(epoch(date_trunc('second', p_ts))
+                - epoch(date_trunc('second', c_ts)) AS BIGINT) AS gap_seconds
+    FROM pairs WHERE rnk = 1
+    ORDER BY purchase_id
+    """,
+)
+def stream_conversion_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("purchase_id").orderBy(
+        F.desc("c_ts"), F.desc("click_id")
+    )
+    return (
+        joined.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            F.date_format("p_ts", _FMT).alias("purchase_ts"),
+            "click_id",
+            (
+                F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")
+            ).alias("gap_seconds"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # True-streaming runners (B20/B22/B23) — exercised by tests, not oracles.
 # They read the same parquet through the file *streaming* source, so the
 # exact operators above run under the micro-batch engine with watermarks.
@@ -246,6 +328,55 @@ def stateful_dedup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     return spark.table("stateful_dedup_streaming")
+
+
+def conversion_attribution_streaming(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream self-join under the micro-batch engine: purchases ⋈
+    clicks on user with a 30-minute event-time range. Watermarks on BOTH
+    sides let the engine discard click state older than the range, so
+    state is bounded at (clicks in 30 min + watermark delay) per user.
+
+    Emits the raw attributed pairs (purchase, click) — the latest-click
+    rank window is batch-only (row_number over an unbounded stream is not
+    expressible); the streaming test compares against the batch join
+    pre-rank.
+    """
+    ev = streaming_events(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
+    ).select("purchase_id", "user_id", "click_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("conversion_attribution_streaming")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table("conversion_attribution_streaming")
 
 
 def session_window_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:

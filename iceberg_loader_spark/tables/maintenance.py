@@ -88,12 +88,56 @@ def expire_snapshots(
         return {"expired": 0, "remaining": -1, "deleted_files": 0, "error": str(e)}
 
 
+def _zorder_column(
+    df, cols: list[str], stats: dict[str, list], bits: int = 10
+):
+    """Z-value expression: per-column uniform bucket id in [0, 2^bits),
+    bit-interleaved across columns (Morton order).
+
+    Bucket boundaries come from the MANIFEST min/max stats (no extra job;
+    the quantization only affects clustering quality, never results).
+    Numeric columns only — Z-ordering strings needs a rank pass, which is
+    a different cost class; callers get a loud error instead of silent
+    bad clustering.
+    """
+    from pyspark.sql import functions as F
+
+    bucket_exprs = []
+    for c in cols:
+        if c not in stats:
+            raise ValueError(f"no min/max stats for column {c!r}")
+        lo, hi = stats[c]
+        if not isinstance(lo, (int, float)) or isinstance(lo, bool):
+            raise ValueError(
+                f"zorder_by supports numeric columns only, {c!r} is "
+                f"{type(lo).__name__}"
+            )
+        span = float(hi) - float(lo) or 1.0
+        b = F.floor(
+            (F.col(c).cast("double") - float(lo)) / span * (2**bits - 1)
+        ).cast("long")
+        bucket_exprs.append(
+            F.least(F.lit(2**bits - 1), F.greatest(F.lit(0), b))
+        )
+    z = F.lit(0).cast("long")
+    n = len(bucket_exprs)
+    for i in range(bits):
+        for j, b in enumerate(bucket_exprs):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(b, i).bitwiseAND(F.lit(1)), i * n + j
+                )
+            )
+    return z.alias("_zvalue")
+
+
 def rewrite_data_files(
     table: Table,
     spark: SparkSession,
     target_file_mb: int = 512,
     sort_by: list[str] | None = None,
     target_files: int | None = None,
+    zorder_by: list[str] | None = None,
 ) -> dict:
     """A35: compaction — coalesce small files into ~target-size files.
 
@@ -101,9 +145,18 @@ def rewrite_data_files(
     (Iceberg's sort-order rewrite): a range repartition + within-file
     sort gives each output file a tight, near-disjoint min/max range on
     the sort columns, so metadata pruning on them approaches
-    one-file-per-predicate at scan time — the cheap version of Z-ordering
-    and the single biggest pruning lever at 100 TB.
+    one-file-per-predicate at scan time — the single biggest pruning
+    lever at 100 TB. Linear sort only prunes on the LEADING column(s).
+
+    ``zorder_by``: multi-dimensional clustering (Iceberg/Delta Z-order):
+    rows are range-partitioned and sorted by the Morton interleave of
+    per-column bucket ids, so every listed column gets partial per-file
+    min/max locality — point/range predicates on ANY of them prune to
+    ~n_files^((d-1)/d). Numeric columns, unpartitioned tables (partition
+    values already dominate file boundaries otherwise).
     """
+    if sort_by and zorder_by:
+        raise ValueError("sort_by and zorder_by are mutually exclusive")
     snap = table.snapshot()
     if not snap.files:
         return {"rewritten": 0, "added": 0}
@@ -113,7 +166,25 @@ def rewrite_data_files(
     )
     spec = table.partition_spec()
     df = table.scan(spark, version=snap.version)
-    if sort_by and not spec:
+    if zorder_by:
+        if spec:
+            raise ValueError(
+                "zorder_by requires an unpartitioned table (partition "
+                "values already dominate file boundaries)"
+            )
+        stats: dict[str, list] = {}
+        for f in snap.files:
+            for c in zorder_by:
+                if f.stats.get(c) is None:
+                    continue
+                lo, hi = f.stats[c]
+                if c in stats:
+                    stats[c] = [min(stats[c][0], lo), max(stats[c][1], hi)]
+                else:
+                    stats[c] = [lo, hi]
+        z = _zorder_column(df, zorder_by, stats)
+        df = df.repartitionByRange(target, z).sortWithinPartitions(z)
+    elif sort_by and not spec:
         # range partition on the sort key -> near-disjoint per-file ranges
         df = df.repartitionByRange(target, *sort_by).sortWithinPartitions(
             *sort_by

@@ -36,6 +36,44 @@ def test_create_and_append(spark, wh):
     assert wh.load_table("db.t").scan(spark).count() == 4
 
 
+def test_module_level_convenience_api(spark, wh, tmp_path):
+    """The quickstart one-call loaders (reference __init__.py:7-13 /
+    iceberg_loader.py:13-52) work from the package root and accept a
+    plain warehouse path."""
+    import iceberg_loader_spark as ils
+
+    for name in (
+        "load_data_to_table",
+        "load_batches_to_table",
+        "load_ipc_stream_to_table",
+        "SparkLoader",
+        "LoaderConfig",
+        "Warehouse",
+    ):
+        assert name in ils.__all__
+
+    res = ils.load_data_to_table(_basic_rows(), "db.conv", spark, wh)
+    assert res["new_table_created"] is True and res["rows_loaded"] == 2
+
+    batches = iter(pa.Table.from_pylist(_basic_rows()).to_batches())
+    res = ils.load_batches_to_table(batches, "db.conv", spark, wh)
+    assert res["rows_loaded"] == 2
+    assert wh.load_table("db.conv").scan(spark).count() == 4
+
+    # IPC stream path + warehouse given as a plain path string
+    import io
+
+    tbl = pa.Table.from_pylist(_basic_rows())
+    sink = io.BytesIO()
+    with pa.ipc.new_stream(sink, tbl.schema) as w:
+        w.write_table(tbl)
+    sink.seek(0)
+    res = ils.load_ipc_stream_to_table(
+        sink, "db.ipc", spark, str(tmp_path / "wh2")
+    )
+    assert res["new_table_created"] is True and res["rows_loaded"] == 2
+
+
 def test_load_timestamp_column(spark, wh):
     loader = SparkLoader(spark, wh)
     loader.load_data(_basic_rows(), "db.t", LoaderConfig(load_ts_col="_ingested_at"))

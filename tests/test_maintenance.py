@@ -179,6 +179,80 @@ def test_sorted_compaction_tightens_file_ranges(spark, tmp_path):
     assert [r.id for r in t.scan(spark, where="id == 7").collect()] == [7]
 
 
+def test_zorder_compaction_prunes_on_both_columns(spark, tmp_path):
+    """Z-order rewrite gives BOTH listed columns per-file min/max
+    locality: point predicates on x AND on y each prune to a strict
+    subset of files (a linear sort_by=[x, y] only prunes on x)."""
+    from pyspark.sql import types as T
+
+    from iceberg_loader_spark.tables import Warehouse
+    from iceberg_loader_spark.tables.filters import prune_files
+    from iceberg_loader_spark.tables.maintenance import rewrite_data_files
+    from iceberg_loader_spark.tables.table import Table
+
+    schema = T.StructType(
+        [T.StructField("x", T.LongType()), T.StructField("y", T.LongType())]
+    )
+    wh = Warehouse(str(tmp_path))
+    t = Table.create(wh, "db.z", schema)
+    # full 64x64 grid in row-shuffled order: every pre-rewrite file spans
+    # nearly the whole range on both axes
+    import random
+
+    rng = random.Random(3)
+    grid = [(x, y) for x in range(64) for y in range(64)]
+    rng.shuffle(grid)
+    t.append(spark.createDataFrame(grid, schema).repartition(4))
+    t = wh.load_table("db.z")
+
+    rewrite_data_files(t, spark, zorder_by=["x", "y"], target_files=16)
+    t = wh.load_table("db.z")
+    files = t.snapshot().files
+    assert len(files) > 4
+    for col in ("x", "y"):
+        may, _ = prune_files(f"{col} == 5", files, [])
+        assert len(may) < len(files), f"no pruning on {col} after z-order"
+    # content intact
+    assert t.scan(spark).count() == 64 * 64
+    assert t.scan(spark, where="x == 5").count() == 64
+
+    # guard rails
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        rewrite_data_files(t, spark, sort_by=["x"], zorder_by=["y"])
+
+
+def test_zorder_rejects_non_numeric_and_partitioned(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from iceberg_loader_spark.tables import Warehouse
+    from iceberg_loader_spark.tables.maintenance import rewrite_data_files
+    from iceberg_loader_spark.tables.partitioning import PartitionField
+    from iceberg_loader_spark.tables.table import Table
+
+    schema = T.StructType(
+        [T.StructField("s", T.StringType()), T.StructField("x", T.LongType())]
+    )
+    wh = Warehouse(str(tmp_path))
+    t = Table.create(wh, "db.zs", schema)
+    t.append(spark.createDataFrame([("a", 1), ("b", 2)], schema))
+    t = wh.load_table("db.zs")
+    with pytest.raises(ValueError, match="numeric columns only"):
+        rewrite_data_files(t, spark, zorder_by=["s"])
+
+    tp = Table.create(
+        wh,
+        "db.zp",
+        schema,
+        partition_spec=[PartitionField(transform="identity", source="s")],
+    )
+    tp.append(spark.createDataFrame([("a", 1)], schema))
+    tp = wh.load_table("db.zp")
+    with pytest.raises(ValueError, match="unpartitioned"):
+        rewrite_data_files(tp, spark, zorder_by=["x"])
+
+
 def test_sorted_compaction_on_partitioned_table(spark, tmp_path):
     """sort_by must survive the partition-column repartition inside
     _write_data_files: within each partition the rewritten file(s) carry

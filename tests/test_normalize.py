@@ -46,6 +46,49 @@ def test_mixed_scalars_stringified():
     assert t.column("a").to_pylist() == ["1", "x"]
 
 
+def test_empty_input_returns_empty_table():
+    """Reference parity (arrow.py:20-23, test_arrow_utils.py:26-31):
+    [] -> a 0-row, 0-column table, not an error."""
+    t = create_arrow_table_from_data([])
+    assert t.num_rows == 0
+    assert t.num_columns == 0
+
+
+def test_scalar_typing_contract():
+    """A4 scalar-typing contract, pinned both ways.
+
+    Default (typed inference — our documented divergence): {'id': 1}
+    keeps id as int64. With stringify_scalars=True we reproduce the
+    reference exactly (verified by executing reference arrow.py:45-62:
+    {'id': 1} yields id: string = '1'; bools become 'True'/'False';
+    dict/list values stay compact JSON either way)."""
+    data = [{"id": 1, "ok": True, "j": {"a": 1}}, {"id": 2, "ok": False}]
+
+    typed = create_arrow_table_from_data(data)
+    assert typed.schema.field("id").type == pa.int64()
+    assert typed.schema.field("ok").type == pa.bool_()
+    assert typed.column("j").to_pylist() == ['{"a":1}', None]
+
+    compat = create_arrow_table_from_data(data, stringify_scalars=True)
+    assert compat.schema.field("id").type == pa.string()
+    assert compat.column("id").to_pylist() == ["1", "2"]
+    assert compat.column("ok").to_pylist() == ["True", "False"]
+    assert compat.column("j").to_pylist() == ['{"a":1}', None]
+
+
+def test_stringify_scalars_through_batch_iterator():
+    batches = list(
+        create_record_batches_from_dicts(
+            ({"i": i} for i in range(5)), 2, stringify_scalars=True
+        )
+    )
+    assert [b.column("i").to_pylist() for b in batches] == [
+        ["0", "1"],
+        ["2", "3"],
+        ["4"],
+    ]
+
+
 def test_batching_sizes():
     batches = list(create_record_batches_from_dicts(({"i": i} for i in range(25)), 10))
     assert [len(b) for b in batches] == [10, 10, 5]

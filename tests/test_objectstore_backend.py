@@ -251,6 +251,51 @@ def test_cow_validation_and_compaction_on_object_store(spark, tmp_path):
     assert final.meta.list_versions() == [final.meta.current_version()]
 
 
+def test_merge_resolves_files_on_object_store_with_encoded_paths(
+    spark, tmp_path
+):
+    """merge() locates affected files by round-tripping
+    input_file_name()'s URI back to a manifest-relative path
+    (table.py:546-566). Prove that resolution survives a root that
+    URI-encodes (space + percent) on the conditional-PUT backend, and
+    that only the files actually containing matching keys are
+    rewritten."""
+    store = InMemoryStore()
+    # space and % both percent-encode in the file: URI Spark reports
+    root = tmp_path / "wh space" / "od%d warehouse"
+    root.parent.mkdir(parents=True, exist_ok=True)
+    wh = _warehouse(root, store)
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("val", T.StringType()),
+        ]
+    )
+    t = Table.create(wh, "db.m", schema)
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], schema).coalesce(1))
+    t.append(spark.createDataFrame([(3, "c"), (4, "d")], schema).coalesce(1))
+    t = wh.load_table("db.m")
+    files_before = {f.path for f in t.snapshot().files}
+    assert len(files_before) == 2
+
+    # touches only the second file's keys + inserts one new row
+    src = spark.createDataFrame([(3, "C"), (5, "e")], schema)
+    snap = t.merge(spark, src, ["id"])
+    assert snap.summary["updated-records"] == 1
+    assert snap.summary["rewritten-files"] == 1, (
+        "URI round-trip must resolve exactly the one affected file"
+    )
+    # untouched file carried over verbatim
+    assert len(files_before & {f.path for f in snap.files}) == 1
+
+    got = {
+        (r.id, r.val)
+        for r in wh.load_table("db.m").scan(spark).collect()
+    }
+    assert got == {(1, "a"), (2, "b"), (3, "C"), (4, "d"), (5, "e")}
+
+
 def test_list_tables_sees_empty_table_on_object_store(tmp_path):
     store = InMemoryStore()
     wh = _warehouse(tmp_path, store)

@@ -49,6 +49,47 @@ def test_streaming_session_window_matches_batch(spark):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_stream_stream_join_matches_batch_pairs(spark):
+    """The watermarked stream-stream interval join (purchases ⋈ clicks,
+    same user, 30-minute range) must produce exactly the batch join's
+    pair set — no pair lost to watermark eviction, none duplicated
+    across micro-batches."""
+    from pyspark.sql import functions as F
+
+    from iceberg_loader_spark.sources.tables import load_table
+
+    got = canon(
+        w.conversion_attribution_streaming(spark, SF_SMOKE).toPandas()
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    want = canon(
+        purchases.join(
+            clicks,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (
+                F.col("c_ts")
+                > F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")
+            ),
+        )
+        .select("purchase_id", "user_id", "click_id")
+        .toPandas()
+    )
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_running_totals_carry_state_across_microbatches(spark):
     """applyInPandasWithState: the final emission per user must equal the
     batch groupBy totals, and at least one user must have emitted more
