@@ -1103,3 +1103,82 @@ def integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out.orderBy("check_name")
+
+
+# --------------------------------------------------------------------------
+# B4 at scale — SALTED equi-join. When one join key is hot (a celebrity
+# user), the plain hash join puts that key's entire fact volume on one
+# reducer. The standard fix: replicate the (small) dimension side across
+# N salts and join on (key, salt), so the hot key's rows spread over N
+# reducers; the result is provably identical to the plain join — which is
+# exactly what the oracle checks with the UNSALTED spelling.
+# --------------------------------------------------------------------------
+@_register(
+    "salted_join_event_nations",
+    """
+    SELECT n.n_name,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(e.value * 100, 0) AS BIGINT)) AS DOUBLE) / 100
+             AS sum_value
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+)
+def salted_join_event_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    n_salts = 8
+    salts = spark.range(n_salts).select(F.col("id").alias("_salt"))
+    cust_salted = cust.crossJoin(F.broadcast(salts))
+    fact = ev.withColumn("_salt", F.pmod(F.col("event_id"), F.lit(n_salts)))
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    return (
+        fact.join(
+            cust_salted,
+            (F.col("c_custkey") == F.col("user_id"))
+            & (cust_salted["_salt"] == fact["_salt"]),
+        )
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(cents).cast("double") / 100).alias("sum_value"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# B5 — NOT IN null semantics (the classic ANSI trap): a NULL anywhere in
+# the NOT IN subquery makes the predicate UNKNOWN for every row, so the
+# count drops to zero. Catalyst plans this as a null-aware anti join;
+# both engines must agree exactly. Spelled through the SQL API so the
+# subquery reaches Catalyst's decorrelation untouched.
+# --------------------------------------------------------------------------
+_SQL_NOT_IN_NULLS = """
+    SELECT
+      (SELECT COUNT(*) FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders))
+        AS n_customers_no_orders,
+      (SELECT COUNT(*) FROM customer
+        WHERE c_custkey NOT IN
+          (SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_custkey END
+           FROM orders))
+        AS n_with_null_in_list
+"""
+
+
+@_register("sql_not_in_null_semantics", _SQL_NOT_IN_NULLS)
+def sql_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_loader_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_NOT_IN_NULLS)

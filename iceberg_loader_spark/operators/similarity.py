@@ -605,3 +605,75 @@ def ann_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .orderBy("q_id", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# B26 — int8 vector quantization (the ANN-index compression step: 4×
+# smaller vectors, SIMD-int8 distance kernels downstream). Per vector:
+# symmetric scale = max|e|, q_i = floor(e_i * 127 / scale). All math is
+# exact fixed-point ints + one IEEE double division/floor per element, so
+# both engines produce bit-identical quantized vectors — summarized as an
+# order-weighted checksum (arrays themselves stay out of the output per
+# the canonicalizer contract).
+# Map-only: no shuffle, embarrassingly parallel at any scale.
+# --------------------------------------------------------------------------
+@_register(
+    "embedding_quantize_int8",
+    f"""
+    WITH fp AS (
+      SELECT vec_id, {_DUCK_FP.format(col='embedding')} AS e FROM embeddings
+    ),
+    m AS (
+      SELECT vec_id, e,
+             GREATEST(list_max(list_transform(e, x -> abs(x))), 1) AS max_abs
+      FROM fp
+    ),
+    q AS (
+      SELECT vec_id, max_abs,
+             list_transform(range(1, len(e) + 1),
+               i -> CAST(FLOOR(CAST(e[i] AS DOUBLE) * 127 / max_abs)
+                    AS BIGINT)) AS qv
+      FROM m
+    )
+    SELECT vec_id, max_abs,
+           list_min(qv) AS q_min,
+           list_max(qv) AS q_max,
+           CAST(list_sum(list_transform(range(1, len(qv) + 1),
+                    i -> (qv[i] + 128) * i)) % 1000003 AS BIGINT) AS checksum
+    FROM q
+    ORDER BY vec_id
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = _fixed_point(F.col("embedding"))
+    fp = emb.select("vec_id", e.alias("e"))
+    max_abs = F.greatest(
+        F.array_max(F.transform(F.col("e"), F.abs)), F.lit(1).cast("bigint")
+    )
+    m = fp.withColumn("max_abs", max_abs)
+    qv = F.transform(
+        F.col("e"),
+        lambda x: F.floor(
+            x.cast("double") * 127 / F.col("max_abs")
+        ).cast("bigint"),
+    )
+    q = m.withColumn("qv", qv)
+    weighted = F.zip_with(
+        F.col("qv"),
+        F.sequence(F.lit(1).cast("bigint"), F.size("qv").cast("bigint")),
+        lambda qi, i: (qi + 128) * i,
+    )
+    checksum = (
+        F.aggregate(
+            weighted, F.lit(0).cast("bigint"), lambda acc, v: acc + v
+        )
+        % 1000003
+    )
+    return q.select(
+        "vec_id",
+        "max_abs",
+        F.array_min("qv").alias("q_min"),
+        F.array_max("qv").alias("q_max"),
+        checksum.alias("checksum"),
+    ).orderBy("vec_id")

@@ -773,7 +773,12 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     sup = load_table(spark, sf_dir, "supplier")
-    l = (
+    from iceberg_loader_spark.operators.dedup import _materialize
+
+    # (l_orderkey, l_suppkey, late) feeds the semi, anti AND outer side of
+    # the self-joins — materialize so the lineitem⋈orders join runs once,
+    # not three times (Catalyst can't share the aliased subtrees pre-AQE)
+    l = _materialize(
         li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .select(
             "l_orderkey",

@@ -244,6 +244,106 @@ class Table:
             df = df.filter(F.expr(to_spark_sql(where)))
         return df
 
+    def changes(
+        self,
+        spark: SparkSession,
+        from_version: int,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """Net row-level changelog between two snapshots (Iceberg's
+        ``create_changelog_view``): one row per changed row, with
+        ``_change_type`` ('insert' | 'delete') and ``_commit_version``.
+        An update surfaces as a delete (old values) + insert (new values)
+        at the same commit version.
+
+        Works for EVERY operation (append/overwrite/delete/merge/
+        rollback): each commit's change set is the multiset difference
+        between the rows of its added and removed files, so rows a
+        copy-on-write rewrite merely carried over cancel out exactly.
+        Row-preserving snapshots (``replace`` compaction, schema/partition
+        evolution) are skipped outright — no bytes read.
+
+        Scale: cost is proportional to the CHURNED files per commit
+        (added + removed), never the table; the only shuffle is the
+        per-commit ``exceptAll`` over those files' rows. Consumers that
+        only ever append should prefer :meth:`scan_incremental`, which
+        reads the delta files with no diff shuffle at all.
+        """
+        ensure_compat(spark)
+        to_snap = self.snapshot(to_version)
+        versions = sorted(
+            v
+            for v in self.meta.list_versions()
+            if from_version < v <= to_snap.version
+        )
+        schema = T.StructType.fromJson(to_snap.schema_json)
+
+        def read_files(files: list[DataFile], file_schema: T.StructType):
+            if not files:
+                return spark.createDataFrame([], file_schema)
+            paths = [os.path.join(self.root, f.path) for f in files]
+            return spark.read.schema(file_schema).parquet(*paths)
+
+        out: DataFrame | None = None
+        for v in versions:
+            snap = self.snapshot(v)
+            if snap.operation in (
+                "replace",
+                "evolve-schema",
+                "evolve-partition",
+            ):
+                continue
+            if snap.parent_version is None:
+                parent_files: list[DataFile] = []
+            else:
+                try:
+                    parent_files = self.snapshot(snap.parent_version).files
+                except FileNotFoundError:
+                    raise ValueError(
+                        f"snapshot history expired: parent manifest "
+                        f"v{snap.parent_version} of snapshot {v} was "
+                        f"removed by expire_snapshots; changelog from "
+                        f"{from_version} is impossible"
+                    ) from None
+            snap_paths = {f.path for f in snap.files}
+            parent_paths = {f.path for f in parent_files}
+            added = [f for f in snap.files if f.path not in parent_paths]
+            removed = [f for f in parent_files if f.path not in snap_paths]
+            if not added and not removed:
+                continue
+            # read both sides with THIS snapshot's schema: parquet fills
+            # columns added by later evolution with NULLs, so the diff
+            # stays column-aligned across an evolving range
+            step_schema = T.StructType.fromJson(snap.schema_json)
+            a = read_files(added, step_schema)
+            r = read_files(removed, step_schema)
+            ins = (
+                a.exceptAll(r)
+                .withColumn("_change_type", F.lit("insert"))
+                .withColumn("_commit_version", F.lit(v))
+            )
+            dels = (
+                r.exceptAll(a)
+                .withColumn("_change_type", F.lit("delete"))
+                .withColumn("_commit_version", F.lit(v))
+            )
+            step = ins.unionByName(dels)
+            out = (
+                step
+                if out is None
+                else out.unionByName(step, allowMissingColumns=True)
+            )
+        if out is None:
+            empty = T.StructType(
+                schema.fields
+                + [
+                    T.StructField("_change_type", T.StringType(), False),
+                    T.StructField("_commit_version", T.IntegerType(), False),
+                ]
+            )
+            return spark.createDataFrame([], empty)
+        return out
+
     # ---- physical write helpers -----------------------------------------
 
     def _codec(self) -> str:
@@ -403,20 +503,31 @@ class Table:
 
     # ---- write strategies (SURVEY A7-A10) --------------------------------
 
-    def append(self, df: DataFrame) -> Snapshot:
-        """A7: append — new snapshot = parent files + new files."""
+    def append(
+        self, df: DataFrame, extra_properties: dict[str, str] | None = None
+    ) -> Snapshot:
+        """A7: append — new snapshot = parent files + new files.
+
+        ``extra_properties`` are merged into the snapshot's table
+        properties ATOMICALLY with the data commit — the hook idempotent
+        consumers (the exactly-once streaming sink) use to record their
+        progress marker in the same transaction as the rows.
+        """
         spec = self.partition_spec()
         entries = self._write_data_files(df, spec, self._codec())
         added_rows = sum(e.rows for e in entries)
 
         def build(parent: Snapshot) -> Snapshot:
+            props = parent.properties
+            if extra_properties:
+                props = {**props, **extra_properties}
             return new_snapshot(
                 parent,
                 "append",
                 parent.schema_json,
                 parent.partition_spec,
                 parent.files + entries,
-                parent.properties,
+                props,
                 {
                     "added-files": len(entries),
                     "added-records": added_rows,

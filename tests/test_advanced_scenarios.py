@@ -87,3 +87,53 @@ def test_full_lifecycle(spark, wh):
     t = wh.load_table(tid)
     assert len(t.snapshot().files) <= files_before
     assert t.scan(spark).count() == rows_before
+
+
+def test_incremental_view_maintenance(spark, wh):
+    """Materialized-aggregate maintenance: a per-key count/sum view kept
+    up to date from scan_incremental deltas must equal a full recompute
+    after every batch — the 100 TB pattern where the view update cost is
+    proportional to the delta, never the table."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from iceberg_loader_spark.tables.table import Table
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.LongType()),
+        ]
+    )
+    t = Table.create(wh, "db.ivm", schema)
+
+    def agg(df):
+        return df.groupBy("k").agg(
+            F.count("*").alias("n"), F.sum("v").alias("s")
+        )
+
+    view = None  # materialized (k, n, s)
+    last_version = None
+    for batch in (
+        [(1, 10), (2, 20)],
+        [(1, 1), (3, 30)],
+        [(2, 2), (3, 3), (3, 300)],
+    ):
+        t = wh.load_table("db.ivm")
+        t.append(spark.createDataFrame(batch, schema))
+        t = wh.load_table("db.ivm")
+        cur = t.meta.current_version()
+        if view is None:
+            view = agg(t.scan(spark))
+        else:
+            delta = agg(t.scan_incremental(spark, last_version, cur))
+            # merge partials: outer-join old view with delta aggregates
+            view = (
+                view.unionByName(delta)
+                .groupBy("k")
+                .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+            )
+        last_version = cur
+        full = agg(t.scan(spark))
+        assert view.exceptAll(full).count() == 0
+        assert full.exceptAll(view).count() == 0

@@ -54,3 +54,16 @@ def test_identity_partition_on_load_ts_rejected():
 def test_bad_load_ts_col_rejected():
     with pytest.raises(ConfigError):
         LoaderConfig(load_ts_col="bad name!")
+
+
+def test_materialize_mode_env_validation():
+    """SPARK_GRAFT_MATERIALIZE typos must fail loudly, not silently fall
+    back to the executor-loss-unsafe localCheckpoint mode."""
+    from iceberg_loader_spark.operators import dedup
+
+    assert dedup._validated_mode("persist") == "persist"
+    assert dedup._validated_mode("local_checkpoint") == "local_checkpoint"
+    with pytest.raises(ValueError, match="unknown materialize mode"):
+        dedup._validated_mode("PERSIST")
+    with pytest.raises(ValueError, match="unknown materialize mode"):
+        dedup._validated_mode("presist")

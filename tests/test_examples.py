@@ -70,3 +70,9 @@ def test_load_from_api_example(tmp_path):
 @pytest.mark.usefixtures("spark")
 def test_compare_complex_json_fail_example(tmp_path):
     _load("compare_complex_json_fail").run_comparison(str(tmp_path))
+
+
+@pytest.mark.usefixtures("spark")
+def test_cdc_and_clustering_example(tmp_path):
+    res = _load("cdc_and_clustering").main(str(tmp_path))
+    assert res["changes"] == 4

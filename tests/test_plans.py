@@ -106,6 +106,47 @@ def test_stratified_sample_partial_aggregates(spark):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_quality_gate_broadcasts_thresholds(spark):
+    """The per-language P25 thresholds (one row per language) must come
+    back as a broadcast, never a shuffle of the scored corpus."""
+    plan = plan_of(QUERIES["quality_percentile_gate"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tfidf_df_from_aggregated_tf(spark):
+    """tfidf's document-frequency side must aggregate the (doc, tok) tf
+    frame, not re-explode raw tokens: with materialization disabled the
+    logical plan shows ONE posexplode generator feeding both branches'
+    aggregates."""
+    from iceberg_loader_spark.operators import dedup
+
+    orig = dedup._materialize
+    dedup._materialize = lambda df: df
+    try:
+        plan = plan_of(QUERIES["tfidf_top5_per_doc"](spark, SF_SMOKE))
+    finally:
+        dedup._materialize = orig
+    # raw-token explodes: one per read of `toks`; tf is read twice but
+    # df's aggregate consumes tf, so the explode count stays at 2 (the
+    # two tf reads), NOT 3 (a third raw-token scan for df)
+    assert plan.count("posexplode") <= 2
+
+
+def test_pack_sequences_windows_are_per_source(spark):
+    """Sequence packing must never fall into a partition-less window —
+    the running sum is partitioned by source (parallel across sources)."""
+    import io
+    from contextlib import redirect_stdout
+
+    df = QUERIES["pack_sequences_by_source"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "Window" in plan
+    # the window's required distribution is a hash partitioning on source
+    assert "hashpartitioning(source" in plan, (
+        "running-sum window must be partitioned by source"
+    )
+
+
 def test_ngram_jaccard_hot_gram_cap_in_plan(spark):
     """The document-frequency cap must appear as a broadcast LEFT ANTI
     join against the (tiny) hot-gram set BEFORE the pair self-join —

@@ -215,6 +215,87 @@ def test_rollback_restores_previous_state(spark, tmp_path):
         t.scan_incremental(spark, good)
 
 
+def test_changes_cdc_across_mixed_operations(spark, tmp_path):
+    """Table.changes: append -> delete -> merge produce the expected
+    insert/delete rows per commit, compaction contributes nothing, and
+    replaying the changelog onto the starting snapshot reproduces the
+    final snapshot exactly (the CDC soundness invariant)."""
+    from pyspark.sql import functions as F
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("val", T.StringType()),
+        ]
+    )
+    wh = Warehouse(str(tmp_path))
+    t = Table.create(wh, "db.cdc", schema)
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], schema).coalesce(1))
+    base = wh.load_table("db.cdc").meta.current_version()
+
+    t = wh.load_table("db.cdc")
+    t.append(spark.createDataFrame([(3, "c")], schema).coalesce(1))
+    t = wh.load_table("db.cdc")
+    t.delete_where(spark, "id == 1")
+    t = wh.load_table("db.cdc")
+    t.merge(
+        spark,
+        spark.createDataFrame([(2, "B"), (4, "d")], schema),
+        ["id"],
+    )
+    from iceberg_loader_spark.tables.maintenance import rewrite_data_files
+
+    t = wh.load_table("db.cdc")
+    rewrite_data_files(t, spark, target_files=1)  # row-preserving
+    t = wh.load_table("db.cdc")
+
+    ch = t.changes(spark, base).toPandas()
+    by_commit = {
+        (r["_commit_version"], r["_change_type"], r["id"], r["val"])
+        for r in ch.to_dict("records")
+    }
+    assert (base + 1, "insert", 3, "c") in by_commit
+    assert (base + 2, "delete", 1, "a") in by_commit
+    # merge: update = delete(old)+insert(new), plus the pure insert
+    assert (base + 3, "delete", 2, "b") in by_commit
+    assert (base + 3, "insert", 2, "B") in by_commit
+    assert (base + 3, "insert", 4, "d") in by_commit
+    assert len(by_commit) == 5  # nothing else — compaction contributed 0
+
+    # soundness: base snapshot + changelog == final snapshot
+    base_df = t.scan(spark, version=base)
+    ins = spark.createDataFrame(
+        ch[ch._change_type == "insert"][["id", "val"]], schema
+    )
+    dels = spark.createDataFrame(
+        ch[ch._change_type == "delete"][["id", "val"]], schema
+    )
+    replayed = base_df.unionByName(ins).exceptAll(dels)
+    final = t.scan(spark)
+    assert replayed.exceptAll(final).count() == 0
+    assert final.exceptAll(replayed).count() == 0
+
+    # empty range -> empty frame with the change columns
+    empty = t.changes(spark, t.meta.current_version())
+    assert empty.count() == 0
+    assert "_change_type" in empty.columns
+
+
+def test_changes_errors_when_history_expired(spark, tmp_path):
+    from iceberg_loader_spark.tables.maintenance import expire_snapshots
+
+    schema = _schema()
+    wh = Warehouse(str(tmp_path))
+    t = Table.create(wh, "db.exp", schema)
+    for i in range(4):
+        t.append(spark.createDataFrame([(i,)], schema))
+        t = wh.load_table("db.exp")
+    expire_snapshots(t, keep_last=1)
+    t = wh.load_table("db.exp")
+    with pytest.raises(ValueError, match="expired"):
+        t.changes(spark, 1).count()
+
+
 def test_metadata_tables(spark, tmp_path):
     wh = Warehouse(str(tmp_path))
     t = Table.create(wh, "db.t", _schema())
