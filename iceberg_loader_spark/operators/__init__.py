@@ -26,6 +26,7 @@ def _modules():
         relational,
         similarity,
         text,
+        timeseries,
         tpch_extra,
         udfs,
     )
@@ -38,6 +39,7 @@ def _modules():
     # oracle sweep (tests/test_queries_oracle.py runs EVERY query against
     # DuckDB) for coverage; keeping the order fixed keeps that union
     # meaningful round over round.
+    # new modules append at the END so the existing prefix stays stable
     return [
         dedup,
         similarity,
@@ -47,6 +49,7 @@ def _modules():
         udfs,
         relational,
         tpch_extra,
+        timeseries,
     ]
 
 

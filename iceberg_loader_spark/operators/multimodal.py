@@ -360,3 +360,105 @@ def multimodal_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(_downsample, schema=_DOWNSAMPLE_SCHEMA)
         .orderBy("doc_id")
     )
+
+
+_WIN = 64  # energy window width in bytes (the audio-frame stand-in)
+
+_ENERGY_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_windows", IntegerType()),
+        StructField("max_energy", LongType()),
+        StructField("argmax_window", IntegerType()),
+        StructField("total_energy", LongType()),
+    ]
+)
+
+
+def _window_energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Windowed sum-of-squares energy per payload — the audio-RMS
+    plumbing shape (an RMS/loudness pass would sqrt the same windows).
+
+    Numpy-vectorized: one prefix-sum of squared bytes over the flat
+    buffer; each window's energy is a difference of two prefix values —
+    no per-window Python loop, no per-byte work after the single
+    ``cumsum``. Ragged docs are handled by indexing window boundaries
+    into the global prefix array.
+    """
+    for pdf in batches:
+        flat, lens, starts = _flatten_payloads(pdf)
+        n = len(lens)
+        sq = flat.astype(np.int64) ** 2
+        prefix = np.concatenate(([0], np.cumsum(sq)))
+        n_wins = (lens + _WIN - 1) // _WIN
+        doc_rep = np.repeat(np.arange(n, dtype=np.int64), n_wins)
+        within = np.arange(len(doc_rep), dtype=np.int64) - np.repeat(
+            np.cumsum(n_wins) - n_wins, n_wins
+        )
+        w_start = starts[doc_rep] + within * _WIN
+        w_end = np.minimum(w_start + _WIN, starts[doc_rep] + lens[doc_rep])
+        energies = prefix[w_end] - prefix[w_start]
+        # per-doc max / argmax / total via segmented reductions
+        seg_bounds = np.concatenate(([0], np.cumsum(n_wins)))
+        max_e = np.zeros(n, dtype=np.int64)
+        arg_e = np.zeros(n, dtype=np.int64)
+        tot_e = np.zeros(n, dtype=np.int64)
+        if energies.size:
+            tot_e = np.add.reduceat(energies, seg_bounds[:-1])
+            max_e = np.maximum.reduceat(energies, seg_bounds[:-1])
+            # first index achieving the max, per segment
+            is_max = energies == max_e[doc_rep]
+            first_idx = np.full(len(energies), np.iinfo(np.int64).max)
+            first_idx[is_max] = within[is_max]
+            arg_e = np.minimum.reduceat(first_idx, seg_bounds[:-1])
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].to_numpy(np.int64),
+                "n_windows": n_wins.astype(np.int32),
+                "max_energy": max_e,
+                "argmax_window": arg_e.astype(np.int32),
+                "total_energy": tot_e,
+            }
+        )
+
+
+# --------------------------------------------------------------------------
+# B28 — windowed energy over the payload (the audio feature-extraction
+# plumbing: fixed windows, per-window reduction, per-doc argmax). The
+# oracle replays the byte math over the ASCII corpus.
+# --------------------------------------------------------------------------
+@_register(
+    "multimodal_window_energy",
+    f"""
+    WITH d AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n,
+             CAST((octet_length(encode(text)) + {_WIN - 1}) // {_WIN}
+                  AS INTEGER) AS n_windows
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, n_windows,
+             list_transform(range(0, n_windows), i ->
+               CAST(list_sum(list_transform(
+                 range(i * {_WIN} + 1, least((i + 1) * {_WIN}, n) + 1),
+                 j -> ascii(substring(text, j, 1))
+                      * ascii(substring(text, j, 1)))) AS BIGINT))
+               AS energies
+      FROM d
+    )
+    SELECT doc_id, n_windows,
+           CAST(list_max(energies) AS BIGINT) AS max_energy,
+           CAST(list_position(energies, list_max(energies)) - 1 AS INTEGER)
+             AS argmax_window,
+           CAST(list_sum(energies) AS BIGINT) AS total_energy
+    FROM w
+    ORDER BY doc_id
+    """,
+)
+def multimodal_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mm = with_payload(load_table(spark, sf_dir, "documents"))
+    return (
+        mm.select("doc_id", "payload")
+        .mapInPandas(_window_energy, schema=_ENERGY_SCHEMA)
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,250 @@
+"""Time-series / event-analytics operators over ``events``.
+
+The hypertable-style surface a metrics or product-analytics user expects
+on top of the relational core: gap-filled resampling with
+last-observation-carried-forward, signup-cohort retention matrices, and
+ordered funnel analysis. All exact integer/fixed-point math so every
+query hash-matches its DuckDB oracle.
+
+Scale notes per query inline; the common shape is one bounded aggregate
+(hour/week/user grain) with map-side partial aggregation — the shuffles
+carry aggregated rows, never raw events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from iceberg_loader_spark.sources.tables import load_table
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+_FMT = "yyyy-MM-dd HH:mm:ss"
+_DUCK_FMT = "%Y-%m-%d %H:%M:%S"
+_CENTS = "CAST(ROUND(value * 100, 0) AS BIGINT)"
+
+
+# --------------------------------------------------------------------------
+# Gap-filled hourly resample + LOCF. Real event streams have empty hours;
+# a dashboard needs a row per hour anyway, with the running metric
+# carried forward (TimescaleDB's time_bucket_gapfill + locf shape).
+#
+# Physical shape: ONE aggregate over events (hour × type grain), then a
+# dense hour spine built from the aggregate's own min/max (a one-row
+# frame exploded into |hours| rows — metadata-sized), cross-joined with
+# the distinct types (bounded), left-joined to the aggregate, and an
+# ignorenulls last() window per type for the carry-forward. The window
+# partitions on event_type — parallel across types; |hours| rows per
+# partition is dashboard-scale regardless of event volume.
+# --------------------------------------------------------------------------
+@_register(
+    "gapfill_hourly_locf",
+    f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             COUNT(*) AS n_events, SUM({_CENTS}) AS sum_cents
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hourly),
+    spine AS (
+      SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds
+    ),
+    grid AS (
+      SELECT t.event_type, s.h
+      FROM (SELECT DISTINCT event_type FROM hourly) t CROSS JOIN spine s
+    ),
+    joined AS (
+      SELECT g.event_type, g.h,
+             COALESCE(hh.n_events, 0) AS n_events,
+             hh.sum_cents
+      FROM grid g LEFT JOIN hourly hh
+        ON hh.event_type = g.event_type AND hh.h = g.h
+    )
+    SELECT event_type,
+           strftime(h, '{_DUCK_FMT}') AS hour,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(last_value(sum_cents IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY h
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS locf_cents
+    FROM joined
+    ORDER BY event_type, hour
+    """,
+)
+def gapfill_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("n_events"), F.sum(cents).alias("sum_cents"))
+    from iceberg_loader_spark.operators.dedup import _materialize
+
+    hourly = _materialize(hourly)  # read by spine, types, and the join
+    spine = (
+        hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h")
+        )
+    )
+    types = hourly.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(spine))
+    joined = grid.join(hourly, ["event_type", "h"], "left").select(
+        "event_type",
+        "h",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "sum_cents",
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        joined.select(
+            "event_type",
+            F.date_format("h", _FMT).alias("hour"),
+            "n_events",
+            F.last("sum_cents", ignorenulls=True).over(w).alias("locf_cents"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+# --------------------------------------------------------------------------
+# Weekly cohort retention — users grouped by signup week (their first
+# event), tracked by weeks-since-signup: the product-analytics retention
+# triangle. Week index is exact integer day-arithmetic from a fixed
+# epoch, so both engines bucket identically.
+#
+# Physical shape: one per-user min aggregate (cohort), one
+# (user, week)-distinct aggregate (activity), one broadcast-joinable
+# merge on user_id, final count-distinct at (cohort_week, weeks_since)
+# grain. Shuffles carry per-user/per-week rows only.
+# --------------------------------------------------------------------------
+_WEEK = "CAST(datediff('day', DATE '1995-01-01', ts) // 7 AS BIGINT)"
+
+
+@_register(
+    "cohort_retention_weekly",
+    f"""
+    WITH user_weeks AS (
+      SELECT DISTINCT user_id, {_WEEK} AS week FROM events
+    ),
+    cohorts AS (
+      SELECT user_id, MIN(week) AS cohort_week FROM user_weeks GROUP BY user_id
+    )
+    SELECT c.cohort_week,
+           uw.week - c.cohort_week AS weeks_since,
+           COUNT(*) AS n_users
+    FROM user_weeks uw JOIN cohorts c USING (user_id)
+    GROUP BY 1, 2
+    ORDER BY cohort_week, weeks_since
+    """,
+)
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    week = F.floor(
+        F.datediff(F.col("ts").cast("date"), F.lit("1995-01-01").cast("date"))
+        / 7
+    ).cast("bigint")
+    user_weeks = ev.select(
+        "user_id", week.alias("week")
+    ).distinct()
+    from iceberg_loader_spark.operators.dedup import _materialize
+
+    user_weeks = _materialize(user_weeks)  # feeds cohorts AND the join
+    cohorts = user_weeks.groupBy("user_id").agg(
+        F.min("week").alias("cohort_week")
+    )
+    return (
+        user_weeks.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("weeks_since"),
+        )
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("cohort_week", "weeks_since")
+    )
+
+
+# --------------------------------------------------------------------------
+# Ordered funnel — view → click → purchase, each stage strictly at or
+# after the previous one's FIRST occurrence for that user. Three chained
+# per-user min aggregates (each depends on the previous stage's
+# timestamp), then one global count. Deterministic: only timestamp
+# comparisons and counts cross the engine boundary.
+#
+# Physical shape: three (user_id)-keyed aggregates, each over a
+# stage-filtered projection — shuffles carry one row per user. The
+# chained joins stay on the same user_id key, so AQE coalesces them into
+# co-partitioned stages without re-shuffling the larger side.
+# --------------------------------------------------------------------------
+@_register(
+    "funnel_view_click_purchase",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts >= v.t1
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= c.t2
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_view_click,
+           (SELECT COUNT(*) FROM p) AS n_view_click_purchase
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = [
+        df.agg(F.count("*").alias(name))
+        for df, name in (
+            (v, "n_view"),
+            (c, "n_view_click"),
+            (p, "n_view_click_purchase"),
+        )
+    ]
+    out = counts[0].crossJoin(counts[1]).crossJoin(counts[2])
+    return out

@@ -178,6 +178,37 @@ def test_manifest_write_is_atomic_and_exclusive(tmp_path):
     assert leftovers == []
 
 
+def test_publish_current_monotonic_under_thread_race(tmp_path):
+    """Many threads publishing shuffled versions concurrently: the flock
+    serialization must leave the pointer at the MAX version, never a
+    stale one, at every observation point."""
+    import random
+    import threading
+
+    from iceberg_loader_spark.tables.format import LocalFSBackend
+
+    backend = LocalFSBackend(str(tmp_path))
+    versions = list(range(1, 101))
+    random.Random(11).shuffle(versions)
+    chunks = [versions[i::8] for i in range(8)]
+    errors: list[Exception] = []
+
+    def publisher(chunk):
+        try:
+            for v in chunk:
+                backend.publish_current(v)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=publisher, args=(c,)) for c in chunks]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    assert errors == []
+    assert backend.read_current() == 100
+
+
 def test_publish_current_never_moves_backwards(tmp_path):
     """A slow writer's delayed publish must not roll the pointer back past
     a newer commit (the orphan-recovery path creates a second publisher
