@@ -890,7 +890,10 @@ def stats_battery_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    approx = F.approx_count_distinct("user_id")
+    # rsd=0.01: the default 0.05 is a 1σ RELATIVE STD DEV, so a 5% bound
+    # breaks ~1/3 of the time at real cardinalities (observed 6.7% error
+    # at sf0.1); 1% rsd keeps the sketch ~5σ inside the asserted bound.
+    approx = F.approx_count_distinct("user_id", 0.01)
     exact = F.countDistinct("user_id")
     return (
         ev.groupBy("event_type")
