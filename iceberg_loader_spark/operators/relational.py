@@ -1185,3 +1185,121 @@ def sql_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_SQL_NOT_IN_NULLS)
+
+
+# --------------------------------------------------------------------------
+# Map-typed column battery: construct, probe, merge, and enumerate map
+# columns (the remaining collection-function family after arrays/JSON).
+# Map-typed values stay internal; outputs are scalars and sorted joined
+# strings so the result canonicalizes across engines. Map-only, no
+# shuffle except the final ORDER BY.
+# --------------------------------------------------------------------------
+@_register(
+    "map_funcs_battery",
+    """
+    WITH m AS (
+      SELECT o_orderkey,
+             MAP {'status': o_orderstatus, 'prio': o_orderpriority} AS props
+      FROM orders WHERE o_orderkey < 200
+    ),
+    merged AS (
+      SELECT o_orderkey, props,
+             map_concat(props, MAP {'src': 'orders'}) AS allp
+      FROM m
+    )
+    SELECT o_orderkey,
+           CAST(cardinality(props) AS INTEGER) AS n_keys,
+           props['status'][1] AS status_val,
+           array_to_string(list_sort(map_keys(allp)), ',') AS all_keys,
+           array_to_string(list_sort(map_values(allp)), ',') AS all_vals,
+           list_contains(map_keys(props), 'prio') AS has_prio,
+           list_contains(map_keys(props), 'absent') AS has_absent
+    FROM merged
+    ORDER BY o_orderkey
+    """,
+)
+def map_funcs_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 200
+    )
+    props = F.create_map(
+        F.lit("status"),
+        F.col("o_orderstatus"),
+        F.lit("prio"),
+        F.col("o_orderpriority"),
+    )
+    m = orders.select("o_orderkey", props.alias("props"))
+    allp = F.map_concat(
+        F.col("props"), F.create_map(F.lit("src"), F.lit("orders"))
+    )
+    merged = m.withColumn("allp", allp)
+    return merged.select(
+        "o_orderkey",
+        F.size("props").alias("n_keys"),
+        F.element_at("props", "status").alias("status_val"),
+        F.array_join(F.sort_array(F.map_keys("allp")), ",").alias("all_keys"),
+        F.array_join(F.sort_array(F.map_values("allp")), ",").alias(
+            "all_vals"
+        ),
+        F.map_contains_key("props", "prio").alias("has_prio"),
+        F.map_contains_key("props", "absent").alias("has_absent"),
+    ).orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# B10 — heavy hitters, self-verifying like the other sketch queries.
+# DataFrame.freqItems (Karp-Shenker-Papadimitriou streaming counter)
+# guarantees NO FALSE NEGATIVES: every token with share > support is in
+# the sketch output. The query computes the EXACT >=2% heavy hitters and
+# flags each as found-in-sketch; the oracle recomputes the exact side and
+# asserts the flag — a sketch dropping a true heavy hitter turns the row
+# red. (False positives in the sketch are partitioning-dependent and
+# deliberately not output.)
+# Scale: exact side is one token aggregate; the sketch is a single-pass
+# map-side counter whose result is O(1/support) — driver-safe.
+# --------------------------------------------------------------------------
+@_register(
+    "heavy_hitter_tokens",
+    """
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                t -> t <> '')) AS tok
+      FROM documents
+    ),
+    counts AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM counts)
+    SELECT tok,
+           CAST(cnt AS BIGINT) AS cnt,
+           CAST(cnt * 10000 // t AS BIGINT) AS share_bps,
+           TRUE AS in_sketch
+    FROM counts, tot
+    WHERE cnt * 50 >= t
+    ORDER BY tok
+    """,
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_loader_spark.sources.tables import load_table as _lt
+
+    docs = _lt(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    tot = counts.agg(F.sum("cnt").alias("t"))
+    # the sketch: single-pass streaming counter, O(1/support) output
+    sketch_items = set(
+        toks.freqItems(["tok"], support=0.02).collect()[0][0]
+    )
+    return (
+        counts.join(F.broadcast(tot))
+        .filter(F.col("cnt") * 50 >= F.col("t"))
+        .select(
+            "tok",
+            "cnt",
+            ((F.col("cnt") * 10000) / F.col("t"))
+            .cast("bigint")
+            .alias("share_bps"),
+            F.col("tok").isin(sketch_items).alias("in_sketch"),
+        )
+        .orderBy("tok")
+    )
