@@ -248,3 +248,65 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     out = counts[0].crossJoin(counts[1]).crossJoin(counts[2])
     return out
+
+
+# --------------------------------------------------------------------------
+# Spike detection — hours where an event type's count exceeds 2× its
+# trailing 24-hour average (the monitoring/alerting shape). The flag is
+# EXACT integer math: n * trailing_hours > 2 * trailing_sum avoids any
+# float threshold, so both engines agree bit-for-bit. One bounded
+# aggregate + one per-type window over hour-grain rows.
+# --------------------------------------------------------------------------
+@_register(
+    "spike_hours_detect",
+    f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    trail AS (
+      SELECT event_type, h, n,
+             SUM(n) OVER w AS trail_sum,
+             COUNT(*) OVER w AS trail_cnt
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type,
+           strftime(h, '{_DUCK_FMT}') AS hour,
+           CAST(n AS BIGINT) AS n,
+           CAST(trail_sum AS BIGINT) AS trail_sum,
+           CAST(trail_cnt AS BIGINT) AS trail_cnt,
+           (n * trail_cnt > 2 * trail_sum) AS is_spike
+    FROM trail
+    WHERE trail_cnt > 0
+    ORDER BY event_type, hour
+    """,
+)
+def spike_hours_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("n"))
+    w = W.partitionBy("event_type").orderBy("h").rowsBetween(-24, -1)
+    trail = hourly.select(
+        "event_type",
+        "h",
+        "n",
+        F.sum("n").over(w).alias("trail_sum"),
+        F.count("*").over(w).alias("trail_cnt"),
+    )
+    return (
+        trail.filter(F.col("trail_cnt") > 0)
+        .select(
+            "event_type",
+            F.date_format("h", _FMT).alias("hour"),
+            "n",
+            "trail_sum",
+            "trail_cnt",
+            (F.col("n") * F.col("trail_cnt") > 2 * F.col("trail_sum")).alias(
+                "is_spike"
+            ),
+        )
+        .orderBy("event_type", "hour")
+    )

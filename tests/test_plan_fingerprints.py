@@ -52,6 +52,45 @@ def test_every_query_has_a_fingerprint(expected):
     )
 
 
+def test_output_schemas_are_canonicalizable(spark):
+    """No registered query may output array/map/struct/binary/date
+    columns: the external comparison canonicalizes results via pandas
+    sort_values + value hashing, which fails on unhashable cells (cost
+    two red rounds for array columns) and hashes date objects
+    engine-dependently. Arrays belong comma-joined, dates as formatted
+    strings — this test pins the contract for every current and future
+    query."""
+    from pyspark.sql import types as T
+
+    from iceberg_loader_spark.operators import all_queries, dedup
+
+    banned = (
+        T.ArrayType,
+        T.MapType,
+        T.StructType,
+        T.BinaryType,
+        T.DateType,
+    )
+    orig = dedup._materialize
+    dedup._materialize = lambda df: df
+    try:
+        offenders = {}
+        for name, fn in all_queries().items():
+            schema = fn(spark, SF_SMOKE).schema
+            bad = [
+                f"{f.name}:{f.dataType.simpleString()}"
+                for f in schema.fields
+                if isinstance(f.dataType, banned)
+            ]
+            if bad:
+                offenders[name] = bad
+    finally:
+        dedup._materialize = orig
+    assert offenders == {}, (
+        f"non-canonicalizable output columns: {offenders}"
+    )
+
+
 def test_plan_shapes_unchanged(spark, expected, actual):
     diffs = {
         name: {"expected": expected.get(name), "actual": fp}
