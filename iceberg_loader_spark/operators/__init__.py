@@ -22,6 +22,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 def _modules():
     from iceberg_loader_spark.operators import (
         dedup,
+        lifecycle,
         multimodal,
         relational,
         similarity,
@@ -57,6 +58,7 @@ def _modules():
         streaming,
         udfs,
         timeseries,
+        lifecycle,
         relational,
         tpch_extra,
     ]

@@ -1,0 +1,183 @@
+"""Table-lifecycle operators — Part A under the external oracle gate.
+
+Every other registered query reads the testdata parquet directly; these
+run the actual TABLE LAYER end-to-end inside the query (create →
+append → delete / merge / incremental scan against a throwaway
+warehouse) and return aggregates the DuckDB oracle recomputes from the
+raw ``documents`` table. A wrong write strategy, a lost row in
+copy-on-write, or a broken incremental diff turns the row red — the
+ingestion path gets the same hash-checked external verification as the
+query surface (it is otherwise covered only by the local pytest suite).
+
+Scale note: the lifecycle itself is the thing under test; the payload is
+the bounded ``documents`` table, so the writes are metadata-dominated —
+exactly the regime where commit-protocol bugs live.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_loader_spark.sources.tables import load_table
+from iceberg_loader_spark.tables.catalog import Warehouse
+from iceberg_loader_spark.tables.table import Table
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _fresh_warehouse() -> Warehouse:
+    # a throwaway root per invocation; a few MB, reclaimed with /tmp
+    return Warehouse(tempfile.mkdtemp(prefix="ils_lifecycle_"))
+
+
+# --------------------------------------------------------------------------
+# A7 + A14 — append then predicate delete, verified by content: the
+# surviving per-language row counts and character sums must equal the
+# oracle's filtered aggregate over the source parquet. Exercises create,
+# schema handling, the partition-less write path, file-level
+# copy-on-write delete, and scan — any lost or duplicated row flips a
+# count.
+# --------------------------------------------------------------------------
+@_register(
+    "lifecycle_append_delete_counts",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    WHERE lang <> 'de'
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def lifecycle_append_delete_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    wh = _fresh_warehouse()
+    t = Table.create(wh, "db.docs", docs.schema)
+    t.append(docs)
+    t = wh.load_table("db.docs")
+    t.delete_where(spark, "lang == 'de'")
+    t = wh.load_table("db.docs")
+    return (
+        t.scan(spark)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# A10 — MERGE correctness by content: upsert doubles n_chars for 'en'
+# docs (update-if-different) and inserts one synthetic row; the oracle
+# replays the same arithmetic over the source. File-granular
+# copy-on-write means untouched languages ride through byte-identical.
+# --------------------------------------------------------------------------
+@_register(
+    "lifecycle_merge_upsert_counts",
+    """
+    WITH merged AS (
+      SELECT doc_id, lang,
+             CASE WHEN lang = 'en' THEN n_chars * 2 ELSE n_chars END
+               AS n_chars
+      FROM documents
+      UNION ALL
+      SELECT -1 AS doc_id, 'xx' AS lang, 7 AS n_chars
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM merged
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def lifecycle_merge_upsert_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    wh = _fresh_warehouse()
+    t = Table.create(wh, "db.docs", docs.schema)
+    # bounded file count: the merge's file-location pass and rewrite are
+    # per-file; 4 files keeps the lifecycle metadata-dominated at any SF
+    t.append(docs.coalesce(4))
+    t = wh.load_table("db.docs")
+    src = docs.filter(F.col("lang") == "en").withColumn(
+        "n_chars", F.col("n_chars") * 2
+    )
+    new_row = spark.createDataFrame([(-1, "xx", 7)], docs.schema)
+    t.merge(spark, src.unionByName(new_row), ["doc_id"])
+    t = wh.load_table("db.docs")
+    return (
+        t.scan(spark)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# B1 incremental — two appends split by doc_id parity; the incremental
+# scan between the versions must return EXACTLY the second batch, never
+# rescanning the first. The oracle recomputes the odd-doc aggregate from
+# the source.
+# --------------------------------------------------------------------------
+@_register(
+    "lifecycle_incremental_scan_counts",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    WHERE doc_id % 2 = 1
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def lifecycle_incremental_scan_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    wh = _fresh_warehouse()
+    t = Table.create(wh, "db.docs", docs.schema)
+    t.append(docs.filter(F.col("doc_id") % 2 == 0))
+    t = wh.load_table("db.docs")
+    base = t.meta.current_version()
+    t.append(docs.filter(F.col("doc_id") % 2 == 1))
+    t = wh.load_table("db.docs")
+    return (
+        t.scan_incremental(spark, base)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )

@@ -173,6 +173,49 @@ def stream_session_30m_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# B23 — stateful stream dedup, batch-verified: keep each (user, type)
+# key's FIRST event (earliest ts, event_id tie-break). This is the batch
+# spelling of dropDuplicatesWithinWatermark with an unbounded window —
+# the micro-batch runner (stateful_dedup_streaming) runs the stateful
+# version and its test asserts one survivor per key; this registered
+# query pins WHICH survivor wins against the oracle.
+# Scale: one rank window partitioned by the dedup key — parallel across
+# keys, the streaming state-store analogue of a per-key min.
+# --------------------------------------------------------------------------
+@_register(
+    "stream_dedup_first_event",
+    f"""
+    SELECT user_id, event_type,
+           strftime(ts, '{_DUCK_FMT}') AS first_ts,
+           event_id
+    FROM (
+      SELECT user_id, event_type, ts, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rnk
+      FROM events)
+    WHERE rnk = 1
+    ORDER BY user_id, event_type
+    """,
+)
+def stream_dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.date_format("ts", _FMT).alias("first_ts"),
+            "event_id",
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
 # Stream-stream interval join shape — click→purchase conversion
 # attribution: each purchase is attributed to the SAME USER's most recent
 # click in the preceding 30 minutes. The join condition (equi-key +
