@@ -911,7 +911,11 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     sup = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
-    pos = (
+    from iceberg_loader_spark.operators.dedup import _materialize
+
+    # pos feeds BOTH the scalar total and the threshold filter join —
+    # materialize so the lineitem join+aggregate runs once, not twice
+    pos = _materialize(
         li.join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
         .groupBy("n_name", "l_partkey")
@@ -967,8 +971,14 @@ def q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
     sup = load_table(spark, sf_dir, "supplier")
-    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.sum(_dec("l_quantity")).alias("supp_qty")
+    from iceberg_loader_spark.operators.dedup import _materialize
+
+    # shipped feeds BOTH the per-part totals and the share join —
+    # materialize so the lineitem aggregate runs once
+    shipped = _materialize(
+        li.groupBy("l_partkey", "l_suppkey").agg(
+            F.sum(_dec("l_quantity")).alias("supp_qty")
+        )
     )
     totals = shipped.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
         F.sum("supp_qty").alias("part_qty")
