@@ -39,9 +39,26 @@ def _register(name: str, oracle: str | None = None):
     return deco
 
 
+_CREATED_ROOTS: list[str] = []
+
+
+def _cleanup_roots() -> None:
+    import shutil
+
+    for root in _CREATED_ROOTS:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _fresh_warehouse() -> Warehouse:
-    # a throwaway root per invocation; a few MB, reclaimed with /tmp
-    return Warehouse(tempfile.mkdtemp(prefix="ils_lifecycle_"))
+    # a throwaway root per invocation (tens of KB); removed at process
+    # exit — the scan the query returns is collected before then
+    import atexit
+
+    root = tempfile.mkdtemp(prefix="ils_lifecycle_")
+    if not _CREATED_ROOTS:
+        atexit.register(_cleanup_roots)
+    _CREATED_ROOTS.append(root)
+    return Warehouse(root)
 
 
 # --------------------------------------------------------------------------

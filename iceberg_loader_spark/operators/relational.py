@@ -1284,7 +1284,13 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         F.explode(F.split(F.lower("text"), " ")).alias("tok")
     ).filter(F.col("tok") != "")
-    counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    from iceberg_loader_spark.operators.dedup import _materialize
+
+    # counts feeds the total AND the share join — materialize so the
+    # token explode+aggregate runs once
+    counts = _materialize(
+        toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    )
     tot = counts.agg(F.sum("cnt").alias("t"))
     # the sketch: single-pass streaming counter, O(1/support) output
     sketch_items = set(

@@ -586,9 +586,15 @@ def repetition_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    g = docs.groupBy("source", "lang").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_chars").alias("n_chars_total"),
+    from iceberg_loader_spark.operators.dedup import _materialize
+
+    # g feeds the corpus totals AND the weight join — materialize so the
+    # documents aggregate runs once
+    g = _materialize(
+        docs.groupBy("source", "lang").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("n_chars_total"),
+        )
     )
     tot = g.groupBy().agg(
         F.sum("n_docs").alias("total_docs"),
