@@ -34,6 +34,7 @@ import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.storagelevel import StorageLevel
 
 from iceberg_loader_spark.sources.tables import ensure_compat
 from iceberg_loader_spark.tables.filters import (
@@ -682,7 +683,16 @@ class Table:
             apaths = [os.path.join(self.root, f.path) for f in affected]
             tdf = spark.read.schema(schema).parquet(*apaths)
             s = src.withColumn("_m", F.lit(1))
-            joined = tdf.alias("t").join(s.alias("s"), join_cols, "left_outer")
+            # The outer join feeds TWO actions (updated-rows audit count +
+            # the rewrite itself) and tdf feeds a third (insert anti-join);
+            # persist so the join shuffle runs once, not per action. Spill
+            # bounds memory: the persisted set is only the affected files'
+            # rows — the same data the rewrite must hold anyway.
+            joined = (
+                tdf.alias("t")
+                .join(s.alias("s"), join_cols, "left_outer")
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
             matched = F.col("s._m") == 1
             merged = joined.select(
                 *[F.col(f"t.{k}").alias(k) for k in join_cols],
@@ -695,9 +705,16 @@ class Table:
                 t_struct = F.struct(*[F.col(f"t.{c}") for c in non_keys])
                 s_struct = F.struct(*[F.col(f"s.{c}") for c in non_keys])
                 updated_rows = joined.filter(matched & ~t_struct.eqNullSafe(s_struct)).count()
-            inserts = src.join(tdf.select(*join_cols), join_cols, "left_anti")
+            inserts = src.join(
+                joined.select(*[F.col(f"t.{k}").alias(k) for k in join_cols]),
+                join_cols,
+                "left_anti",
+            )
             out = merged.unionByName(inserts.select(*cols))
-            new_entries = self._write_data_files(out, spec, self._codec())
+            try:
+                new_entries = self._write_data_files(out, spec, self._codec())
+            finally:
+                joined.unpersist()
         else:
             new_entries = self._write_data_files(src, spec, self._codec())
         inserted_rows = (
