@@ -22,6 +22,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 def _modules():
     from iceberg_loader_spark.operators import (
         dedup,
+        graph,
         lifecycle,
         multimodal,
         relational,
@@ -58,6 +59,7 @@ def _modules():
         streaming,
         udfs,
         timeseries,
+        graph,
         lifecycle,
         relational,
         tpch_extra,

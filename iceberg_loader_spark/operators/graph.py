@@ -1,0 +1,209 @@
+"""Graph analytics over the event-transition graph (iterative join-agg
+pattern; SURVEY.md §2 Part B extension family).
+
+The graph: one node per ``event_type``; a directed edge (src → dst, w)
+for every consecutive same-user event pair, weighted by how often the
+transition occurs. Building it is one lag window + one hash aggregate.
+
+PageRank runs in **exact integer fixed-point** (rank scaled by 1e9,
+damping as the rational 85/100, all updates integer multiply + integer
+division) so three unrolled iterations hash identically across engines —
+the same determinism recipe the similarity module uses for cosine.
+
+Scale: this is the generic vertex-centric pattern — edges are the big
+side and shuffle ONCE per iteration on ``src`` to meet the rank frame
+(small, one row per node); contributions partial-aggregate map-side on
+``dst``. At web-graph scale you pre-partition edges by src and reuse
+that partitioning across iterations; the program here is unchanged.
+The per-type node set is tiny in the testdata, but nothing below
+assumes it (no collect of nodes or edges; the only driver-side scalar
+is the node count, which any PageRank needs for its teleport term).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from iceberg_loader_spark.sources.tables import load_table
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+_PR_SCALE = 1_000_000_000  # rank fixed-point scale
+_PR_ITERS = 3
+
+# shared edge-construction CTEs (DuckDB side)
+_DUCK_EDGES = """
+    seq AS (
+      SELECT user_id, event_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    edges AS (
+      SELECT prev_type AS src, event_type AS dst, COUNT(*) AS w
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ),
+    nodes AS (SELECT DISTINCT event_type AS node FROM events),
+    outs AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wout FROM edges GROUP BY src)
+"""
+
+
+def _duck_pr_round(n: int, prev: str) -> str:
+    return f"""
+    c{n} AS (
+      SELECT e.dst AS node,
+             CAST(SUM((85 * r.r * e.w) // (100 * o.wout)) AS BIGINT) AS s
+      FROM edges e
+      JOIN {prev} r ON r.node = e.src
+      JOIN outs o ON o.src = e.src
+      GROUP BY e.dst
+    ),
+    r{n} AS (
+      SELECT n.node,
+             CAST((15 * CAST({_PR_SCALE} AS BIGINT)) // (100 * (SELECT COUNT(*) FROM nodes))
+                  + COALESCE(c.s, 0) AS BIGINT) AS r
+      FROM nodes n LEFT JOIN c{n} c ON c.node = n.node
+    )"""
+
+
+@_register(
+    "pagerank_event_transitions",
+    f"""
+    WITH {_DUCK_EDGES},
+    r0 AS (
+      SELECT node,
+             CAST(CAST({_PR_SCALE} AS BIGINT) // (SELECT COUNT(*) FROM nodes) AS BIGINT) AS r
+      FROM nodes
+    ),{_duck_pr_round(1, 'r0')},{_duck_pr_round(2, 'r1')},{_duck_pr_round(3, 'r2')}
+    SELECT r.node AS event_type, r.r AS pr_fp,
+           COALESCE(o.wout, 0) AS wout
+    FROM r{_PR_ITERS} r LEFT JOIN outs o ON o.src = r.node
+    ORDER BY event_type
+    """,
+)
+def pagerank_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w_lag = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type").over(w_lag).alias("prev_type"),
+    )
+    edges = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("src"), F.col("event_type").alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    nodes = ev.select(F.col("event_type").alias("node")).distinct()
+    outs = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("wout"))
+    edges = edges.join(outs, "src")
+
+    # the teleport term needs |V| — the one scalar any PageRank collects
+    n_nodes = nodes.count()
+    base = (15 * _PR_SCALE) // (100 * n_nodes)
+
+    ranks = nodes.withColumn(
+        "r", F.lit(_PR_SCALE // n_nodes).cast("bigint")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = edges.join(
+            ranks.withColumnRenamed("node", "src"), "src"
+        ).select(
+            F.col("dst").alias("node"),
+            F.expr("(85 * r * w) div (100 * wout)").alias("c"),
+        )
+        agg = contrib.groupBy("node").agg(F.sum("c").cast("bigint").alias("s"))
+        ranks = nodes.join(agg, "node", "left").select(
+            "node",
+            (F.lit(base) + F.coalesce(F.col("s"), F.lit(0)))
+            .cast("bigint")
+            .alias("r"),
+        )
+    return (
+        ranks.join(outs, ranks["node"] == outs["src"], "left")
+        .select(
+            F.col("node").alias("event_type"),
+            F.col("r").alias("pr_fp"),
+            F.coalesce(F.col("wout"), F.lit(0).cast("bigint")).alias("wout"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Degree statistics of the same transition graph — verifies the edge
+# construction independently of the rank iteration (in/out degree and
+# weighted degree per node). One lag window + two aggregates.
+# --------------------------------------------------------------------------
+@_register(
+    "graph_degree_stats",
+    f"""
+    WITH {_DUCK_EDGES},
+    ins AS (
+      SELECT dst, COUNT(*) AS in_deg, CAST(SUM(w) AS BIGINT) AS in_w
+      FROM edges GROUP BY dst
+    ),
+    outd AS (
+      SELECT src, COUNT(*) AS out_deg, CAST(SUM(w) AS BIGINT) AS out_w
+      FROM edges GROUP BY src
+    )
+    SELECT n.node AS event_type,
+           COALESCE(i.in_deg, 0) AS in_deg,
+           COALESCE(i.in_w, 0) AS in_w,
+           COALESCE(o.out_deg, 0) AS out_deg,
+           COALESCE(o.out_w, 0) AS out_w
+    FROM nodes n
+    LEFT JOIN ins i ON i.dst = n.node
+    LEFT JOIN outd o ON o.src = n.node
+    ORDER BY event_type
+    """,
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w_lag = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type").over(w_lag).alias("prev_type"),
+    )
+    edges = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("src"), F.col("event_type").alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    nodes = ev.select(F.col("event_type").alias("node")).distinct()
+    ins = edges.groupBy("dst").agg(
+        F.count("*").alias("in_deg"), F.sum("w").cast("bigint").alias("in_w")
+    )
+    outd = edges.groupBy("src").agg(
+        F.count("*").alias("out_deg"), F.sum("w").cast("bigint").alias("out_w")
+    )
+    z = F.lit(0).cast("bigint")
+    return (
+        nodes.join(ins, nodes["node"] == ins["dst"], "left")
+        .join(outd, nodes["node"] == outd["src"], "left")
+        .select(
+            F.col("node").alias("event_type"),
+            F.coalesce(F.col("in_deg"), F.lit(0)).alias("in_deg"),
+            F.coalesce(F.col("in_w"), z).alias("in_w"),
+            F.coalesce(F.col("out_deg"), F.lit(0)).alias("out_deg"),
+            F.coalesce(F.col("out_w"), z).alias("out_w"),
+        )
+        .orderBy("event_type")
+    )

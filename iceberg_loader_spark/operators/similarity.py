@@ -677,3 +677,185 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("qv").alias("q_max"),
         checksum.alias("checksum"),
     ).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# K-means (Lloyd's algorithm, fixed 3 assignment rounds, k=8) over the
+# embedding column — the distributed iterative-refinement workhorse
+# behind corpus clustering / SemDeDup cell construction / IVF training.
+#
+# Determinism contract: squared-L2 distances are exact bigint sums over
+# the 1e7 fixed-point view; centroid updates are elementwise
+# FLOOR(sum/count) (the division is a double over exactly-representable
+# bigints → identical IEEE result in both engines); argmin ties break by
+# centroid id. Init = the first k vectors (vec_id < k).
+#
+# Physical shape per round: one broadcast of the k×64 centroid frame to
+# an assignment join (map-side — the big side never shuffles), then a
+# posexplode + hash aggregate on (cluster, pos) to rebuild centroids
+# (shuffle carries 64·k partial sums per task, not vectors). The fp
+# frame is materialized once and re-read per round. At 100 TB: identical
+# program; k and rounds grow, the broadcast stays k×dim ints.
+# --------------------------------------------------------------------------
+_KM_K = 8
+
+_DUCK_SQDIST = (
+    "list_sum(list_transform(range(1, len({a}) + 1),"
+    " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+)
+
+
+def _duck_km_round(n: int, cent: str) -> str:
+    """One unrolled Lloyd round: assign against ``cent`` → a{n}/cent{n}."""
+    d = _DUCK_SQDIST.format(a="f.e", b="c.c_e")
+    return f"""
+    a{n}p AS (
+      SELECT f.vec_id, f.e, c.c_id, CAST({d} AS BIGINT) AS dist
+      FROM fp f CROSS JOIN {cent} c
+    ),
+    a{n} AS (
+      SELECT vec_id, e, c_id AS cluster, dist FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, c_id) AS rnk
+        FROM a{n}p)
+      WHERE rnk = 1
+    ),
+    x{n} AS (
+      SELECT cluster, generate_subscripts(e, 1) AS pos, unnest(e) AS v
+      FROM a{n}
+    ),
+    u{n} AS (
+      SELECT cluster, pos,
+             CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+      FROM x{n}
+      GROUP BY cluster, pos
+    ),
+    cent{n} AS (
+      SELECT cluster AS c_id, list(cv ORDER BY pos) AS c_e
+      FROM u{n} GROUP BY cluster
+    )"""
+
+
+@_register(
+    "kmeans_embeddings",
+    f"""
+    WITH fp AS (
+      SELECT vec_id, {_DUCK_FP.format(col='embedding')} AS e FROM embeddings
+    ),
+    cent0 AS (
+      SELECT vec_id AS c_id, e AS c_e FROM fp WHERE vec_id < {_KM_K}
+    ),{_duck_km_round(1, 'cent0')},{_duck_km_round(2, 'cent1')},{_duck_km_round(3, 'cent2')}
+    SELECT vec_id, cluster, dist FROM a3 ORDER BY vec_id
+    """,
+)
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_loader_spark.operators.dedup import _materialize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    fp = _materialize(
+        emb.select("vec_id", _fixed_point(F.col("embedding")).alias("e"))
+    )
+    cents = fp.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("c_id"), F.col("e").alias("c_e")
+    )
+
+    def _sqdist(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+
+    def _assign(cent_df: DataFrame) -> DataFrame:
+        w = W.partitionBy("vec_id").orderBy("dist", "c_id")
+        return (
+            fp.join(F.broadcast(cent_df))
+            .withColumn("dist", _sqdist(F.col("e"), F.col("c_e")))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") == 1)
+            .select("vec_id", "e", F.col("c_id").alias("cluster"), "dist")
+        )
+
+    assigned = None
+    for rnd in range(3):
+        assigned = _assign(cents)
+        if rnd < 2:  # rebuild centroids between assignment rounds
+            pos = assigned.select(
+                "cluster", F.posexplode("e").alias("pos", "v")
+            )
+            upd = pos.groupBy("cluster", "pos").agg(
+                F.floor(F.sum("v").cast("double") / F.count("*"))
+                .cast("bigint")
+                .alias("cv")
+            )
+            cents = upd.groupBy("cluster").agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                    lambda s: s["cv"],
+                ).alias("c_e")
+            ).select(F.col("cluster").alias("c_id"), "c_e")
+    return assigned.select("vec_id", "cluster", "dist").orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# Random projection (Achlioptas ±1 sketch, 64 → 8 dims) — the
+# dimensionality-reduction step ahead of clustering / ANN when the raw
+# embedding is too wide to shuffle. The ±1 projection matrix is a
+# data-independent constant derived from md5 at module import and
+# embedded as a LITERAL in both the Spark plan and the oracle SQL — so
+# the projection is one map-only pass of exact bigint dot products, no
+# per-row hashing, whole-stage codegen, zero shuffle. At 100 TB the
+# matrix (dims_out × dims_in ints) broadcasts for free inside the plan.
+# --------------------------------------------------------------------------
+_RP_IN, _RP_OUT = 64, 8
+
+
+def _rp_matrix() -> list[list[int]]:
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"rp_{j}_{i}".encode()).hexdigest()[:2], 16) % 2
+            == 0
+            else -1
+            for i in range(_RP_IN)
+        ]
+        for j in range(_RP_OUT)
+    ]
+
+
+_RP_W = _rp_matrix()
+
+_RP_ORACLE = (
+    "WITH fp AS (SELECT vec_id, "
+    + _DUCK_FP.format(col="embedding")
+    + " AS e FROM embeddings)\nSELECT vec_id,\n"
+    + ",\n".join(
+        "  CAST(list_sum(list_transform(range(1, {n} + 1),"
+        " i -> ({w})[i] * e[i])) AS BIGINT) AS p{j}".format(
+            n=_RP_IN, j=j, w="[" + ",".join(map(str, _RP_W[j])) + "]"
+        )
+        for j in range(_RP_OUT)
+    )
+    + "\nFROM fp ORDER BY vec_id"
+)
+
+
+@_register("random_projection_embed", _RP_ORACLE)
+def random_projection_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    fp = emb.select("vec_id", _fixed_point(F.col("embedding")).alias("e"))
+    projs = [
+        F.aggregate(
+            F.zip_with(
+                F.col("e"),
+                F.array(*[F.lit(w).cast("bigint") for w in _RP_W[j]]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ).alias(f"p{j}")
+        for j in range(_RP_OUT)
+    ]
+    return fp.select("vec_id", *projs).orderBy("vec_id")

@@ -877,3 +877,157 @@ def pack_sequences_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("toks_before") / 2048).alias("bin_id"),
         (F.col("toks_before") % 2048).alias("bin_offset"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# PII redaction — the scrubbing pass an LLM training pipeline runs before
+# anything else sees the text. The synthetic corpus contains no organic
+# PII, so the query deterministically APPENDS PII-shaped tokens derived
+# from doc_id (email, phone, IPv4) on BOTH the Spark and oracle sides,
+# then redacts them with the same three regex classes — the redaction
+# machinery (match, replace-all, count) is exercised on guaranteed hits
+# while the whole check stays a pure function of the input table.
+#
+# Physical shape: map-only (regexp_replace / regexp_extract_all are JVM
+# codegen) — embarrassingly parallel, no shuffle, scales linearly.
+# Patterns are written in the common Java-regex/RE2 subset so both
+# engines match identically (no backrefs, no lookaround).
+# --------------------------------------------------------------------------
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+_PII_PHONE = "[+][0-9][0-9-]{7,}[0-9]"
+_PII_IP = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+
+_PII_ORACLE = """
+    WITH seeded AS (
+      SELECT doc_id, lang,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.' || CAST((doc_id // 7) % 256 AS VARCHAR) AS text
+      FROM documents
+    ),
+    counted AS (
+      SELECT doc_id, lang, text,
+             len(regexp_extract_all(text, '{email}')) AS n_emails,
+             len(regexp_extract_all(text, '{phone}')) AS n_phones,
+             len(regexp_extract_all(text, '{ip}')) AS n_ips
+      FROM seeded
+    )
+    SELECT doc_id, lang, n_emails, n_phones, n_ips,
+           LENGTH(redacted) AS redacted_len,
+           md5(redacted) AS redacted_md5
+    FROM (
+      SELECT *,
+             regexp_replace(regexp_replace(regexp_replace(text,
+               '{email}', '<EMAIL>', 'g'),
+               '{ip}', '<IP>', 'g'),
+               '{phone}', '<PHONE>', 'g') AS redacted
+      FROM counted)
+    ORDER BY doc_id
+""".format(email=_PII_EMAIL, phone=_PII_PHONE, ip=_PII_IP)
+
+
+@_register("pii_redact_documents", _PII_ORACLE)
+def pii_redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" host 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        (F.floor(F.col("doc_id") / 7) % 256).cast("string"),
+    )
+    d = docs.select("doc_id", "lang", seeded.alias("text"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"),
+            _PII_IP,
+            "<IP>",
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(F.regexp_extract_all("text", F.lit(_PII_EMAIL), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(_PII_PHONE), F.lit(0))).alias(
+            "n_phones"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(_PII_IP), F.lit(0))).alias(
+            "n_ips"
+        ),
+        F.length(redacted).alias("redacted_len"),
+        F.md5(redacted.cast("binary")).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Token diversity (Gini–Simpson) — an exact-integer replacement for the
+# Shannon-entropy quality signal (log2 is engine-rounding-dependent; the
+# Simpson index is a rational number computed entirely in bigints, so the
+# same analytic "how repetitive is this doc" signal hashes identically).
+# D = 1 - sum_i n_i(n_i-1) / (N(N-1)); high D = diverse vocabulary,
+# low D = degenerate/repetitive doc (a standard pre-training filter).
+#
+# Physical shape: one explode + hash aggregate on (doc_id, token) —
+# partial aggregation map-side, the shuffle carries (doc_id, token,
+# count), then a per-doc combine. Same shape as token counting; scales.
+# --------------------------------------------------------------------------
+@_register(
+    "token_diversity_gini",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                                        t -> t <> '')) AS token
+      FROM documents
+    ),
+    counts AS (
+      SELECT doc_id, token, COUNT(*) AS c FROM toks GROUP BY doc_id, token
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_toks,
+           COUNT(*) AS n_distinct,
+           CAST(SUM(c * (c - 1)) AS BIGINT) AS rep_num,
+           CAST(SUM(c) * (SUM(c) - 1) AS BIGINT) AS rep_den,
+           1.0 - CAST(SUM(c * (c - 1)) AS DOUBLE)
+               / (CAST(SUM(c) AS DOUBLE) * (CAST(SUM(c) AS DOUBLE) - 1))
+             AS gini_diversity
+    FROM counts
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def token_diversity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+        ).alias("token"),
+    )
+    counts = toks.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
+    n = F.sum("c").cast("bigint")
+    num = F.sum(F.col("c") * (F.col("c") - 1)).cast("bigint")
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            n.alias("n_toks"),
+            F.count("*").alias("n_distinct"),
+            num.alias("rep_num"),
+            (n * (n - F.lit(1))).cast("bigint").alias("rep_den"),
+            (
+                F.lit(1.0)
+                - num.cast("double")
+                / (n.cast("double") * (n.cast("double") - F.lit(1.0)))
+            ).alias("gini_diversity"),
+        )
+        .orderBy("doc_id")
+    )
