@@ -96,6 +96,8 @@ def _duck_pr_round(n: int, prev: str) -> str:
     """,
 )
 def pagerank_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_loader_spark.operators.dedup import _materialize
+
     ev = load_table(spark, sf_dir, "events")
     w_lag = W.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
@@ -109,9 +111,15 @@ def pagerank_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("w"))
     )
-    nodes = ev.select(F.col("event_type").alias("node")).distinct()
+    nodes = _materialize(
+        ev.select(F.col("event_type").alias("node")).distinct()
+    )
     outs = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("wout"))
-    edges = edges.join(outs, "src")
+    # materialize once: every iteration (and the final degree join) reads
+    # the edge frame — without this the lag window + aggregate lineage
+    # re-executes per iteration
+    edges = _materialize(edges.join(outs, "src"))
+    outs = edges.select("src", "wout").distinct()
 
     # the teleport term needs |V| — the one scalar any PageRank collects
     n_nodes = nodes.count()
@@ -174,13 +182,15 @@ def pagerank_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_loader_spark.operators.dedup import _materialize
+
     ev = load_table(spark, sf_dir, "events")
     w_lag = W.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         "event_type",
         F.lag("event_type").over(w_lag).alias("prev_type"),
     )
-    edges = (
+    edges = _materialize(  # read by both the in- and out-degree aggregates
         seq.filter(F.col("prev_type").isNotNull())
         .groupBy(
             F.col("prev_type").alias("src"), F.col("event_type").alias("dst")

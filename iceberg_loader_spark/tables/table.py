@@ -647,13 +647,22 @@ class Table:
         cols = [f.name for f in schema.fields]
         non_keys = [c for c in cols if c not in join_cols]
 
-        dup = (
-            source.groupBy(*join_cols).count().filter(F.col("count") > 1).limit(1).count()
-        )
-        if dup:
+        # The source feeds FOUR consumers (dup check, file-location
+        # semi-join, the CoW outer join, the insert anti-join) — persist
+        # it so its upstream pipeline runs once, and fold the dup check
+        # into one aggregate over the persisted frame (count vs distinct
+        # key count), which doubles as the eager cache populator.
+        src = source.select(*cols).persist(StorageLevel.MEMORY_AND_DISK)
+        # (struct wrapper: a struct holding NULL fields is itself non-NULL,
+        # so NULL join keys still count — same grouping the old
+        # groupBy-based check applied)
+        n_src, n_keys = src.agg(
+            F.count("*"),
+            F.count_distinct(F.struct(*[F.col(c) for c in join_cols])),
+        ).first()
+        if n_src != n_keys:
+            src.unpersist()
             raise ValueError(f"duplicate join keys in upsert source on {join_cols}")
-
-        src = source.select(*cols)
 
         # locate affected files via key semi-join (metadata → file level)
         affected_rel: set[str] = set()
@@ -715,8 +724,12 @@ class Table:
                 new_entries = self._write_data_files(out, spec, self._codec())
             finally:
                 joined.unpersist()
+                src.unpersist()
         else:
-            new_entries = self._write_data_files(src, spec, self._codec())
+            try:
+                new_entries = self._write_data_files(src, spec, self._codec())
+            finally:
+                src.unpersist()
         inserted_rows = (
             sum(e.rows for e in new_entries)
             - sum(f.rows for f in affected)
