@@ -198,3 +198,53 @@ def lifecycle_incremental_scan_counts(
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming table tail (Iceberg streaming-read shape) under the oracle:
+# three appends land as three commits; a TableTailReader pulled between
+# commits must return EXACTLY each delta (never rescanning the base), and
+# the union of all pulled micro-batches must equal the full table — which
+# the oracle recomputes from the source parquet. A tail that drops,
+# duplicates, or re-reads rows flips the per-language aggregate.
+# --------------------------------------------------------------------------
+@_register(
+    "stream_table_tail_counts",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           3 AS n_batches
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def stream_table_tail_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_loader_spark.streaming.source import TableTailReader
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    wh = _fresh_warehouse()
+    t = Table.create(wh, "db.docs", docs.schema)
+    reader = TableTailReader(t, from_version=t.meta.current_version())
+    batches: list[DataFrame] = []
+    for m in range(3):
+        t.append(docs.filter(F.col("doc_id") % 3 == m))
+        nxt = reader.next_batch(spark)
+        assert nxt is not None, "tail missed a committed append"
+        batches.append(nxt)
+    assert reader.next_batch(spark) is None, "tail not caught up"
+    union = batches[0]
+    for b in batches[1:]:
+        union = union.unionByName(b)
+    return (
+        union.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.lit(len(batches)).alias("n_batches"),
+        )
+        .orderBy("lang")
+    )

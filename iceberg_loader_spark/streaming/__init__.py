@@ -6,6 +6,7 @@ identically in batch (oracle-checked) and micro-batch streaming
 """
 
 from iceberg_loader_spark.streaming.sink import IdempotentTableSink
+from iceberg_loader_spark.streaming.source import TableTailReader
 from iceberg_loader_spark.streaming.windows import ORACLES, QUERIES
 
-__all__ = ["QUERIES", "ORACLES", "IdempotentTableSink"]
+__all__ = ["QUERIES", "ORACLES", "IdempotentTableSink", "TableTailReader"]
