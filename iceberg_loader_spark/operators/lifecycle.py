@@ -248,3 +248,51 @@ def stream_table_tail_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# A14 merge-on-read variant under the oracle: a MoR delete (predicate
+# recorded, zero rewrite) followed by an append of rows that MATCH the
+# predicate — the scan must hide pre-delete matches by sequence number
+# while keeping the later append intact. The oracle replays the visible
+# set from the source table. Wrong sequence bookkeeping (predicate
+# applied to new files, or not applied to old ones) flips the counts.
+# --------------------------------------------------------------------------
+@_register(
+    "lifecycle_mor_delete_counts",
+    """
+    WITH visible AS (
+      SELECT doc_id, lang, n_chars FROM documents WHERE lang <> 'de'
+      UNION ALL
+      SELECT doc_id, lang, n_chars FROM documents
+      WHERE lang = 'de' AND doc_id % 2 = 0
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM visible
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def lifecycle_mor_delete_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    wh = _fresh_warehouse()
+    t = Table.create(wh, "db.docs", docs.schema)
+    t.append(docs)
+    t.delete_where(spark, "lang == 'de'", mode="mor")  # zero rewrite
+    # post-delete append deliberately matches the predicate: sequence
+    # numbers must keep these rows visible
+    t.append(docs.filter((F.col("lang") == "de") & (F.col("doc_id") % 2 == 0)))
+    t = wh.load_table("db.docs")
+    return (
+        t.scan(spark)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )

@@ -56,6 +56,11 @@ class DataFile:
     partition: dict[str, object] = field(default_factory=dict)
     # column -> [min, max] (JSON-encodable scalars); used for file pruning
     stats: dict[str, list] = field(default_factory=dict)
+    # data sequence number (Iceberg v2): the snapshot version at which the
+    # file was ADDED. Merge-on-read delete predicates apply only to files
+    # with a LOWER sequence — rows appended after the delete are untouched.
+    # Files from pre-MoR manifests default to 0 (every delete applies).
+    sequence: int = 0
 
     def to_json(self) -> dict:
         return {
@@ -64,6 +69,7 @@ class DataFile:
             "bytes": self.bytes,
             "partition": self.partition,
             "stats": self.stats,
+            "sequence": self.sequence,
         }
 
     @classmethod
@@ -74,6 +80,7 @@ class DataFile:
             bytes=d["bytes"],
             partition=d.get("partition", {}),
             stats=d.get("stats", {}),
+            sequence=d.get("sequence", 0),
         )
 
 
@@ -91,6 +98,12 @@ class Snapshot:
     files: list[DataFile]
     properties: dict[str, str]
     summary: dict[str, object] = field(default_factory=dict)
+    # pending merge-on-read delete predicates, each
+    # {"where": <predicate string>, "sequence": <commit version>} —
+    # applied at scan time to files with sequence < the predicate's;
+    # cleared when a compaction materializes them (Iceberg v2 delete
+    # files play this role; a predicate is the degenerate O(1) form)
+    delete_predicates: list = field(default_factory=list)
 
     @property
     def total_rows(self) -> int:
@@ -108,6 +121,7 @@ class Snapshot:
             "files": [f.to_json() for f in self.files],
             "properties": self.properties,
             "summary": self.summary,
+            "delete_predicates": self.delete_predicates,
         }
 
     @classmethod
@@ -123,6 +137,7 @@ class Snapshot:
             files=[DataFile.from_json(f) for f in d.get("files", [])],
             properties=d.get("properties", {}),
             summary=d.get("summary", {}),
+            delete_predicates=d.get("delete_predicates", []),
         )
 
 
@@ -381,6 +396,9 @@ class TableMetadata:
             self.backend.publish_current(version)
 
 
+_INHERIT = object()  # sentinel: carry the parent's delete predicates
+
+
 def new_snapshot(
     parent: Snapshot | None,
     operation: str,
@@ -389,8 +407,11 @@ def new_snapshot(
     files: list[DataFile],
     properties: dict[str, str],
     summary: dict[str, object] | None = None,
+    delete_predicates=_INHERIT,
 ) -> Snapshot:
     version = 1 if parent is None else parent.version + 1
+    if delete_predicates is _INHERIT:
+        delete_predicates = list(parent.delete_predicates) if parent else []
     return Snapshot(
         version=version,
         snapshot_id=uuid.uuid4().hex,
@@ -402,4 +423,5 @@ def new_snapshot(
         files=files,
         properties=properties,
         summary=summary or {},
+        delete_predicates=delete_predicates,
     )

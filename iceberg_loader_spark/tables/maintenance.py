@@ -216,6 +216,24 @@ def rewrite_data_files(
                 f"({len(missing)} files); re-run rewrite_data_files"
             )
         carried = [f for f in parent.files if f.path not in compacted_paths]
+        # Sequence inheritance (Iceberg's rewrite semantics): compacted
+        # files keep the MAX input sequence, not the replace version —
+        # so a merge-on-read delete recorded concurrently (sequence
+        # between the scan and this commit) still applies to the
+        # rewritten rows at scan time. The predicates that existed at
+        # scan time were materialized by reading through table.scan and
+        # are cleared; later-recorded ones carry forward.
+        inherited = max((f.sequence for f in snap.files), default=0)
+        for e in entries:
+            e.sequence = inherited
+        materialized = {
+            (p["where"], p["sequence"]) for p in snap.delete_predicates
+        }
+        remaining_preds = [
+            p
+            for p in parent.delete_predicates
+            if (p["where"], p["sequence"]) not in materialized
+        ]
         return new_snapshot(
             parent,
             "replace",
@@ -226,8 +244,10 @@ def rewrite_data_files(
             {
                 "rewritten-files": len(parent.files) - len(carried),
                 "added-files": len(entries),
+                "materialized-delete-predicates": len(materialized),
                 "total-records": parent.total_rows,
             },
+            delete_predicates=remaining_preds,
         )
 
     table._commit_with_retry(build)

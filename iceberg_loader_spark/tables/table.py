@@ -60,6 +60,18 @@ from iceberg_loader_spark.tables.partitioning import (
 
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
+def _stamp_sequence(entries, version: int) -> None:
+    """Set the data sequence number on freshly written manifest entries.
+
+    Runs inside each commit's ``build`` so a conflict retry re-stamps
+    with the rebased version — the sequence is the version the files
+    actually commit at, which is what merge-on-read delete applicability
+    is defined against.
+    """
+    for e in entries:
+        e.sequence = version
+
+
 
 def _stat_value(v):
     """Parquet footer stat → JSON-encodable, comparison-stable value."""
@@ -168,14 +180,57 @@ class Table:
         schema = T.StructType.fromJson(snap.schema_json)
         spec = [PartitionField.from_json(d) for d in snap.partition_spec]
         files, _ = prune_files(where, snap.files, spec)
-        if not files:
-            df = spark.createDataFrame([], schema)
-        else:
-            paths = [os.path.join(self.root, f.path) for f in files]
-            df = spark.read.schema(schema).parquet(*paths)
+        df = self._read_files_mor(spark, files, schema, snap.delete_predicates)
         if where:
             df = df.filter(F.expr(to_spark_sql(where)))
         return df
+
+    def _read_files_mor(
+        self,
+        spark: SparkSession,
+        files: list[DataFile],
+        schema: T.StructType,
+        preds: list[dict],
+    ) -> DataFrame:
+        """Read data files with pending merge-on-read delete predicates
+        applied. A predicate applies to files whose sequence is LOWER
+        than its own, so files group by "era": with predicates sorted by
+        sequence, each file's applicable set is a suffix of the list —
+        one parquet read + row filter per era, unioned. Time travel is
+        automatic (callers pass the target snapshot's predicate list).
+
+        Scale: the filters are ordinary Catalyst predicates pushed into
+        the parquet scan of each era group; no join, no extra shuffle.
+        Iceberg v2's positional delete files cost an anti-join here —
+        the predicate form is the O(1)-metadata degenerate case, and the
+        compaction path (`rewrite_data_files`) materializes + clears
+        them so the list never grows unboundedly."""
+        if not files:
+            return spark.createDataFrame([], schema)
+        if not preds:
+            paths = [os.path.join(self.root, f.path) for f in files]
+            return spark.read.schema(schema).parquet(*paths)
+        ordered = sorted(preds, key=lambda p: p["sequence"])
+        groups: dict[int, list[DataFile]] = {}
+        for f in files:
+            k = next(
+                (
+                    i
+                    for i, p in enumerate(ordered)
+                    if f.sequence < p["sequence"]
+                ),
+                len(ordered),
+            )
+            groups.setdefault(k, []).append(f)
+        out: DataFrame | None = None
+        for k in sorted(groups):
+            paths = [os.path.join(self.root, f.path) for f in groups[k]]
+            df = spark.read.schema(schema).parquet(*paths)
+            for p in ordered[k:]:
+                e = F.expr(to_spark_sql(p["where"]))
+                df = df.filter(~e | e.isNull())
+            out = df if out is None else out.unionByName(df)
+        return out
 
     def scan_incremental(
         self,
@@ -279,12 +334,6 @@ class Table:
         )
         schema = T.StructType.fromJson(to_snap.schema_json)
 
-        def read_files(files: list[DataFile], file_schema: T.StructType):
-            if not files:
-                return spark.createDataFrame([], file_schema)
-            paths = [os.path.join(self.root, f.path) for f in files]
-            return spark.read.schema(file_schema).parquet(*paths)
-
         out: DataFrame | None = None
         for v in versions:
             snap = self.snapshot(v)
@@ -295,10 +344,12 @@ class Table:
             ):
                 continue
             if snap.parent_version is None:
+                parent_snap = None
                 parent_files: list[DataFile] = []
+                parent_preds: list[dict] = []
             else:
                 try:
-                    parent_files = self.snapshot(snap.parent_version).files
+                    parent_snap = self.snapshot(snap.parent_version)
                 except FileNotFoundError:
                     raise ValueError(
                         f"snapshot history expired: parent manifest "
@@ -306,18 +357,67 @@ class Table:
                         f"removed by expire_snapshots; changelog from "
                         f"{from_version} is impossible"
                     ) from None
+                parent_files = parent_snap.files
+                parent_preds = parent_snap.delete_predicates
             snap_paths = {f.path for f in snap.files}
             parent_paths = {f.path for f in parent_files}
             added = [f for f in snap.files if f.path not in parent_paths]
             removed = [f for f in parent_files if f.path not in snap_paths]
+            step_schema = T.StructType.fromJson(snap.schema_json)
+
+            # merge-on-read delete: the commit may change no files, but
+            # each newly recorded predicate hides rows of every lower-
+            # sequence parent file — surface those as 'delete' rows (read
+            # cost: the applicable files, i.e. exactly the churn).
+            new_preds = snap.delete_predicates[len(parent_preds):]
+            mor_dels: DataFrame | None = None
+            for pi, pred in enumerate(new_preds):
+                # only files SURVIVING the commit: rows of files the MoR
+                # delete dropped outright (metadata-proof full matches)
+                # are emitted by the removed-files diff below — counting
+                # them here would double-report
+                applicable = [
+                    f for f in snap.files if f.sequence < pred["sequence"]
+                ]
+                # rows visible before this predicate: parent's predicates
+                # plus any earlier predicate recorded in the same range
+                visible = self._read_files_mor(
+                    spark,
+                    applicable,
+                    step_schema,
+                    parent_preds + new_preds[:pi],
+                )
+                e = F.expr(to_spark_sql(pred["where"]))
+                hit = visible.filter(e)
+                mor_dels = (
+                    hit if mor_dels is None else mor_dels.unionByName(hit)
+                )
+            if mor_dels is not None:
+                step = mor_dels.withColumn(
+                    "_change_type", F.lit("delete")
+                ).withColumn("_commit_version", F.lit(v))
+                out = (
+                    step
+                    if out is None
+                    else out.unionByName(step, allowMissingColumns=True)
+                )
+
             if not added and not removed:
                 continue
             # read both sides with THIS snapshot's schema: parquet fills
             # columns added by later evolution with NULLs, so the diff
-            # stays column-aligned across an evolving range
-            step_schema = T.StructType.fromJson(snap.schema_json)
-            a = read_files(added, step_schema)
-            r = read_files(removed, step_schema)
+            # stays column-aligned across an evolving range.
+            # Each side is read through ITS snapshot's MoR predicates so
+            # already-hidden rows never resurface in the diff; files a
+            # MoR delete dropped outright (metadata-proof full matches)
+            # carry their predicate in snap.delete_predicates, so their
+            # rows land in the removed side pre-filtered consistently.
+            a = self._read_files_mor(
+                spark, added, step_schema, snap.delete_predicates
+            )
+            r = self._read_files_mor(
+                spark, removed, step_schema, parent_preds
+            )
             ins = (
                 a.exceptAll(r)
                 .withColumn("_change_type", F.lit("insert"))
@@ -522,6 +622,7 @@ class Table:
             props = parent.properties
             if extra_properties:
                 props = {**props, **extra_properties}
+            _stamp_sequence(entries, parent.version + 1)
             return new_snapshot(
                 parent,
                 "append",
@@ -545,6 +646,7 @@ class Table:
         added_rows = sum(e.rows for e in entries)
 
         def build(parent: Snapshot) -> Snapshot:
+            _stamp_sequence(entries, parent.version + 1)
             return new_snapshot(
                 parent,
                 "overwrite",
@@ -558,20 +660,38 @@ class Table:
                     "removed-files": len(parent.files),
                     "total-records": added_rows,
                 },
+                delete_predicates=[],  # every pre-existing row is gone
             )
 
         return self._commit_with_retry(build)
 
-    def delete_where(self, spark: SparkSession, where: str) -> Snapshot:
-        """A9/A14: row-filter DELETE, copy-on-write at file granularity.
+    def delete_where(
+        self, spark: SparkSession, where: str, mode: str = "cow"
+    ) -> Snapshot:
+        """A9/A14: row-filter DELETE.
 
-        Files whose metadata proves no match carry over untouched; only
+        ``mode="cow"`` (default) — copy-on-write at file granularity:
+        files whose metadata proves no match carry over untouched; only
         candidate files are rewritten with the negated predicate. When the
         predicate aligns with the partition spec this becomes a pure
         metadata delete (candidates drop entirely, zero rewrite) — same
         fast path Iceberg/Spark DELETE has.
+
+        ``mode="mor"`` — merge-on-read: the predicate is recorded in the
+        snapshot (O(1) metadata, ZERO data rewritten) and applied at scan
+        time to every file whose sequence predates the delete; rows
+        appended afterwards are untouched. The 100 TB posture for small
+        deletes against huge files (Iceberg v2 delete-file semantics);
+        ``rewrite_data_files`` later materializes and clears the
+        predicates. Metadata-proof fully-matching files are still dropped
+        outright, so partition-aligned deletes stay pure-metadata AND
+        instant in either mode.
         """
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"unknown delete mode: {mode!r}")
         ensure_compat(spark)
+        if mode == "mor":
+            return self._delete_where_mor(spark, where)
         snap = self.snapshot()
         spec = self.partition_spec()
         schema = self.schema()
@@ -586,8 +706,9 @@ class Table:
         deleted_rows = sum(f.rows for f in dropped)
         rewritten = []
         if candidates:
-            paths = [os.path.join(self.root, f.path) for f in candidates]
-            cdf = spark.read.schema(schema).parquet(*paths)
+            cdf = self._read_files_mor(
+                spark, candidates, schema, snap.delete_predicates
+            )
             keep = cdf.filter(~F.expr(sql_pred) | F.expr(sql_pred).isNull())
             new_entries = self._write_data_files(keep, spec, self._codec())
             kept_rows = sum(e.rows for e in new_entries)
@@ -612,6 +733,7 @@ class Table:
                 added_may_conflict=lambda fs: prune_files(where, fs, spec)[0],
             )
             remaining = [f for f in parent.files if f.path not in rewritten_paths]
+            _stamp_sequence(new_entries, parent.version + 1)
             return new_snapshot(
                 parent,
                 "delete",
@@ -624,6 +746,59 @@ class Table:
                     "rewritten-files": len(rewritten),
                     "total-records": parent.total_rows - deleted_rows,
                 },
+            )
+
+        return self._commit_with_retry(build)
+
+    def _delete_where_mor(self, spark: SparkSession, where: str) -> Snapshot:
+        """Merge-on-read DELETE: record the predicate, rewrite nothing.
+
+        The commit is pure metadata — the predicate plus the new
+        snapshot's version as its sequence number; scans apply it to
+        every file with a lower sequence. Metadata-proof full matches
+        (partition-aligned deletes) still drop their files outright, so
+        the common prune case costs nothing at scan time either.
+        """
+        to_spark_sql(where)  # validate the predicate parses NOW, not at scan
+        snap = self.snapshot()
+        spec = self.partition_spec()
+        scanned_paths = {f.path for f in snap.files}
+
+        def build(parent: Snapshot) -> Snapshot:
+            # Same append-conflict posture as the CoW path: a concurrent
+            # append that MAY match would be silently swallowed by our
+            # higher-sequence predicate — abort instead (provably
+            # unmatching appends carry over; concurrent rewrites are safe
+            # here because the predicate applies to their output by
+            # sequence, so removed scanned files do NOT abort).
+            added = [f for f in parent.files if f.path not in scanned_paths]
+            conflicting = prune_files(where, added, spec)[0] if added else []
+            if conflicting:
+                raise ConcurrentModification(
+                    f"mor delete invalidated by {len(conflicting)} "
+                    f"concurrently added file(s) that may match {where!r}"
+                )
+            seqv = parent.version + 1
+            dropped, _cands, _clean = split_delete_candidates(
+                where, parent.files, spec
+            )
+            dropped_paths = {f.path for f in dropped}
+            kept = [f for f in parent.files if f.path not in dropped_paths]
+            return new_snapshot(
+                parent,
+                "delete",
+                parent.schema_json,
+                parent.partition_spec,
+                kept,
+                parent.properties,
+                {
+                    "delete-mode": "mor",
+                    "delete-where": where,
+                    "dropped-files": len(dropped),
+                    "deleted-records-min": sum(f.rows for f in dropped),
+                },
+                delete_predicates=parent.delete_predicates
+                + [{"where": where, "sequence": seqv}],
             )
 
         return self._commit_with_retry(build)
@@ -689,8 +864,11 @@ class Table:
         updated_rows = 0
         new_entries: list[DataFile] = []
         if affected:
-            apaths = [os.path.join(self.root, f.path) for f in affected]
-            tdf = spark.read.schema(schema).parquet(*apaths)
+            # read through the MoR filter: a pending delete predicate must
+            # not be resurrected by the rewrite
+            tdf = self._read_files_mor(
+                spark, affected, schema, snap.delete_predicates
+            )
             s = src.withColumn("_m", F.lit(1))
             # The outer join feeds TWO actions (updated-rows audit count +
             # the rewrite itself) and tdf feeds a third (insert anti-join);
@@ -743,6 +921,7 @@ class Table:
             # fail validation like Iceberg rather than commit (ADVICE r1)
             self._validate_cow_input(parent, scanned_paths, "merge")
             remaining = [f for f in parent.files if f.path not in affected_rel]
+            _stamp_sequence(new_entries, parent.version + 1)
             return new_snapshot(
                 parent,
                 "merge",
@@ -801,6 +980,7 @@ class Table:
                     "rolled-back-to": version,
                     "total-records": target.total_rows,
                 },
+                delete_predicates=target.delete_predicates,
             )
 
         return self._commit_with_retry(build)

@@ -1,0 +1,161 @@
+"""Merge-on-read DELETE semantics (Iceberg v2 delete-file shape):
+predicate recorded as O(1) metadata, applied at scan by data sequence
+number, materialized by compaction."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from iceberg_loader_spark.tables import Warehouse
+from iceberg_loader_spark.tables.maintenance import rewrite_data_files
+from iceberg_loader_spark.tables.table import Table
+from tests.conftest import SF_SMOKE
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+def _fresh(spark, tmp_path, name="db.mor"):
+    docs = _docs(spark)
+    t = Table.create(Warehouse(str(tmp_path / "wh")), name, docs.schema)
+    t.append(docs)
+    return t, docs
+
+
+def test_mor_delete_hides_rows_without_rewriting(spark, tmp_path):
+    t, docs = _fresh(spark, tmp_path)
+    files_before = {f.path for f in t.snapshot().files}
+    n_total = docs.count()
+    n_de = docs.filter(F.col("lang") == "de").count()
+    assert n_de > 0
+
+    t.delete_where(spark, "lang == 'de'", mode="mor")
+
+    snap = t.snapshot()
+    # zero data rewritten: the file set is byte-identical
+    assert {f.path for f in snap.files} == files_before
+    assert snap.delete_predicates == [
+        {"where": "lang == 'de'", "sequence": snap.version}
+    ]
+    assert t.scan(spark).count() == n_total - n_de
+    assert t.scan(spark).filter(F.col("lang") == "de").count() == 0
+
+
+def test_mor_sequence_excludes_later_appends(spark, tmp_path):
+    t, docs = _fresh(spark, tmp_path)
+    t.delete_where(spark, "lang == 'de'", mode="mor")
+    survivors = t.scan(spark).count()
+
+    # rows appended AFTER the delete match the predicate but must survive
+    late = docs.filter(F.col("lang") == "de").limit(10)
+    n_late = late.count()
+    t.append(late)
+    assert t.scan(spark).count() == survivors + n_late
+    assert (
+        t.scan(spark).filter(F.col("lang") == "de").count() == n_late
+    )
+
+
+def test_mor_time_travel_sees_pre_delete_rows(spark, tmp_path):
+    t, docs = _fresh(spark, tmp_path)
+    v_before = t.meta.current_version()
+    t.delete_where(spark, "lang == 'de'", mode="mor")
+    assert t.scan(spark, version=v_before).count() == docs.count()
+
+
+def test_compaction_materializes_mor_deletes(spark, tmp_path):
+    t, docs = _fresh(spark, tmp_path)
+    t.delete_where(spark, "lang == 'de'", mode="mor")
+    visible = t.scan(spark).count()
+
+    rewrite_data_files(t, spark, target_files=2)
+
+    snap = t.snapshot()
+    assert snap.delete_predicates == []
+    assert snap.total_rows == visible  # physically gone now
+    assert t.scan(spark).count() == visible
+    assert t.scan(spark).filter(F.col("lang") == "de").count() == 0
+
+
+def test_merge_does_not_resurrect_mor_deleted_rows(spark, tmp_path):
+    t, docs = _fresh(spark, tmp_path)
+    t.delete_where(spark, "lang == 'de'", mode="mor")
+    visible = t.scan(spark).count()
+
+    # upsert touches an 'en' row -> rewrites a file that also holds
+    # hidden 'de' rows; those must stay hidden
+    src = (
+        docs.filter(F.col("lang") == "en")
+        .limit(1)
+        .withColumn("n_chars", F.lit(999).cast("long"))
+    )
+    t.merge(spark, src, ["doc_id"])
+    assert t.scan(spark).count() == visible
+    assert t.scan(spark).filter(F.col("lang") == "de").count() == 0
+    assert (
+        t.scan(spark).filter(F.col("n_chars") == 999).count() == 1
+    )
+
+
+def test_cow_delete_after_mor_applies_both(spark, tmp_path):
+    t, docs = _fresh(spark, tmp_path)
+    t.delete_where(spark, "lang == 'de'", mode="mor")
+    n_es = docs.filter(F.col("lang") == "es").count()
+    visible = t.scan(spark).count()
+
+    t.delete_where(spark, "lang == 'es'")  # cow rewrite over mor-hidden rows
+
+    assert t.scan(spark).count() == visible - n_es
+    assert t.scan(spark).filter(F.col("lang").isin("de", "es")).count() == 0
+
+
+def test_changes_emits_mor_deletes(spark, tmp_path):
+    t, docs = _fresh(spark, tmp_path)
+    base = t.meta.current_version()
+    n_de = docs.filter(F.col("lang") == "de").count()
+    t.delete_where(spark, "lang == 'de'", mode="mor")
+
+    ch = t.changes(spark, base).collect()
+    assert len(ch) == n_de
+    assert all(r["_change_type"] == "delete" for r in ch)
+    assert all(r["lang"] == "de" for r in ch)
+
+
+def test_rollback_restores_predicates(spark, tmp_path):
+    t, docs = _fresh(spark, tmp_path)
+    v_with_all = t.meta.current_version()
+    t.delete_where(spark, "lang == 'de'", mode="mor")
+    visible_after_delete = t.scan(spark).count()
+
+    t.rollback(v_with_all)
+    assert t.snapshot().delete_predicates == []
+    assert t.scan(spark).count() == docs.count()
+
+    # and rolling forward again restores the delete view
+    t.rollback(v_with_all + 1)
+    assert len(t.snapshot().delete_predicates) == 1
+    assert t.scan(spark).count() == visible_after_delete
+
+
+def test_mor_delete_drops_fully_matching_files(spark, tmp_path):
+    """Partition-aligned MoR delete: metadata-proof full-match files are
+    dropped outright at commit, so the common prune case stays free at
+    scan time too."""
+    docs = _docs(spark)
+    from iceberg_loader_spark.tables.partitioning import PartitionField
+
+    t = Table.create(
+        Warehouse(str(tmp_path / "wh2")),
+        "db.morp",
+        docs.schema,
+        partition_spec=[PartitionField("identity", "lang", "lang")],
+    )
+    t.append(docs)
+    n_files_before = len(t.snapshot().files)
+    t.delete_where(spark, "lang == 'de'", mode="mor")
+    snap = t.snapshot()
+    assert len(snap.files) < n_files_before  # de partition files dropped
+    assert t.scan(spark).filter(F.col("lang") == "de").count() == 0
