@@ -60,10 +60,15 @@ def expire_snapshots(
         if cutoff is None:
             return {"expired": 0, "remaining": len(snapshots), "deleted_files": 0}
 
+        # tagged versions are retention-pinned (Iceberg tag refs): a tag
+        # in the CURRENT properties protects its target from expiry
+        tagged = set(table.tags().values())
         expired = [
             s
             for s in snapshots
-            if s.timestamp_ms < cutoff and s.version != current_version
+            if s.timestamp_ms < cutoff
+            and s.version != current_version
+            and s.version not in tagged
         ]
         survivors = [s for s in snapshots if s not in expired]
         live_paths = {f.path for s in survivors for f in s.files}

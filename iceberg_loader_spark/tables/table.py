@@ -165,15 +165,22 @@ class Table:
         where: str | None = None,
         version: int | None = None,
         as_of_timestamp_ms: int | None = None,
+        tag: str | None = None,
     ) -> DataFrame:
         """Read a snapshot as a DataFrame, with metadata file pruning.
 
         ``where`` is optional; when given it is BOTH used to drop files
         whose metadata proves they can't match AND applied as a row filter
-        (so semantics never depend on pruning quality).
+        (so semantics never depend on pruning quality). ``tag`` reads the
+        snapshot a named tag points at (mutually exclusive with
+        ``version``/``as_of_timestamp_ms``).
         """
         ensure_compat(spark)
-        if as_of_timestamp_ms is not None:
+        if tag is not None:
+            if version is not None or as_of_timestamp_ms is not None:
+                raise ValueError("tag is exclusive with version/timestamp")
+            snap = self.snapshot(self.resolve_tag(tag))
+        elif as_of_timestamp_ms is not None:
             snap = self.meta.snapshot_as_of(as_of_timestamp_ms)
         else:
             snap = self.snapshot(version)
@@ -264,7 +271,12 @@ class Table:
         new_files: list[DataFile] = []
         for v in versions:
             snap = self.snapshot(v)
-            if snap.operation in ("replace", "evolve-schema", "evolve-partition"):
+            if snap.operation in (
+                "replace",
+                "evolve-schema",
+                "evolve-partition",
+                "set-ref",
+            ):
                 continue
             if snap.operation != "append":
                 raise ValueError(
@@ -341,6 +353,7 @@ class Table:
                 "replace",
                 "evolve-schema",
                 "evolve-partition",
+                "set-ref",
             ):
                 continue
             if snap.parent_version is None:
@@ -984,6 +997,70 @@ class Table:
             )
 
         return self._commit_with_retry(build)
+
+    # ---- named refs: tags (Iceberg's tag refs) ---------------------------
+
+    _TAG_PREFIX = "ref.tag."
+
+    def set_tag(self, name: str, version: int | None = None) -> Snapshot:
+        """Tag a snapshot version with a stable name (Iceberg tag refs).
+
+        Tags live in table properties under ``ref.tag.<name>`` and are
+        committed through the same atomic metadata path as everything
+        else (operation ``set-ref``, row-preserving — incremental scans
+        and CDC skip it). ``expire_snapshots`` never expires a tagged
+        version, so a tag is also a retention pin — the audit/repro
+        handle a training-data pipeline keeps per released dataset.
+        """
+        if not name or "/" in name or name != name.strip():
+            raise ValueError(f"invalid tag name: {name!r}")
+        target = self.snapshot(version).version  # validates existence
+
+        def build(parent: Snapshot) -> Snapshot:
+            props = {**parent.properties, self._TAG_PREFIX + name: str(target)}
+            return new_snapshot(
+                parent,
+                "set-ref",
+                parent.schema_json,
+                parent.partition_spec,
+                parent.files,
+                props,
+                {"tag": name, "tag-version": target},
+            )
+
+        return self._commit_with_retry(build)
+
+    def remove_tag(self, name: str) -> Snapshot:
+        key = self._TAG_PREFIX + name
+        if key not in self.properties():
+            raise KeyError(f"no such tag: {name}")
+
+        def build(parent: Snapshot) -> Snapshot:
+            props = {k: v for k, v in parent.properties.items() if k != key}
+            return new_snapshot(
+                parent,
+                "set-ref",
+                parent.schema_json,
+                parent.partition_spec,
+                parent.files,
+                props,
+                {"tag-removed": name},
+            )
+
+        return self._commit_with_retry(build)
+
+    def tags(self) -> dict[str, int]:
+        return {
+            k[len(self._TAG_PREFIX):]: int(v)
+            for k, v in self.properties().items()
+            if k.startswith(self._TAG_PREFIX)
+        }
+
+    def resolve_tag(self, name: str) -> int:
+        try:
+            return self.tags()[name]
+        except KeyError:
+            raise KeyError(f"no such tag: {name}") from None
 
     # ---- metadata tables (Iceberg's `tbl.snapshots` / `tbl.files`) -------
 
