@@ -104,6 +104,12 @@ class Snapshot:
     # cleared when a compaction materializes them (Iceberg v2 delete
     # files play this role; a predicate is the degenerate O(1) form)
     delete_predicates: list = field(default_factory=list)
+    # pending equality-delete files (Iceberg v2), each
+    # {"path": <parquet of key rows>, "equality_cols": [...],
+    #  "sequence": int, "rows": int, "bytes": int} — scan anti-joins
+    # lower-sequence data files against the key rows; the MoR upsert
+    # (merge(mode='mor')) commits one of these plus the new data files
+    delete_files: list = field(default_factory=list)
 
     @property
     def total_rows(self) -> int:
@@ -122,6 +128,7 @@ class Snapshot:
             "properties": self.properties,
             "summary": self.summary,
             "delete_predicates": self.delete_predicates,
+            "delete_files": self.delete_files,
         }
 
     @classmethod
@@ -138,6 +145,7 @@ class Snapshot:
             properties=d.get("properties", {}),
             summary=d.get("summary", {}),
             delete_predicates=d.get("delete_predicates", []),
+            delete_files=d.get("delete_files", []),
         )
 
 
@@ -408,10 +416,13 @@ def new_snapshot(
     properties: dict[str, str],
     summary: dict[str, object] | None = None,
     delete_predicates=_INHERIT,
+    delete_files=_INHERIT,
 ) -> Snapshot:
     version = 1 if parent is None else parent.version + 1
     if delete_predicates is _INHERIT:
         delete_predicates = list(parent.delete_predicates) if parent else []
+    if delete_files is _INHERIT:
+        delete_files = list(parent.delete_files) if parent else []
     return Snapshot(
         version=version,
         snapshot_id=uuid.uuid4().hex,
@@ -424,4 +435,5 @@ def new_snapshot(
         properties=properties,
         summary=summary or {},
         delete_predicates=delete_predicates,
+        delete_files=delete_files,
     )

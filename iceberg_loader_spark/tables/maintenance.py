@@ -71,10 +71,13 @@ def expire_snapshots(
             and s.version not in tagged
         ]
         survivors = [s for s in snapshots if s not in expired]
-        live_paths = {f.path for s in survivors for f in s.files}
-        dead_paths = {
-            f.path for s in expired for f in s.files if f.path not in live_paths
+        live_paths = {f.path for s in survivors for f in s.files} | {
+            d["path"] for s in survivors for d in s.delete_files
         }
+        dead_paths = (
+            {f.path for s in expired for f in s.files}
+            | {d["path"] for s in expired for d in s.delete_files}
+        ) - live_paths
         for s in expired:
             table.meta.delete_snapshot_manifest(s.version)
         deleted = 0
@@ -239,6 +242,14 @@ def rewrite_data_files(
             for p in parent.delete_predicates
             if (p["where"], p["sequence"]) not in materialized
         ]
+        materialized_dels = {
+            (d["path"], d["sequence"]) for d in snap.delete_files
+        }
+        remaining_dels = [
+            d
+            for d in parent.delete_files
+            if (d["path"], d["sequence"]) not in materialized_dels
+        ]
         return new_snapshot(
             parent,
             "replace",
@@ -250,9 +261,11 @@ def rewrite_data_files(
                 "rewritten-files": len(parent.files) - len(carried),
                 "added-files": len(entries),
                 "materialized-delete-predicates": len(materialized),
+                "materialized-delete-files": len(materialized_dels),
                 "total-records": parent.total_rows,
             },
             delete_predicates=remaining_preds,
+            delete_files=remaining_dels,
         )
 
     table._commit_with_retry(build)
@@ -275,6 +288,8 @@ def remove_orphan_files(table: Table, older_than_ms: int | None = None) -> dict:
         older_than_ms = int(_time.time() * 1000) - 3 * 3600 * 1000
     live = {
         f.path for snap in table.history() for f in snap.files
+    } | {
+        d["path"] for snap in table.history() for d in snap.delete_files
     }
     data_root = os.path.join(table.root, "data")
     removed = kept_recent = 0

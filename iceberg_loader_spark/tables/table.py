@@ -187,7 +187,9 @@ class Table:
         schema = T.StructType.fromJson(snap.schema_json)
         spec = [PartitionField.from_json(d) for d in snap.partition_spec]
         files, _ = prune_files(where, snap.files, spec)
-        df = self._read_files_mor(spark, files, schema, snap.delete_predicates)
+        df = self._read_files_mor(
+            spark, files, schema, snap.delete_predicates, snap.delete_files
+        )
         if where:
             df = df.filter(F.expr(to_spark_sql(where)))
         return df
@@ -198,44 +200,64 @@ class Table:
         files: list[DataFile],
         schema: T.StructType,
         preds: list[dict],
+        eq_dels: list[dict] | None = None,
     ) -> DataFrame:
-        """Read data files with pending merge-on-read delete predicates
-        applied. A predicate applies to files whose sequence is LOWER
-        than its own, so files group by "era": with predicates sorted by
-        sequence, each file's applicable set is a suffix of the list —
-        one parquet read + row filter per era, unioned. Time travel is
-        automatic (callers pass the target snapshot's predicate list).
+        """Read data files with pending merge-on-read deletes applied —
+        both predicate deletes (row filters) and equality-delete files
+        (anti-joins on key columns, Iceberg v2's delete-file shape).
 
-        Scale: the filters are ordinary Catalyst predicates pushed into
-        the parquet scan of each era group; no join, no extra shuffle.
-        Iceberg v2's positional delete files cost an anti-join here —
-        the predicate form is the O(1)-metadata degenerate case, and the
-        compaction path (`rewrite_data_files`) materializes + clears
-        them so the list never grows unboundedly."""
+        A delete applies to files whose sequence is LOWER than its own,
+        so files group by "era": with deletes sorted by sequence, each
+        file's applicable set is a suffix of the list — one parquet read
+        per era with its filters/anti-joins, unioned. Time travel is
+        automatic (callers pass the target snapshot's delete lists).
+
+        Scale: predicate deletes are ordinary Catalyst filters pushed
+        into the era's parquet scan (no shuffle); an equality-delete
+        anti-join shuffles only (key, —) pairs and broadcasts when the
+        key file is small — exactly the read-time cost Iceberg v2 pays.
+        Compaction (`rewrite_data_files`) materializes + clears both
+        kinds so neither list grows unboundedly."""
+        ops = [
+            {"kind": "pred", **p} for p in (preds or [])
+        ] + [{"kind": "eq", **d} for d in (eq_dels or [])]
+        ops.sort(key=lambda o: o["sequence"])
         if not files:
             return spark.createDataFrame([], schema)
-        if not preds:
+        if not ops:
             paths = [os.path.join(self.root, f.path) for f in files]
             return spark.read.schema(schema).parquet(*paths)
-        ordered = sorted(preds, key=lambda p: p["sequence"])
         groups: dict[int, list[DataFile]] = {}
         for f in files:
             k = next(
                 (
                     i
-                    for i, p in enumerate(ordered)
-                    if f.sequence < p["sequence"]
+                    for i, o in enumerate(ops)
+                    if f.sequence < o["sequence"]
                 ),
-                len(ordered),
+                len(ops),
             )
             groups.setdefault(k, []).append(f)
         out: DataFrame | None = None
         for k in sorted(groups):
             paths = [os.path.join(self.root, f.path) for f in groups[k]]
             df = spark.read.schema(schema).parquet(*paths)
-            for p in ordered[k:]:
-                e = F.expr(to_spark_sql(p["where"]))
-                df = df.filter(~e | e.isNull())
+            for o in ops[k:]:
+                if o["kind"] == "pred":
+                    e = F.expr(to_spark_sql(o["where"]))
+                    df = df.filter(~e | e.isNull())
+                else:
+                    kcols = o["equality_cols"]
+                    kset = set(kcols)
+                    kschema = T.StructType(
+                        [f for f in schema.fields if f.name in kset]
+                    )
+                    keys = spark.read.schema(kschema).parquet(
+                        os.path.join(self.root, o["path"])
+                    )
+                    # plain-equality anti join (NULL keys never match) —
+                    # the same null semantics the CoW merge join uses
+                    df = df.join(keys, on=list(kcols), how="left_anti")
             out = df if out is None else out.unionByName(df)
         return out
 
@@ -360,6 +382,7 @@ class Table:
                 parent_snap = None
                 parent_files: list[DataFile] = []
                 parent_preds: list[dict] = []
+                parent_dels: list[dict] = []
             else:
                 try:
                     parent_snap = self.snapshot(snap.parent_version)
@@ -372,6 +395,7 @@ class Table:
                     ) from None
                 parent_files = parent_snap.files
                 parent_preds = parent_snap.delete_predicates
+                parent_dels = parent_snap.delete_files
             snap_paths = {f.path for f in snap.files}
             parent_paths = {f.path for f in parent_files}
             added = [f for f in snap.files if f.path not in parent_paths]
@@ -383,6 +407,7 @@ class Table:
             # sequence parent file — surface those as 'delete' rows (read
             # cost: the applicable files, i.e. exactly the churn).
             new_preds = snap.delete_predicates[len(parent_preds):]
+            new_eqdels = snap.delete_files[len(parent_dels):]
             mor_dels: DataFrame | None = None
             for pi, pred in enumerate(new_preds):
                 # only files SURVIVING the commit: rows of files the MoR
@@ -399,9 +424,38 @@ class Table:
                     applicable,
                     step_schema,
                     parent_preds + new_preds[:pi],
+                    parent_dels,
                 )
                 e = F.expr(to_spark_sql(pred["where"]))
                 hit = visible.filter(e)
+                mor_dels = (
+                    hit if mor_dels is None else mor_dels.unionByName(hit)
+                )
+            for di, d in enumerate(new_eqdels):
+                # rows an equality-delete file hides: lower-sequence
+                # surviving files, semi-joined on the key columns (the
+                # MoR upsert's 'old row versions') — cost ∝ applicable
+                # files, same as any CDC step
+                applicable = [
+                    f for f in snap.files if f.sequence < d["sequence"]
+                ]
+                visible = self._read_files_mor(
+                    spark,
+                    applicable,
+                    step_schema,
+                    parent_preds + new_preds,
+                    parent_dels + new_eqdels[:di],
+                )
+                kset = set(d["equality_cols"])
+                kschema = T.StructType(
+                    [f for f in step_schema.fields if f.name in kset]
+                )
+                keys = spark.read.schema(kschema).parquet(
+                    os.path.join(self.root, d["path"])
+                )
+                hit = visible.join(
+                    keys, on=list(d["equality_cols"]), how="left_semi"
+                )
                 mor_dels = (
                     hit if mor_dels is None else mor_dels.unionByName(hit)
                 )
@@ -426,10 +480,14 @@ class Table:
             # carry their predicate in snap.delete_predicates, so their
             # rows land in the removed side pre-filtered consistently.
             a = self._read_files_mor(
-                spark, added, step_schema, snap.delete_predicates
+                spark,
+                added,
+                step_schema,
+                snap.delete_predicates,
+                snap.delete_files,
             )
             r = self._read_files_mor(
-                spark, removed, step_schema, parent_preds
+                spark, removed, step_schema, parent_preds, parent_dels
             )
             ins = (
                 a.exceptAll(r)
@@ -674,6 +732,7 @@ class Table:
                     "total-records": added_rows,
                 },
                 delete_predicates=[],  # every pre-existing row is gone
+                delete_files=[],
             )
 
         return self._commit_with_retry(build)
@@ -720,7 +779,11 @@ class Table:
         rewritten = []
         if candidates:
             cdf = self._read_files_mor(
-                spark, candidates, schema, snap.delete_predicates
+                spark,
+                candidates,
+                schema,
+                snap.delete_predicates,
+                snap.delete_files,
             )
             keep = cdf.filter(~F.expr(sql_pred) | F.expr(sql_pred).isNull())
             new_entries = self._write_data_files(keep, spec, self._codec())
@@ -817,7 +880,11 @@ class Table:
         return self._commit_with_retry(build)
 
     def merge(
-        self, spark: SparkSession, source: DataFrame, join_cols: list[str]
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        join_cols: list[str],
+        mode: str = "cow",
     ) -> Snapshot:
         """A10: upsert/MERGE with PyIceberg-parity semantics.
 
@@ -826,9 +893,20 @@ class Table:
           enforces this)
         * matched target rows take the full source row; non-matching
           target rows are preserved; unmatched source rows are inserted
-        * only files that actually contain matching keys are rewritten
+        * ``mode="cow"`` (default): only files that actually contain
+          matching keys are rewritten (read-optimized)
+        * ``mode="mor"``: NOTHING is read or rewritten — the source rows
+          land as new data files plus ONE equality-delete file on the
+          join keys (Iceberg v2 / Flink-CDC upsert shape). Commit cost
+          is O(source); scans anti-join lower-sequence files against the
+          key file until compaction materializes it. The write-optimized
+          posture for high-frequency upserts at 100 TB.
         """
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"unknown merge mode: {mode!r}")
         ensure_compat(spark)
+        if mode == "mor":
+            return self._merge_mor(spark, source, join_cols)
         snap = self.snapshot()
         schema = self.schema()
         spec = self.partition_spec()
@@ -880,7 +958,11 @@ class Table:
             # read through the MoR filter: a pending delete predicate must
             # not be resurrected by the rewrite
             tdf = self._read_files_mor(
-                spark, affected, schema, snap.delete_predicates
+                spark,
+                affected,
+                schema,
+                snap.delete_predicates,
+                snap.delete_files,
             )
             s = src.withColumn("_m", F.lit(1))
             # The outer join feeds TWO actions (updated-rows audit count +
@@ -948,6 +1030,74 @@ class Table:
                     "rewritten-files": len(affected),
                     "total-records": parent.total_rows + inserted_rows,
                 },
+            )
+
+        return self._commit_with_retry(build)
+
+    def _merge_mor(
+        self, spark: SparkSession, source: DataFrame, join_cols: list[str]
+    ) -> Snapshot:
+        """Write-optimized MERGE: append source data files + one
+        equality-delete file on the join keys; the target is never read.
+
+        Isolation note: like Flink's CDC writer, this commits under
+        snapshot isolation — a row appended CONCURRENTLY with a matching
+        key (a lower sequence than this commit) is superseded by the
+        equality delete rather than aborting the merge. The CoW path
+        keeps the stricter abort-on-conflict posture.
+        """
+        snap = self.snapshot()
+        schema = self.schema()
+        spec = self.partition_spec()
+        cols = [f.name for f in schema.fields]
+        missing = [c for c in join_cols if c not in cols]
+        if missing:
+            raise ValueError(f"join columns not in schema: {missing}")
+
+        src = source.select(*cols).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            n_src, n_keys = src.agg(
+                F.count("*"),
+                F.count_distinct(F.struct(*[F.col(c) for c in join_cols])),
+            ).first()
+            if n_src != n_keys:
+                raise ValueError(
+                    f"duplicate join keys in upsert source on {join_cols}"
+                )
+            entries = self._write_data_files(src, spec, self._codec())
+            key_entries = self._write_data_files(
+                src.select(*join_cols), [], self._codec()
+            )
+        finally:
+            src.unpersist()
+
+        def build(parent: Snapshot) -> Snapshot:
+            v = parent.version + 1
+            _stamp_sequence(entries, v)
+            dels = parent.delete_files + [
+                {
+                    "path": e.path,
+                    "equality_cols": list(join_cols),
+                    "sequence": v,
+                    "rows": e.rows,
+                    "bytes": e.bytes,
+                }
+                for e in key_entries
+            ]
+            return new_snapshot(
+                parent,
+                "merge",
+                parent.schema_json,
+                parent.partition_spec,
+                parent.files + entries,
+                parent.properties,
+                {
+                    "merge-mode": "mor",
+                    "source-records": int(n_src),
+                    "added-files": len(entries),
+                    "equality-delete-files": len(key_entries),
+                },
+                delete_files=dels,
             )
 
         return self._commit_with_retry(build)

@@ -159,3 +159,101 @@ def test_mor_delete_drops_fully_matching_files(spark, tmp_path):
     snap = t.snapshot()
     assert len(snap.files) < n_files_before  # de partition files dropped
     assert t.scan(spark).filter(F.col("lang") == "de").count() == 0
+
+
+# --------------------------------------------------------------------------
+# Equality-delete files: merge(mode='mor') — the write-optimized upsert.
+# --------------------------------------------------------------------------
+
+
+def test_mor_merge_upserts_without_reading_target(spark, tmp_path):
+    t, docs = _fresh(spark, tmp_path)
+    files_before = {f.path for f in t.snapshot().files}
+    n_total = docs.count()
+
+    src = (
+        docs.limit(5)
+        .withColumn("n_chars", F.lit(12345).cast("long"))
+        .unionByName(
+            spark.createDataFrame([(-1, "xx", 7)], docs.schema)
+        )
+    )
+    t.merge(spark, src, ["doc_id"], mode="mor")
+
+    snap = t.snapshot()
+    # old files untouched, new files appended, one equality delete listed
+    assert files_before <= {f.path for f in snap.files}
+    assert len(snap.delete_files) >= 1
+    assert snap.delete_files[0]["equality_cols"] == ["doc_id"]
+
+    out = t.scan(spark)
+    assert out.count() == n_total + 1  # 5 updates + 1 insert
+    assert out.filter(F.col("n_chars") == 12345).count() == 5
+    assert out.filter(F.col("doc_id") == -1).count() == 1
+    # exactly one version of each updated key survives
+    assert (
+        out.groupBy("doc_id").count().filter(F.col("count") > 1).count() == 0
+    )
+
+
+def test_mor_merge_sequence_excludes_later_appends(spark, tmp_path):
+    t, docs = _fresh(spark, tmp_path)
+    src = docs.limit(3).withColumn("n_chars", F.lit(1).cast("long"))
+    t.merge(spark, src, ["doc_id"], mode="mor")
+    # append the SAME keys after the merge: higher sequence -> visible,
+    # giving duplicates (append is not an upsert) — proves the equality
+    # delete does not leak forward
+    t.append(docs.limit(3))
+    out = t.scan(spark)
+    dup_keys = out.groupBy("doc_id").count().filter(F.col("count") > 1)
+    assert dup_keys.count() == 3
+
+
+def test_mor_merge_duplicate_source_keys_raise(spark, tmp_path):
+    import pytest
+
+    t, docs = _fresh(spark, tmp_path)
+    dup_src = docs.limit(2).unionByName(docs.limit(2))
+    with pytest.raises(ValueError, match="duplicate join keys"):
+        t.merge(spark, dup_src, ["doc_id"], mode="mor")
+
+
+def test_compaction_materializes_equality_deletes(spark, tmp_path):
+    t, docs = _fresh(spark, tmp_path)
+    n_total = docs.count()
+    src = docs.limit(4).withColumn("n_chars", F.lit(999777).cast("long"))
+    t.merge(spark, src, ["doc_id"], mode="mor")
+    visible = t.scan(spark).count()
+    assert visible == n_total
+
+    rewrite_data_files(t, spark, target_files=2)
+    snap = t.snapshot()
+    assert snap.delete_files == []
+    assert snap.total_rows == n_total  # old key versions physically gone
+    assert t.scan(spark).filter(F.col("n_chars") == 999777).count() == 4
+
+
+def test_changes_emits_update_as_delete_plus_insert_for_mor_merge(
+    spark, tmp_path
+):
+    t, docs = _fresh(spark, tmp_path)
+    base = t.meta.current_version()
+    src = docs.limit(2).withColumn("n_chars", F.lit(9).cast("long"))
+    t.merge(spark, src, ["doc_id"], mode="mor")
+
+    ch = t.changes(spark, base)
+    dels = ch.filter(F.col("_change_type") == "delete")
+    ins = ch.filter(F.col("_change_type") == "insert")
+    assert dels.count() == 2  # the superseded row versions
+    assert ins.count() == 2
+    assert ins.filter(F.col("n_chars") == 9).count() == 2
+
+
+def test_mor_merge_time_travel(spark, tmp_path):
+    t, docs = _fresh(spark, tmp_path)
+    v_before = t.meta.current_version()
+    src = docs.limit(3).withColumn("n_chars", F.lit(5).cast("long"))
+    t.merge(spark, src, ["doc_id"], mode="mor")
+    pre = t.scan(spark, version=v_before)
+    assert pre.filter(F.col("n_chars") == 5).count() == 0
+    assert pre.count() == docs.count()
