@@ -296,3 +296,54 @@ def lifecycle_mor_delete_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# A10 merge-on-read variant under the oracle: the SAME upsert contract as
+# lifecycle_merge_upsert_counts (double n_chars for 'en', insert one
+# synthetic row) executed through the write-optimized path — new data
+# files + one equality-delete file, target never read. The scan's
+# anti-join against the key file must reproduce the identical visible
+# set the oracle recomputes from the source.
+# --------------------------------------------------------------------------
+@_register(
+    "lifecycle_mor_merge_counts",
+    """
+    WITH merged AS (
+      SELECT doc_id, lang,
+             CASE WHEN lang = 'en' THEN n_chars * 2 ELSE n_chars END
+               AS n_chars
+      FROM documents
+      UNION ALL
+      SELECT -1 AS doc_id, 'xx' AS lang, 7 AS n_chars
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM merged
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def lifecycle_mor_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    wh = _fresh_warehouse()
+    t = Table.create(wh, "db.docs", docs.schema)
+    t.append(docs.coalesce(4))
+    src = docs.filter(F.col("lang") == "en").withColumn(
+        "n_chars", F.col("n_chars") * 2
+    )
+    new_row = spark.createDataFrame([(-1, "xx", 7)], docs.schema)
+    t.merge(spark, src.unionByName(new_row), ["doc_id"], mode="mor")
+    t = wh.load_table("db.docs")
+    return (
+        t.scan(spark)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
