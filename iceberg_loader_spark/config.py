@@ -47,6 +47,12 @@ class LoaderConfig:
     load_ts_col: str = "_load_dttm"
     batch_size: int = 10000
     table_properties: dict = field(default_factory=dict)
+    # row-level operation mode for upsert (join_cols) and replace_filter:
+    # "cow" rewrites affected files (read-optimized, reference parity);
+    # "mor" records equality-delete files / delete predicates and defers
+    # the rewrite to compaction (write-optimized — the high-frequency
+    # ingest posture at 100 TB)
+    row_level_mode: str = "cow"
 
     def __post_init__(self):
         if self.write_mode not in WRITE_MODES:
@@ -60,6 +66,11 @@ class LoaderConfig:
             for c in self.join_cols:
                 if not _IDENT_RE.match(c):
                     raise ConfigError(f"invalid join column name: {c!r}")
+        if self.row_level_mode not in ("cow", "mor"):
+            raise ConfigError(
+                f"row_level_mode must be 'cow' or 'mor', got "
+                f"{self.row_level_mode!r}"
+            )
         if self.join_cols and self.replace_filter:
             raise ConfigError("join_cols (upsert) and replace_filter are mutually exclusive")
         if self.commit_interval < 0:

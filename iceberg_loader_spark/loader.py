@@ -316,10 +316,14 @@ class _LoadState:
         # strategy dispatch: upsert ▸ replace_filter ▸ overwrite ▸ append
         # (reference core/strategies.py:84-99)
         if cfg.join_cols:
-            return t.merge(spark, df, list(cfg.join_cols))
+            return t.merge(
+                spark, df, list(cfg.join_cols), mode=cfg.row_level_mode
+            )
         if cfg.replace_filter:
             if self.is_first_write:
-                t.delete_where(spark, cfg.replace_filter)
+                t.delete_where(
+                    spark, cfg.replace_filter, mode=cfg.row_level_mode
+                )
             return t.append(df)
         if cfg.write_mode == "overwrite" and self.is_first_write:
             return t.overwrite(df)

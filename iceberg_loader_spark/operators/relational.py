@@ -1309,3 +1309,48 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tok")
     )
+
+
+# --------------------------------------------------------------------------
+# Recursive CTE (Spark 4's WITH RECURSIVE): bounded-depth reachability
+# over the event-transition graph — the BFS/transitive-closure query
+# shape (org charts, lineage graphs, category trees). Both engines run
+# the SAME standard SQL; recursion is bounded (hops < 3) and the result
+# is the min-hop closure, so iteration order cannot leak into values.
+# Scale: each recursion step is one join of the frontier against the
+# edge set — the same per-iteration cost profile as the PageRank loop,
+# with Spark materializing each step's frontier.
+# --------------------------------------------------------------------------
+_SQL_RECURSIVE = """
+    WITH RECURSIVE seq AS (
+      SELECT user_id, event_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    edges AS (
+      SELECT prev_type AS src, event_type AS dst, COUNT(*) AS w
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ),
+    reach(src, dst, hops) AS (
+      SELECT src, dst, 1 FROM edges
+      UNION ALL
+      SELECT r.src, e.dst, r.hops + 1
+      FROM reach r JOIN edges e ON e.src = r.dst
+      WHERE r.hops < 3
+    )
+    SELECT src, dst, CAST(MIN(hops) AS INTEGER) AS min_hops,
+           COUNT(*) AS n_paths
+    FROM reach
+    GROUP BY src, dst
+    ORDER BY src, dst
+"""
+
+
+@_register("sql_recursive_reachability", _SQL_RECURSIVE)
+def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_loader_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_RECURSIVE)

@@ -257,3 +257,37 @@ def test_mor_merge_time_travel(spark, tmp_path):
     pre = t.scan(spark, version=v_before)
     assert pre.filter(F.col("n_chars") == 5).count() == 0
     assert pre.count() == docs.count()
+
+
+def test_loader_row_level_mode_mor(spark, tmp_path):
+    """LoaderConfig(row_level_mode='mor') routes the upsert strategy
+    through equality-delete files — end to end through SparkLoader."""
+    from iceberg_loader_spark.config import LoaderConfig
+    from iceberg_loader_spark.loader import SparkLoader
+
+    docs = _docs(spark)
+    wh = Warehouse(str(tmp_path / "wh"))
+    loader = SparkLoader(spark, wh)
+    base_cfg = LoaderConfig(load_timestamp=False)
+    loader.load_data(docs, "db.docs", base_cfg)
+
+    upd = docs.limit(3).withColumn("n_chars", F.lit(424242).cast("long"))
+    cfg = LoaderConfig(
+        join_cols=("doc_id",), row_level_mode="mor", load_timestamp=False
+    )
+    loader.load_data(upd, "db.docs", cfg)
+
+    t = wh.load_table("db.docs")
+    assert len(t.snapshot().delete_files) >= 1  # took the MoR path
+    out = t.scan(spark)
+    assert out.count() == docs.count()
+    assert out.filter(F.col("n_chars") == 424242).count() == 3
+
+
+def test_loader_config_rejects_bad_row_level_mode():
+    import pytest
+
+    from iceberg_loader_spark.config import ConfigError, LoaderConfig
+
+    with pytest.raises(ConfigError, match="row_level_mode"):
+        LoaderConfig(row_level_mode="nope")
