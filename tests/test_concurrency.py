@@ -314,3 +314,87 @@ def test_incremental_scan_with_audit_column_evolution(spark, tmp_path):
     t = wh.load_table("db.t")
     got = t.scan_incremental(spark, base).collect()
     assert [r.id for r in got] == [2]
+
+
+# ---------------------------------------------------------------------------
+# merge-on-read delete vs concurrent append
+# ---------------------------------------------------------------------------
+
+
+def test_mor_delete_aborts_on_conflicting_concurrent_append(spark, tmp_path):
+    """A concurrently appended file that MAY match the MoR predicate
+    would be silently swallowed by the higher-sequence predicate —
+    the commit must abort instead (same posture as the CoW path)."""
+    wh = Warehouse(str(tmp_path))
+    loader = SparkLoader(spark, wh)
+    cfg = LoaderConfig(load_timestamp=False, partition_by="day(ts)")
+    loader.load_data(
+        [{"id": 1, "ts": "2023-01-01"}, {"id": 2, "ts": "2023-01-02"}],
+        "db.t",
+        cfg,
+    )
+    t = wh.load_table("db.t")
+    schema = t.schema()
+
+    def concurrent_append():
+        wh.load_table("db.t").append(
+            spark.createDataFrame([(99, datetime(2023, 1, 1))], schema)
+        )
+
+    _inject_before_commit(t, concurrent_append)
+    with pytest.raises(ConcurrentModification):
+        t.delete_where(spark, "ts == '2023-01-01'", mode="mor")
+    assert wh.load_table("db.t").scan(spark).count() == 3
+
+
+def test_mor_delete_tolerates_non_matching_concurrent_append(spark, tmp_path):
+    """An append whose partition metadata PROVES it cannot match carries
+    over: the MoR delete commits and only hides what it targeted."""
+    wh = Warehouse(str(tmp_path))
+    loader = SparkLoader(spark, wh)
+    cfg = LoaderConfig(load_timestamp=False, partition_by="day(ts)")
+    loader.load_data(
+        [{"id": 1, "ts": "2023-01-01"}, {"id": 2, "ts": "2023-01-02"}],
+        "db.t",
+        cfg,
+    )
+    t = wh.load_table("db.t")
+    schema = t.schema()
+
+    def concurrent_append():
+        wh.load_table("db.t").append(
+            spark.createDataFrame([(99, datetime(2023, 1, 2))], schema)
+        )
+
+    _inject_before_commit(t, concurrent_append)
+    t.delete_where(spark, "ts == '2023-01-01'", mode="mor")
+    out = wh.load_table("db.t").scan(spark)
+    assert out.count() == 2  # id=2 original + id=99 concurrent
+    assert sorted(r["id"] for r in out.collect()) == [2, 99]
+
+
+def test_mor_merge_supersedes_concurrent_append(spark, tmp_path):
+    """merge(mode='mor') commits under snapshot isolation: a concurrent
+    append with a matching key gets a LOWER sequence than the equality
+    delete and is superseded instead of aborting the merge (Flink-CDC
+    last-writer-wins semantics, documented on _merge_mor)."""
+    wh = Warehouse(str(tmp_path))
+    loader = SparkLoader(spark, wh)
+    cfg = LoaderConfig(load_timestamp=False)
+    loader.load_data([{"id": 1, "v": 10}, {"id": 2, "v": 20}], "db.t", cfg)
+    t = wh.load_table("db.t")
+    schema = t.schema()
+
+    def concurrent_append():
+        wh.load_table("db.t").append(
+            spark.createDataFrame([(1, 11)], schema)
+        )
+
+    _inject_before_commit(t, concurrent_append)
+    src = spark.createDataFrame([(1, 99)], schema)
+    t.merge(spark, src, ["id"], mode="mor")
+
+    out = wh.load_table("db.t").scan(spark)
+    rows = {(r["id"], r["v"]) for r in out.collect()}
+    # both the original and the concurrent id=1 versions are superseded
+    assert rows == {(1, 99), (2, 20)}
