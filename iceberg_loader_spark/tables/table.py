@@ -1225,13 +1225,16 @@ class Table:
                 s.operation,
                 len(s.files),
                 s.total_rows,
+                len(s.delete_predicates),
+                len(s.delete_files),
             )
             for s in self.history()
         ]
         return spark.createDataFrame(
             rows,
             "version int, snapshot_id string, parent_version int, "
-            "timestamp_ms long, operation string, n_files int, total_rows long",
+            "timestamp_ms long, operation string, n_files int, "
+            "total_rows long, n_delete_predicates int, n_delete_files int",
         )
 
     def files_df(self, spark: SparkSession, version: int | None = None) -> DataFrame:
@@ -1239,11 +1242,19 @@ class Table:
         the `tbl.files` metadata table (path, rows, bytes, partition)."""
         snap = self.snapshot(version)
         rows = [
-            (f.path, f.rows, f.bytes, json.dumps(f.partition, sort_keys=True))
+            (
+                f.path,
+                f.rows,
+                f.bytes,
+                json.dumps(f.partition, sort_keys=True),
+                f.sequence,
+            )
             for f in snap.files
         ]
         return spark.createDataFrame(
-            rows, "path string, rows long, bytes long, partition_json string"
+            rows,
+            "path string, rows long, bytes long, partition_json string, "
+            "sequence int",
         )
 
     # ---- schema evolution (SURVEY A28) -----------------------------------
