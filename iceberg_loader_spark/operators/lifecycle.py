@@ -347,3 +347,59 @@ def lifecycle_mor_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# B1 CDC under the oracle: append → CoW delete → CoW merge, then read the
+# row-level changelog across the whole range and aggregate it. The
+# changelog must contain EXACTLY: one 'delete' per 'de' row (the delete
+# commit), a delete+insert pair per 'en' row (the merge's
+# update-if-different rewrite — carried-over rows of rewritten files must
+# cancel), and one 'insert' for the synthetic row. The oracle recomputes
+# the expected change set from the source table directly.
+# --------------------------------------------------------------------------
+@_register(
+    "lifecycle_cdc_counts",
+    """
+    WITH ch AS (
+      SELECT 'delete' AS change_type, lang, n_chars
+      FROM documents WHERE lang = 'de'
+      UNION ALL
+      SELECT 'delete', lang, n_chars FROM documents WHERE lang = 'en'
+      UNION ALL
+      SELECT 'insert', lang, n_chars * 2 FROM documents WHERE lang = 'en'
+      UNION ALL
+      SELECT 'insert', 'xx', 7
+    )
+    SELECT change_type, lang,
+           COUNT(*) AS n_rows,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM ch
+    GROUP BY change_type, lang
+    ORDER BY change_type, lang
+    """,
+)
+def lifecycle_cdc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    wh = _fresh_warehouse()
+    t = Table.create(wh, "db.docs", docs.schema)
+    t.append(docs.coalesce(4))
+    base = t.meta.current_version()
+    t.delete_where(spark, "lang == 'de'")
+    src = docs.filter(F.col("lang") == "en").withColumn(
+        "n_chars", F.col("n_chars") * 2
+    )
+    new_row = spark.createDataFrame([(-1, "xx", 7)], docs.schema)
+    t.merge(spark, src.unionByName(new_row), ["doc_id"])
+    t = wh.load_table("db.docs")
+    return (
+        t.changes(spark, base)
+        .groupBy(F.col("_change_type").alias("change_type"), "lang")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("change_type", "lang")
+    )
