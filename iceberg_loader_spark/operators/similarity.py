@@ -859,3 +859,76 @@ def random_projection_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(_RP_OUT)
     ]
     return fp.select("vec_id", *projs).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# Hard-negative mining — contrastive-training pair construction: for each
+# query vector, the top-3 most-similar candidates with a DIFFERENT label
+# (near the anchor in embedding space but semantically distinct — the
+# negatives a retrieval/embedding trainer wants). Same broadcast +
+# rank-window shape as exact kNN: the big side streams map-side past the
+# broadcast query set, one shuffle for the per-query top-k.
+# --------------------------------------------------------------------------
+@_register(
+    "hard_negatives_topk",
+    f"""
+    WITH fp AS (
+      SELECT vec_id, label,
+             {_DUCK_FP.format(col='embedding')} AS e
+      FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id, label, e, {_DUCK_DOT.format(a='e', b='e')} AS nsq FROM fp
+    ),
+    pairs AS (
+      SELECT q.vec_id AS q_id, q.label AS q_label,
+             c.vec_id AS neg_id, c.label AS neg_label,
+             CAST({_DUCK_DOT.format(a='q.e', b='c.e')} AS DOUBLE)
+               / (SQRT(CAST(q.nsq AS DOUBLE)) * SQRT(CAST(c.nsq AS DOUBLE)))
+               AS cosine
+      FROM norms q JOIN norms c
+        ON c.vec_id <> q.vec_id AND c.label <> q.label
+      WHERE q.vec_id < 20
+    )
+    SELECT q_id, q_label, neg_id, neg_label, cosine, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY cosine DESC, neg_id) AS rnk
+      FROM pairs)
+    WHERE rnk <= 3
+    ORDER BY q_id, rnk
+    """,
+)
+def hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    fp = emb.select(
+        "vec_id", "label", _fixed_point(F.col("embedding")).alias("e")
+    ).withColumn("nsq", _dot(F.col("e"), F.col("e")))
+    queries = fp.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("e").alias("q_e"),
+        F.col("nsq").alias("q_nsq"),
+    )
+    pairs = fp.join(
+        F.broadcast(queries),
+        (F.col("vec_id") != F.col("q_id"))
+        & (F.col("label") != F.col("q_label")),
+    ).select(
+        "q_id",
+        "q_label",
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        (
+            _dot(F.col("q_e"), F.col("e")).cast("double")
+            / (
+                F.sqrt(F.col("q_nsq").cast("double"))
+                * F.sqrt(F.col("nsq").cast("double"))
+            )
+        ).alias("cosine"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neg_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("q_id", "rnk")
+    )

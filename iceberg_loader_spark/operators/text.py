@@ -1031,3 +1031,93 @@ def token_diversity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Bigram coverage — an exact-integer stand-in for LM-perplexity quality
+# filtering: score each document by how much of its token-bigram mass is
+# covered by the corpus's common-bigram "language model" (the top-100
+# corpus bigrams). Real pipelines run a KenLM/transformer scorer here;
+# the Spark shape is identical — build the reference model with one
+# aggregation, broadcast it, score map-side — and the rational
+# covered/total score is exactly reproducible cross-engine where a
+# log-prob would not be.
+# Physical shape: bigram explode + count (one shuffle), top-100 by
+# (count, bigram) total order, broadcast semi-join back, per-doc
+# aggregate. The model frame is O(vocab²)-bounded and tiny.
+# --------------------------------------------------------------------------
+@_register(
+    "bigram_coverage_score",
+    """
+    WITH toks AS (
+      SELECT doc_id, LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                                 t -> t <> '') AS ts
+      FROM documents
+    ),
+    bigrams AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+                            i -> ts[i] || ' ' || ts[i + 1])) AS bg
+      FROM toks
+    ),
+    model AS (
+      SELECT bg FROM (
+        SELECT bg, COUNT(*) AS c,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, bg) AS rnk
+        FROM bigrams GROUP BY bg)
+      WHERE rnk <= 100
+    )
+    SELECT b.doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(CASE WHEN m.bg IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS covered,
+           CAST(SUM(CASE WHEN m.bg IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS coverage
+    FROM bigrams b LEFT JOIN model m ON m.bg = b.bg
+    GROUP BY b.doc_id
+    ORDER BY b.doc_id
+    """,
+)
+def bigram_coverage_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_loader_spark.operators.dedup import _materialize
+
+    docs = load_table(spark, sf_dir, "documents")
+    ts = F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+    toks = docs.select("doc_id", ts.alias("ts"))
+    bigrams = _materialize(
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ts") - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("ts"), i),
+                        F.element_at(F.col("ts"), i + F.lit(1)),
+                    ),
+                )
+            ).alias("bg"),
+        ).filter(F.size("ts") >= 2)
+    )
+    # top-100 via orderBy+limit, NOT a global row_number window: Spark
+    # plans this as TakeOrderedAndProject (per-partition partial top-k,
+    # then a 100-row merge on the driver) — safe at any bigram-vocab size
+    model = (
+        bigrams.groupBy("bg")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("bg"))
+        .limit(100)
+        .select("bg", F.lit(1).alias("_in_model"))
+    )
+    covered = F.sum(
+        F.when(F.col("_in_model").isNotNull(), 1).otherwise(0)
+    ).cast("bigint")
+    return (
+        bigrams.join(F.broadcast(model), "bg", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            covered.alias("covered"),
+            (covered.cast("double") / F.count("*")).alias("coverage"),
+        )
+        .orderBy("doc_id")
+    )
