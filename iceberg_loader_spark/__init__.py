@@ -25,12 +25,14 @@ from iceberg_loader_spark.loader import (
     load_data_to_table,
     load_ipc_stream_to_table,
 )
+from iceberg_loader_spark.quality import Check
 from iceberg_loader_spark.session import get_spark
 from iceberg_loader_spark.tables import Warehouse
 
 __version__ = "0.1.0"
 
 __all__ = [
+    "Check",
     "LoaderConfig",
     "SparkLoader",
     "Warehouse",

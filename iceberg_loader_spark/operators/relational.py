@@ -1354,3 +1354,78 @@ def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_SQL_RECURSIVE)
+
+
+# --------------------------------------------------------------------------
+# Declarative data-quality checks (iceberg_loader_spark.quality.Check —
+# the Deequ/dbt-test shape) under the oracle: the one-pass row-rule
+# aggregation, the uniqueness aggregate, and the FK anti-join must
+# produce the exact violation counts DuckDB recomputes constraint by
+# constraint. Scale: row rules share ONE partial-aggregated scan; FK
+# broadcasts the PK side's distinct keys.
+# --------------------------------------------------------------------------
+@_register(
+    "quality_report_lineitem",
+    """
+    SELECT 'not_null' AS constraint_name, 'l_orderkey' AS col_name,
+           CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_violations,
+           SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+    FROM lineitem
+    UNION ALL
+    SELECT 'in_range', 'l_quantity',
+           CAST(SUM(CASE WHEN l_quantity IS NULL OR l_quantity < 1
+                         OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT),
+           SUM(CASE WHEN l_quantity IS NULL OR l_quantity < 1
+                    OR l_quantity > 50 THEN 1 ELSE 0 END) = 0
+    FROM lineitem
+    UNION ALL
+    SELECT 'accepted_values', 'l_returnflag',
+           CAST(SUM(CASE WHEN l_returnflag IS NULL
+                         OR l_returnflag NOT IN ('A','N','R')
+                    THEN 1 ELSE 0 END) AS BIGINT),
+           SUM(CASE WHEN l_returnflag IS NULL
+                    OR l_returnflag NOT IN ('A','N','R')
+               THEN 1 ELSE 0 END) = 0
+    FROM lineitem
+    UNION ALL
+    SELECT 'unique', 'o_orderkey',
+           CAST((SELECT COUNT(*) FROM (
+               SELECT o_orderkey FROM orders
+               GROUP BY o_orderkey HAVING COUNT(*) > 1)) AS BIGINT),
+           (SELECT COUNT(*) FROM (
+               SELECT o_orderkey FROM orders
+               GROUP BY o_orderkey HAVING COUNT(*) > 1)) = 0
+    UNION ALL
+    SELECT 'foreign_key(o_orderkey)', 'l_orderkey',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS (
+                     SELECT 1 FROM orders o
+                     WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT),
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_orderkey = l.l_orderkey)) = 0
+    ORDER BY constraint_name, col_name
+    """,
+)
+def quality_report_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_loader_spark.quality import Check
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    report = (
+        Check()
+        .not_null("l_orderkey")
+        .in_range("l_quantity", 1, 50)
+        .accepted_values("l_returnflag", ["A", "N", "R"])
+        .foreign_key("l_orderkey", orders, "o_orderkey")
+        .run(li)
+        .unionByName(Check().unique("o_orderkey").run(orders))
+    )
+    return report.select(
+        F.col("constraint").alias("constraint_name"),
+        F.col("column").alias("col_name"),
+        "n_violations",
+        "passed",
+    ).orderBy("constraint_name", "col_name")
