@@ -60,6 +60,33 @@ from iceberg_loader_spark.tables.partitioning import (
 
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
+def _op_applies(f: DataFile, o: dict) -> bool:
+    """Does a merge-on-read delete op apply to this data file?
+
+    Sequence rule first (a delete only covers strictly older files).
+    For equality-delete files carrying key min/max stats, a file whose
+    own footer stats are provably DISJOINT from the delete's key range
+    skips the anti-join entirely — the same metadata pruning Iceberg's
+    delete-file index does, turning "every old file pays the anti-join"
+    into "only key-range-overlapping files do".
+    """
+    if f.sequence >= o["sequence"]:
+        return False
+    if o["kind"] != "eq":
+        return True
+    dstats = o.get("stats") or {}
+    for c in o["equality_cols"]:
+        fs = f.stats.get(c)
+        ds = dstats.get(c)
+        if fs and ds and fs[0] is not None and ds[0] is not None:
+            try:
+                if fs[1] < ds[0] or fs[0] > ds[1]:
+                    return False  # ranges disjoint on this key column
+            except TypeError:
+                pass  # cross-type comparison — assume overlap
+    return True
+
+
 def _stamp_sequence(entries, version: int) -> None:
     """Set the data sequence number on freshly written manifest entries.
 
@@ -227,22 +254,17 @@ class Table:
         if not ops:
             paths = [os.path.join(self.root, f.path) for f in files]
             return spark.read.schema(schema).parquet(*paths)
-        groups: dict[int, list[DataFile]] = {}
+        groups: dict[tuple, list[DataFile]] = {}
         for f in files:
-            k = next(
-                (
-                    i
-                    for i, o in enumerate(ops)
-                    if f.sequence < o["sequence"]
-                ),
-                len(ops),
+            k = tuple(
+                i for i, o in enumerate(ops) if _op_applies(f, o)
             )
             groups.setdefault(k, []).append(f)
         out: DataFrame | None = None
         for k in sorted(groups):
             paths = [os.path.join(self.root, f.path) for f in groups[k]]
             df = spark.read.schema(schema).parquet(*paths)
-            for o in ops[k:]:
+            for o in (ops[i] for i in k):
                 if o["kind"] == "pred":
                     e = F.expr(to_spark_sql(o["where"]))
                     df = df.filter(~e | e.isNull())
@@ -1081,6 +1103,13 @@ class Table:
                     "sequence": v,
                     "rows": e.rows,
                     "bytes": e.bytes,
+                    # key min/max from the parquet footer: lets readers
+                    # skip the anti-join for key-range-disjoint files
+                    "stats": {
+                        c: e.stats[c]
+                        for c in join_cols
+                        if e.stats.get(c) is not None
+                    },
                 }
                 for e in key_entries
             ]

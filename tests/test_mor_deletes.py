@@ -291,3 +291,52 @@ def test_loader_config_rejects_bad_row_level_mode():
 
     with pytest.raises(ConfigError, match="row_level_mode"):
         LoaderConfig(row_level_mode="nope")
+
+
+def test_op_applies_stats_pruning():
+    """Equality-delete stats pruning: key-range-disjoint files skip the
+    anti-join; overlapping or stat-less files keep it."""
+    from iceberg_loader_spark.tables.format import DataFile
+    from iceberg_loader_spark.tables.table import _op_applies
+
+    op = {
+        "kind": "eq",
+        "sequence": 5,
+        "equality_cols": ["id"],
+        "stats": {"id": [100, 200]},
+    }
+    mk = lambda seq, lo, hi: DataFile(
+        path="p", rows=1, bytes=1, stats={"id": [lo, hi]}, sequence=seq
+    )
+    assert not _op_applies(mk(5, 100, 200), op)  # same sequence: too new
+    assert not _op_applies(mk(2, 0, 99), op)  # disjoint below
+    assert not _op_applies(mk(2, 201, 900), op)  # disjoint above
+    assert _op_applies(mk(2, 150, 300), op)  # overlaps
+    assert _op_applies(mk(2, 100, 100), op)  # boundary touch
+    no_stats = DataFile(path="p", rows=1, bytes=1, sequence=2)
+    assert _op_applies(no_stats, op)  # unknown range: must apply
+    pred = {"kind": "pred", "sequence": 5, "where": "x == 1"}
+    assert _op_applies(mk(2, 0, 0), pred)  # predicates: sequence only
+
+
+def test_mor_merge_pruned_scan_still_correct(spark, tmp_path):
+    """Two disjoint-key eras + a MoR merge touching only one of them:
+    the scan (with stats pruning active) returns the exact upsert
+    result."""
+    docs = _docs(spark)
+    wh = Warehouse(str(tmp_path / "wh"))
+    lo = docs.filter(F.col("doc_id") < 100)
+    hi = docs.filter(F.col("doc_id") >= 100)
+    t = Table.create(wh, "db.t", docs.schema)
+    t.append(lo.coalesce(1))
+    t.append(hi.coalesce(1))
+
+    src = lo.limit(3).withColumn("n_chars", F.lit(999111).cast("long"))
+    t.merge(spark, src, ["doc_id"], mode="mor")
+
+    out = t.scan(spark)
+    assert out.count() == docs.count()
+    assert out.filter(F.col("n_chars") == 999111).count() == 3
+    assert (
+        out.groupBy("doc_id").count().filter(F.col("count") > 1).count() == 0
+    )
