@@ -165,6 +165,10 @@ def rewrite_data_files(
     """
     if sort_by and zorder_by:
         raise ValueError("sort_by and zorder_by are mutually exclusive")
+    if not sort_by and not zorder_by:
+        # a standing write.sort-order keeps its clustering through
+        # compaction without the caller restating it
+        sort_by = table._sort_order()
     snap = table.snapshot()
     if not snap.files:
         return {"rewritten": 0, "added": 0}

@@ -543,12 +543,28 @@ class Table:
     def _codec(self) -> str:
         return self.properties().get("write.parquet.compression-codec", "zstd")
 
+    def _sort_order(self) -> list[str] | None:
+        """Iceberg's write sort order (``write.sort-order`` property,
+        comma-separated columns): every data write sorts rows by these
+        columns WITHIN each output task, giving tight per-file min/max
+        ranges on the sort columns from the first append — the standing
+        version of the one-shot `rewrite_data_files(sort_by=...)`."""
+        raw = self.properties().get("write.sort-order")
+        if not raw:
+            return None
+        cols = [c.strip() for c in raw.split(",") if c.strip()]
+        schema_cols = {f.name for f in self.schema().fields}
+        unknown = [c for c in cols if c not in schema_cols]
+        if unknown:
+            raise ValueError(f"write.sort-order references unknown columns: {unknown}")
+        return cols or None
+
     def _write_data_files(
         self,
         df: DataFrame,
         spec: list[PartitionField],
         codec: str,
-        sort_within: list[str] | None = None,
+        sort_within: list[str] | None | object = "__table_default__",
     ) -> list[DataFile]:
         """Write df's rows as new parquet files; return manifest entries.
 
@@ -556,7 +572,14 @@ class Table:
         after the partition-value repartition. This is how a sort-clustered
         rewrite on a partitioned table keeps its clustering — any sort
         applied by the caller before this method would be destroyed by the
-        partition repartition below."""
+        partition repartition below. Defaults to the table's standing
+        ``write.sort-order`` property; pass ``None`` to disable."""
+        if sort_within == "__table_default__":
+            sort_within = self._sort_order()
+        if sort_within:
+            # projections (e.g. equality-delete key files) may not carry
+            # every table sort column — sort by the ones present
+            sort_within = [c for c in sort_within if c in df.columns]
         staging_rel = f"{DATA_DIR}/{uuid.uuid4().hex}"
         staging_abs = os.path.join(self.root, staging_rel)
         out = df

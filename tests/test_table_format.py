@@ -389,3 +389,52 @@ def test_partition_spec_evolution(spark, tmp_path):
     t.delete_where(spark, "id == 1")
     t = wh.load_table("db.t")
     assert sorted(r.id for r in t.scan(spark).collect()) == [2, 3, 4]
+
+
+def test_write_sort_order_property(spark, tmp_path):
+    """write.sort-order: every append sorts within tasks -> tight,
+    near-disjoint per-file min/max on the sort column; compaction keeps
+    the clustering without restating it; bad columns rejected."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from iceberg_loader_spark.tables.maintenance import rewrite_data_files
+
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    t = Table.create(
+        Warehouse(str(tmp_path / "wh")),
+        "db.sorted",
+        docs.schema,
+        properties={"write.sort-order": "n_chars"},
+    )
+    t.append(docs.repartition(4))
+    # within every file, rows are sorted by n_chars
+    for f in t.snapshot().files:
+        import pyarrow.parquet as pq
+
+        col = pq.read_table(
+            f"{t.root}/{f.path}", columns=["n_chars"]
+        ).column("n_chars").to_pylist()
+        assert col == sorted(col)
+
+    # compaction inherits the standing order
+    rewrite_data_files(t, spark, target_files=2)
+    for f in t.snapshot().files:
+        import pyarrow.parquet as pq
+
+        col = pq.read_table(
+            f"{t.root}/{f.path}", columns=["n_chars"]
+        ).column("n_chars").to_pylist()
+        assert col == sorted(col)
+
+    with pytest.raises(ValueError, match="unknown columns"):
+        Table.create(
+            Warehouse(str(tmp_path / "wh2")),
+            "db.bad",
+            docs.schema,
+            properties={"write.sort-order": "nope"},
+        ).append(docs)
