@@ -1154,6 +1154,57 @@ class Table:
 
         return self._commit_with_retry(build)
 
+    def delete_by_keys(
+        self, spark: SparkSession, keys: DataFrame, key_cols: list[str]
+    ) -> Snapshot:
+        """Merge-on-read DELETE by key set: commit ONE equality-delete
+        file holding ``keys``' distinct key rows — no data read, no
+        rewrite, O(keys) commit (the delete half of a CDC apply; the
+        upsert half is ``merge(mode='mor')``). Applies to all files
+        with a lower sequence; compaction materializes."""
+        missing = [
+            c for c in key_cols if c not in {f.name for f in self.schema().fields}
+        ]
+        if missing:
+            raise ValueError(f"key columns not in schema: {missing}")
+        key_entries = self._write_data_files(
+            keys.select(*key_cols).distinct(), [], self._codec()
+        )
+
+        def build(parent: Snapshot) -> Snapshot:
+            v = parent.version + 1
+            dels = parent.delete_files + [
+                {
+                    "path": e.path,
+                    "equality_cols": list(key_cols),
+                    "sequence": v,
+                    "rows": e.rows,
+                    "bytes": e.bytes,
+                    "stats": {
+                        c: e.stats[c]
+                        for c in key_cols
+                        if e.stats.get(c) is not None
+                    },
+                }
+                for e in key_entries
+            ]
+            return new_snapshot(
+                parent,
+                "delete",
+                parent.schema_json,
+                parent.partition_spec,
+                parent.files,
+                parent.properties,
+                {
+                    "delete-mode": "mor",
+                    "equality-delete-files": len(key_entries),
+                    "delete-key-rows": sum(e.rows for e in key_entries),
+                },
+                delete_files=dels,
+            )
+
+        return self._commit_with_retry(build)
+
     def set_partition_spec(self, spec: list[PartitionField]) -> Snapshot:
         """Partition-spec evolution (Iceberg's ``ADD/REPLACE PARTITION
         FIELD``): future writes use the new spec; existing files keep the

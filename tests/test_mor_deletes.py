@@ -340,3 +340,90 @@ def test_mor_merge_pruned_scan_still_correct(spark, tmp_path):
     assert (
         out.groupBy("doc_id").count().filter(F.col("count") > 1).count() == 0
     )
+
+
+# --------------------------------------------------------------------------
+# delete_by_keys + CDC replication (apply_changelog)
+# --------------------------------------------------------------------------
+
+
+def test_delete_by_keys(spark, tmp_path):
+    t, docs = _fresh(spark, tmp_path)
+    keys = docs.limit(7).select("doc_id")
+    snap_files = {f.path for f in t.snapshot().files}
+    t.delete_by_keys(spark, keys, ["doc_id"])
+    snap = t.snapshot()
+    assert {f.path for f in snap.files} == snap_files  # nothing rewritten
+    assert len(snap.delete_files) >= 1
+    assert t.scan(spark).count() == docs.count() - 7
+    # later append of a deleted key is visible (sequence scoping)
+    t.append(docs.limit(1))
+    assert t.scan(spark).count() == docs.count() - 7 + 1
+
+
+def test_apply_changelog_replicates_source_operations(spark, tmp_path):
+    """End-to-end CDC replication: run append/delete/merge on a source
+    table, read its changelog, apply onto an initially-synced replica —
+    contents must match exactly."""
+    from iceberg_loader_spark.tables.replication import apply_changelog
+
+    docs = _docs(spark)
+    wh_dir = Warehouse(str(tmp_path / "whs"))
+    src_t = Table.create(wh_dir, "db.src", docs.schema)
+    src_t.append(docs)
+    base = src_t.meta.current_version()
+
+    replica = Table.create(Warehouse(str(tmp_path / "whr")), "db.rep", docs.schema)
+    replica.append(docs)  # initial sync
+
+    # source-side churn: delete a language, upsert some rows, insert one
+    src_t.delete_where(spark, "lang == 'de'")
+    upd = docs.filter(F.col("lang") == "en").limit(4).withColumn(
+        "n_chars", F.lit(555555).cast("long")
+    )
+    new_row = spark.createDataFrame([(-7, "xx", 3)], docs.schema)
+    src_t.merge(spark, upd.unionByName(new_row), ["doc_id"])
+
+    ch = src_t.changes(spark, base)
+    res = apply_changelog(spark, replica, ch, ["doc_id"])
+    assert res["upserted_keys"] == 5  # 4 updates + 1 insert
+    assert res["deleted_keys"] > 0
+
+    src_rows = {
+        tuple(r) for r in src_t.scan(spark).collect()
+    }
+    rep_rows = {
+        tuple(r) for r in replica.scan(spark).collect()
+    }
+    assert src_rows == rep_rows
+
+
+def test_apply_changelog_last_write_wins_across_commits(spark, tmp_path):
+    """A key updated twice then deleted nets out to deleted; a key
+    deleted then re-inserted nets out to the re-insert."""
+    from pyspark.sql import types as T
+
+    from iceberg_loader_spark.tables.replication import apply_changelog
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.LongType())]
+    )
+    wh_dir = Warehouse(str(tmp_path / "whs"))
+    src = Table.create(wh_dir, "db.src", schema)
+    src.append(spark.createDataFrame([(1, 10), (2, 20), (3, 30)], schema))
+    base = src.meta.current_version()
+
+    rep = Table.create(Warehouse(str(tmp_path / "whr")), "db.rep", schema)
+    rep.append(spark.createDataFrame([(1, 10), (2, 20), (3, 30)], schema))
+
+    src.merge(spark, spark.createDataFrame([(1, 11)], schema), ["id"])
+    src.merge(spark, spark.createDataFrame([(1, 12)], schema), ["id"])
+    src.delete_where(spark, "id == 1")
+    src.delete_where(spark, "id == 2")
+    src.merge(spark, spark.createDataFrame([(2, 99)], schema), ["id"])
+
+    ch = src.changes(spark, base)
+    apply_changelog(spark, rep, ch, ["id"])
+    assert {tuple(r) for r in rep.scan(spark).collect()} == {
+        tuple(r) for r in src.scan(spark).collect()
+    }
