@@ -403,3 +403,68 @@ def lifecycle_cdc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change_type", "lang")
     )
+
+
+# --------------------------------------------------------------------------
+# CDC replication under the oracle: source table takes a delete + an
+# upsert; the changelog is replayed onto an initially-synced replica via
+# apply_changelog (MoR merge + delete_by_keys); the REPLICA's aggregate
+# must equal the oracle's recomputation of the source's final state. A
+# wrong winner per key, a lost delete, or a leaked old row version flips
+# the counts.
+# --------------------------------------------------------------------------
+@_register(
+    "lifecycle_replication_counts",
+    """
+    WITH final AS (
+      SELECT doc_id, lang,
+             CASE WHEN lang = 'en' THEN n_chars * 2 ELSE n_chars END
+               AS n_chars
+      FROM documents
+      WHERE lang <> 'de'
+      UNION ALL
+      SELECT -1, 'xx', 7
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM final
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def lifecycle_replication_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from iceberg_loader_spark.tables.replication import apply_changelog
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    wh = _fresh_warehouse()
+    src = Table.create(wh, "db.src", docs.schema)
+    src.append(docs.coalesce(4))
+    base = src.meta.current_version()
+    replica = Table.create(wh, "db.rep", docs.schema)
+    replica.append(docs.coalesce(4))
+
+    src.delete_where(spark, "lang == 'de'")
+    upd = docs.filter(F.col("lang") == "en").withColumn(
+        "n_chars", F.col("n_chars") * 2
+    )
+    new_row = spark.createDataFrame([(-1, "xx", 7)], docs.schema)
+    src.merge(spark, upd.unionByName(new_row), ["doc_id"])
+
+    apply_changelog(
+        spark, replica, src.changes(spark, base), ["doc_id"]
+    )
+    replica = wh.load_table("db.rep")
+    return (
+        replica.scan(spark)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
