@@ -49,22 +49,36 @@ def apply_changelog(
         # the insert is the surviving state
         F.when(F.col("_change_type") == "insert", 0).otherwise(1),
     )
+    from pyspark.storagelevel import StorageLevel
+
     winners = (
         changes.withColumn("_rnk", F.row_number().over(w))
         .filter(F.col("_rnk") == 1)
         .drop("_rnk")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    upserts = winners.filter(F.col("_change_type") == "insert").select(
-        *data_cols
-    )
-    deletes = winners.filter(F.col("_change_type") == "delete").select(
-        *key_cols
-    )
-
-    n_upserts = upserts.count()
-    n_deletes = deletes.count()
-    if n_upserts:
-        target.merge(spark, upserts, key_cols, mode="mor")
-    if n_deletes:
-        target.delete_by_keys(spark, deletes, key_cols)
+    try:
+        # one aggregate decides both legs (and populates the cache the
+        # apply legs reuse) instead of two separate count jobs
+        n_upserts, n_deletes = winners.agg(
+            F.sum(
+                F.when(F.col("_change_type") == "insert", 1).otherwise(0)
+            ),
+            F.sum(
+                F.when(F.col("_change_type") == "delete", 1).otherwise(0)
+            ),
+        ).first()
+        n_upserts, n_deletes = int(n_upserts or 0), int(n_deletes or 0)
+        if n_upserts:
+            upserts = winners.filter(
+                F.col("_change_type") == "insert"
+            ).select(*data_cols)
+            target.merge(spark, upserts, key_cols, mode="mor")
+        if n_deletes:
+            deletes = winners.filter(
+                F.col("_change_type") == "delete"
+            ).select(*key_cols)
+            target.delete_by_keys(spark, deletes, key_cols)
+    finally:
+        winners.unpersist()
     return {"upserted_keys": n_upserts, "deleted_keys": n_deletes}
