@@ -1385,3 +1385,89 @@ class Table:
             )
 
         return self._commit_with_retry(build)
+
+    def drop_columns(self, cols: list[str]) -> Snapshot:
+        """Drop-column evolution (metadata-only): the new schema omits
+        the columns; existing files are untouched — parquet by-name
+        resolution simply stops projecting the dropped columns, so the
+        commit is O(1) at any table size. Columns load-bearing for the
+        table's physics are protected: partition sources, the standing
+        write sort order, and key columns of PENDING equality-delete
+        files cannot be dropped (compact first)."""
+        schema = self.schema()
+        names = {f.name for f in schema.fields}
+        missing = [c for c in cols if c not in names]
+        if missing:
+            raise ValueError(f"no such columns: {missing}")
+        drop = set(cols)
+        if drop >= names:
+            raise ValueError("cannot drop every column")
+        protected: dict[str, str] = {}
+        for pf in self.partition_spec():
+            protected[pf.source] = "partition source"
+        for c in self._sort_order() or []:
+            protected.setdefault(c, "write.sort-order")
+        for d in self.snapshot().delete_files:
+            for c in d["equality_cols"]:
+                protected.setdefault(c, "pending equality-delete key")
+        blocked = {c: protected[c] for c in drop if c in protected}
+        if blocked:
+            raise ValueError(f"cannot drop load-bearing columns: {blocked}")
+        evolved = T.StructType(
+            [f for f in schema.fields if f.name not in drop]
+        )
+
+        def build(parent: Snapshot) -> Snapshot:
+            return new_snapshot(
+                parent,
+                "evolve-schema",
+                evolved.jsonValue(),
+                parent.partition_spec,
+                parent.files,
+                parent.properties,
+                {"dropped-columns": sorted(drop)},
+            )
+
+        return self._commit_with_retry(build)
+
+    # type promotions Spark's parquet reader widens transparently
+    _PROMOTIONS = {
+        ("integer", "long"): True,
+        ("float", "double"): True,
+    }
+
+    def promote_column_type(self, col: str, new_type: T.DataType) -> Snapshot:
+        """Type-widening evolution (Iceberg's int→long / float→double):
+        metadata-only — old files keep their narrow physical type and
+        Spark's parquet reader up-casts them at scan; new writes use the
+        wide type. Only lossless promotions are allowed."""
+        schema = self.schema()
+        field = next((f for f in schema.fields if f.name == col), None)
+        if field is None:
+            raise ValueError(f"no such column: {col}")
+        key = (field.dataType.typeName(), new_type.typeName())
+        if not self._PROMOTIONS.get(key):
+            raise ValueError(
+                f"unsupported promotion {field.dataType.simpleString()} -> "
+                f"{new_type.simpleString()} (allowed: int->long, "
+                f"float->double)"
+            )
+        evolved = T.StructType(
+            [
+                T.StructField(f.name, new_type if f.name == col else f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+        )
+
+        def build(parent: Snapshot) -> Snapshot:
+            return new_snapshot(
+                parent,
+                "evolve-schema",
+                evolved.jsonValue(),
+                parent.partition_spec,
+                parent.files,
+                parent.properties,
+                {"promoted-column": col, "to-type": new_type.simpleString()},
+            )
+
+        return self._commit_with_retry(build)

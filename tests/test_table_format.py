@@ -438,3 +438,108 @@ def test_write_sort_order_property(spark, tmp_path):
             docs.schema,
             properties={"write.sort-order": "nope"},
         ).append(docs)
+
+
+def test_drop_columns_evolution(spark, tmp_path):
+    """Metadata-only drop: old files untouched, scans stop projecting
+    the column, time travel still sees it, guards protect load-bearing
+    columns."""
+    import pytest
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    t = Table.create(Warehouse(str(tmp_path / "wh")), "db.d", docs.schema)
+    t.append(docs)
+    v_before = t.meta.current_version()
+    files_before = {f.path for f in t.snapshot().files}
+
+    t.drop_columns(["n_chars"])
+    assert {f.path for f in t.snapshot().files} == files_before
+    assert t.scan(spark).columns == ["doc_id", "lang"]
+    assert t.scan(spark).count() == docs.count()
+    # time travel: the old snapshot still projects the column
+    assert "n_chars" in t.scan(spark, version=v_before).columns
+
+    with pytest.raises(ValueError, match="no such columns"):
+        t.drop_columns(["ghost"])
+    with pytest.raises(ValueError, match="every column"):
+        t.drop_columns(["doc_id", "lang"])
+
+    # appends after the drop use the narrowed schema
+    t.append(t.scan(spark).limit(5))
+    assert t.scan(spark).count() == docs.count() + 5
+
+
+def test_drop_columns_protects_load_bearing(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMOKE
+
+    from iceberg_loader_spark.tables.partitioning import PartitionField
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    t = Table.create(
+        Warehouse(str(tmp_path / "wh")),
+        "db.d",
+        docs.schema,
+        partition_spec=[PartitionField("identity", "lang", "lang")],
+        properties={"write.sort-order": "n_chars"},
+    )
+    t.append(docs)
+    with pytest.raises(ValueError, match="partition source"):
+        t.drop_columns(["lang"])
+    with pytest.raises(ValueError, match="sort-order"):
+        t.drop_columns(["n_chars"])
+
+    t2 = Table.create(
+        Warehouse(str(tmp_path / "wh2")), "db.d2", docs.schema
+    )
+    t2.append(docs)
+    t2.merge(
+        spark,
+        docs.limit(2).withColumn("n_chars", F.lit(1).cast("long")),
+        ["doc_id"],
+        mode="mor",
+    )
+    with pytest.raises(ValueError, match="equality-delete"):
+        t2.drop_columns(["doc_id"])
+
+
+def test_promote_column_type(spark, tmp_path):
+    """int->long widening: old narrow files up-cast at scan, new wide
+    files mix in the same table, aggregates stay exact."""
+    import pytest
+    from pyspark.sql import types as TT
+
+    narrow = spark.createDataFrame(
+        [(1, 1.5), (2, 2.5)],
+        TT.StructType(
+            [
+                TT.StructField("id", TT.IntegerType()),
+                TT.StructField("score", TT.FloatType()),
+            ]
+        ),
+    )
+    t = Table.create(Warehouse(str(tmp_path / "wh")), "db.p", narrow.schema)
+    t.append(narrow)
+    t.promote_column_type("id", TT.LongType())
+    t.promote_column_type("score", TT.DoubleType())
+
+    wide = spark.createDataFrame(
+        [(3_000_000_000, 3.5)],
+        t.schema(),
+    )
+    t.append(wide)
+    out = t.scan(spark)
+    assert dict(out.dtypes) == {"id": "bigint", "score": "double"}
+    assert out.count() == 3
+    assert out.agg({"id": "sum"}).first()[0] == 3_000_000_003
+
+    with pytest.raises(ValueError, match="unsupported promotion"):
+        t.promote_column_type("score", TT.IntegerType())
+    with pytest.raises(ValueError, match="no such column"):
+        t.promote_column_type("ghost", TT.LongType())
