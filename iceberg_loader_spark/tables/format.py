@@ -207,10 +207,14 @@ class MetadataBackend:
 
 class LocalFSBackend(MetadataBackend):
     """POSIX-filesystem backend: exclusive O_CREAT manifest write +
-    ``os.replace`` pointer publish (both atomic on POSIX)."""
+    ``os.replace`` pointer publish (both atomic on POSIX).
 
-    def __init__(self, root: str):
-        self.meta_dir = os.path.join(root, META_DIR)
+    ``meta_dir`` overrides the metadata location (default
+    ``<root>/_meta``) — write-audit-publish shadows park their staging
+    metadata under ``<root>/_wap/<id>`` while sharing the table root."""
+
+    def __init__(self, root: str, meta_dir: str | None = None):
+        self.meta_dir = meta_dir or os.path.join(root, META_DIR)
 
     def _current_path(self) -> str:
         return os.path.join(self.meta_dir, CURRENT_FILE)

@@ -295,6 +295,25 @@ def remove_orphan_files(table: Table, older_than_ms: int | None = None) -> dict:
     } | {
         d["path"] for snap in table.history() for d in snap.delete_files
     }
+    # in-flight write-audit-publish stages reference staged files only
+    # from their shadow metadata chains — treat those as live too
+    wap_root = os.path.join(table.root, Table.WAP_DIR)
+    if os.path.isdir(wap_root):
+        from iceberg_loader_spark.tables.format import (
+            LocalFSBackend,
+            TableMetadata,
+        )
+
+        for wap_id in os.listdir(wap_root):
+            backend = LocalFSBackend(
+                table.root, meta_dir=os.path.join(wap_root, wap_id)
+            )
+            if not backend.exists():
+                continue
+            shadow_meta = TableMetadata(table.root, backend=backend)
+            for snap in shadow_meta.snapshots():
+                live |= {f.path for f in snap.files}
+                live |= {d["path"] for d in snap.delete_files}
     data_root = os.path.join(table.root, "data")
     removed = kept_recent = 0
     for dirpath, _dirnames, filenames in os.walk(data_root):

@@ -1315,6 +1315,138 @@ class Table:
         except KeyError:
             raise KeyError(f"no such tag: {name}") from None
 
+    # ---- write-audit-publish (append-only staging) -----------------------
+
+    WAP_DIR = "_wap"
+
+    def begin_wap(self, wap_id: str | None = None) -> "Table":
+        """Start a write-audit-publish stage: returns a SHADOW table
+        sharing this table's root and current snapshot, with its own
+        metadata chain under ``<root>/_wap/<id>``. Appends to the shadow
+        write real data files (into the shared ``data/`` area) that the
+        MAIN table cannot see; audit them with ``shadow.scan`` (e.g.
+        ``quality.Check``), then :meth:`publish_wap` to land everything
+        staged as ONE atomic commit on the main table — or
+        :meth:`abort_wap` to discard files and metadata.
+
+        Staging is APPEND-ONLY (the audit-before-publish use case);
+        row-level ops on a shadow are rejected at publish because their
+        sequence ordering cannot be preserved through a squash.
+        """
+        from iceberg_loader_spark.tables.format import LocalFSBackend
+
+        wap_id = wap_id or uuid.uuid4().hex[:12]
+        if "/" in wap_id or not wap_id:
+            raise ValueError(f"invalid wap id: {wap_id!r}")
+        meta_dir = os.path.join(self.root, self.WAP_DIR, wap_id)
+        backend = LocalFSBackend(self.root, meta_dir=meta_dir)
+        if backend.exists():
+            raise FileExistsError(f"wap stage {wap_id!r} already exists")
+        snap = self.snapshot()
+        shadow = Table.__new__(Table)
+        shadow.warehouse = self.warehouse
+        shadow.identifier = f"{self.identifier}@wap/{wap_id}"
+        shadow.root = self.root
+        shadow.meta = TableMetadata(self.root, backend=backend)
+        seed = Snapshot(
+            version=1,
+            snapshot_id=uuid.uuid4().hex,
+            parent_version=None,
+            timestamp_ms=snap.timestamp_ms,
+            operation="wap-fork",
+            schema_json=snap.schema_json,
+            partition_spec=snap.partition_spec,
+            files=snap.files,
+            properties={
+                **snap.properties,
+                "wap.id": wap_id,
+                "wap.fork-version": str(snap.version),
+            },
+            summary={"wap-forked-from": snap.version},
+            delete_predicates=snap.delete_predicates,
+            delete_files=snap.delete_files,
+        )
+        shadow.meta.commit(seed, expected_parent=None)
+        return shadow
+
+    def publish_wap(self, shadow: "Table") -> Snapshot:
+        """Land a shadow stage's appended files on the main table as one
+        atomic commit (fast-forward: fails with
+        :class:`ConcurrentModification` if the main table advanced past
+        the fork point — re-stage against the new current). Cleans up
+        the shadow metadata on success."""
+        import shutil
+
+        props = shadow.properties()
+        wap_id = props.get("wap.id")
+        fork_v = int(props.get("wap.fork-version", "-1"))
+        if wap_id is None or fork_v < 0:
+            raise ValueError("not a wap shadow table")
+        for s in shadow.history():
+            if s.operation not in ("wap-fork", "append"):
+                raise ValueError(
+                    f"wap staging is append-only; shadow contains "
+                    f"'{s.operation}' — run row-level ops on the main "
+                    f"table instead"
+                )
+        sh = shadow.snapshot()
+        fork_paths = {f.path for f in self.snapshot(fork_v).files}
+        staged = [f for f in sh.files if f.path not in fork_paths]
+        staged_rows = sum(f.rows for f in staged)
+
+        def build(parent: Snapshot) -> Snapshot:
+            if parent.version != fork_v:
+                raise ConcurrentModification(
+                    f"main table advanced to v{parent.version} past wap "
+                    f"fork v{fork_v}; re-stage and re-audit"
+                )
+            _stamp_sequence(staged, parent.version + 1)
+            return new_snapshot(
+                parent,
+                "append",
+                parent.schema_json,
+                parent.partition_spec,
+                parent.files + staged,
+                parent.properties,
+                {
+                    "wap-published": wap_id,
+                    "added-files": len(staged),
+                    "added-records": staged_rows,
+                    "total-records": parent.total_rows + staged_rows,
+                },
+            )
+
+        snap = self._commit_with_retry(build)
+        shutil.rmtree(
+            os.path.join(self.root, self.WAP_DIR, wap_id), ignore_errors=True
+        )
+        return snap
+
+    def abort_wap(self, shadow: "Table") -> dict:
+        """Discard a stage: delete its staged data files (the ones not in
+        the fork snapshot) and its metadata chain."""
+        import shutil
+
+        props = shadow.properties()
+        wap_id = props.get("wap.id")
+        fork_v = int(props.get("wap.fork-version", "-1"))
+        if wap_id is None or fork_v < 0:
+            raise ValueError("not a wap shadow table")
+        fork_paths = {f.path for f in self.snapshot(fork_v).files}
+        removed = 0
+        for s in shadow.history():
+            for f in s.files:
+                if f.path in fork_paths:
+                    continue
+                p = os.path.join(self.root, f.path)
+                if os.path.isfile(p):
+                    os.remove(p)
+                    removed += 1
+        shutil.rmtree(
+            os.path.join(self.root, self.WAP_DIR, wap_id), ignore_errors=True
+        )
+        return {"removed_files": removed}
+
     # ---- metadata tables (Iceberg's `tbl.snapshots` / `tbl.files`) -------
 
     def snapshots_df(self, spark: SparkSession) -> DataFrame:

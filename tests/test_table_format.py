@@ -543,3 +543,60 @@ def test_promote_column_type(spark, tmp_path):
         t.promote_column_type("score", TT.IntegerType())
     with pytest.raises(ValueError, match="no such column"):
         t.promote_column_type("ghost", TT.LongType())
+
+
+def test_write_audit_publish(spark, tmp_path):
+    """WAP: staged appends are invisible to the main table, auditable on
+    the shadow, land atomically on publish; abort removes staged files;
+    a concurrent main commit fails the fast-forward publish."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMOKE
+
+    from iceberg_loader_spark.tables.format import ConcurrentModification
+    from iceberg_loader_spark.tables.maintenance import remove_orphan_files
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    t = Table.create(Warehouse(str(tmp_path / "wh")), "db.w", docs.schema)
+    t.append(docs.filter(F.col("doc_id") % 2 == 0))
+    n_even = t.scan(spark).count()
+
+    stage = t.begin_wap("audit1")
+    stage.append(docs.filter(F.col("doc_id") % 2 == 1))
+    # invisible to main, visible (fork + staged) on the shadow
+    assert t.scan(spark).count() == n_even
+    assert stage.scan(spark).count() == docs.count()
+    # staged files survive orphan cleanup (referenced by shadow metadata)
+    res = remove_orphan_files(t, older_than_ms=2**62)
+    assert res["removed"] == 0
+
+    t.publish_wap(stage)
+    assert t.scan(spark).count() == docs.count()
+    assert t.snapshot().operation == "append"
+    assert not os.path.isdir(os.path.join(t.root, "_wap", "audit1"))
+
+    # abort: staged files deleted, main untouched
+    stage2 = t.begin_wap("audit2")
+    stage2.append(docs.limit(10))
+    aborted = t.abort_wap(stage2)
+    assert aborted["removed_files"] >= 1
+    assert t.scan(spark).count() == docs.count()
+
+    # fast-forward conflict: main advances after the fork
+    stage3 = t.begin_wap("audit3")
+    stage3.append(docs.limit(5))
+    t.append(docs.limit(1))
+    with pytest.raises(ConcurrentModification, match="re-stage"):
+        t.publish_wap(stage3)
+    t.abort_wap(stage3)
+
+    # row-level ops on a shadow are rejected at publish
+    stage4 = t.begin_wap("audit4")
+    stage4.delete_where(spark, "lang == 'de'")
+    with pytest.raises(ValueError, match="append-only"):
+        t.publish_wap(stage4)
+    t.abort_wap(stage4)
