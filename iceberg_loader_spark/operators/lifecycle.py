@@ -468,3 +468,56 @@ def lifecycle_replication_counts(
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Write-audit-publish under the oracle: half the corpus lands directly,
+# the other half goes through a WAP stage — audited with quality.Check
+# on the SHADOW (not-null + accepted languages must pass before
+# publish), then published as one atomic fast-forward append. The final
+# aggregate must equal the full-corpus aggregate; a stage that leaks
+# early, loses rows at publish, or double-publishes flips the counts.
+# --------------------------------------------------------------------------
+@_register(
+    "lifecycle_wap_counts",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def lifecycle_wap_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_loader_spark.quality import Check
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    wh = _fresh_warehouse()
+    t = Table.create(wh, "db.docs", docs.schema)
+    t.append(docs.filter(F.col("doc_id") % 2 == 0))
+
+    stage = t.begin_wap()
+    stage.append(docs.filter(F.col("doc_id") % 2 == 1))
+    # the audit step: gate the publish on the STAGED state
+    report = (
+        Check()
+        .not_null("doc_id", "lang")
+        .non_negative("n_chars")
+        .run(stage.scan(spark))
+    )
+    assert report.filter(~F.col("passed")).count() == 0, "audit failed"
+    t.publish_wap(stage)
+
+    t = wh.load_table("db.docs")
+    return (
+        t.scan(spark)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
