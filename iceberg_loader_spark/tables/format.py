@@ -194,6 +194,12 @@ class MetadataBackend:
     def write_manifest_exclusive(self, version: int, payload: dict) -> None:
         raise NotImplementedError
 
+    def write_manifest_replace(self, version: int, payload: dict) -> None:
+        """Atomically REPLACE an existing manifest (expiry-time
+        materialization of delta-encoded manifests — the one sanctioned
+        mutation; readers must see either the old or the new body)."""
+        raise NotImplementedError
+
     def publish_current(self, version: int) -> None:
         raise NotImplementedError
 
@@ -272,6 +278,14 @@ class LocalFSBackend(MetadataBackend):
         finally:
             os.unlink(tmp)
 
+    def write_manifest_replace(self, version: int, payload: dict) -> None:
+        tmp = os.path.join(
+            self.meta_dir, f".v{version}.{uuid.uuid4().hex}.tmp"
+        )
+        with open(tmp, "w") as f:
+            json.dump(payload, f, separators=(",", ":"))
+        os.replace(tmp, self.manifest_path(version))  # atomic swap
+
     def publish_current(self, version: int) -> None:
         # Monotonic publish: with orphan recovery (_recover_orphan) there
         # can be two publishers for one version — a slow-but-alive writer
@@ -326,10 +340,32 @@ class TableMetadata:
     def current_version(self) -> int:
         return self.backend.read_current()
 
+    # write a self-contained manifest at least every K commits: bounds
+    # the delta-resolution chain AND the blast radius of a lost manifest
+    MANIFEST_FULL_EVERY = 8
+
     def load_snapshot(self, version: int | None = None) -> Snapshot:
         if version is None:
             version = self.current_version()
-        return Snapshot.from_json(self.backend.read_manifest(version))
+        return Snapshot.from_json(self._resolve_manifest(version))
+
+    def _resolve_manifest(self, version: int) -> dict:
+        """Read a manifest, reconstructing the full file list from the
+        delta encoding (base + added/removed) when present."""
+        payload = self.backend.read_manifest(version)
+        if "files_base" not in payload:
+            return payload
+        base = self._resolve_manifest(payload["files_base"])
+        removed = set(payload.get("files_removed", []))
+        files = [
+            f for f in base.get("files", []) if f["path"] not in removed
+        ] + payload.get("files_added", [])
+        full = dict(payload)
+        full.pop("files_base", None)
+        full.pop("files_removed", None)
+        full.pop("files_added", None)
+        full["files"] = files
+        return full
 
     def delete_snapshot_manifest(self, version: int) -> None:
         self.backend.delete_manifest(version)
@@ -363,7 +399,8 @@ class TableMetadata:
             )
         try:
             self.backend.write_manifest_exclusive(
-                snapshot.version, snapshot.to_json()
+                snapshot.version,
+                self._encode_manifest(snapshot, expected_parent),
             )
         except CommitConflict:
             # A manifest already exists at our target version. Either a
@@ -377,6 +414,55 @@ class TableMetadata:
             raise
         self.backend.publish_current(snapshot.version)
         return snapshot
+
+    def _encode_manifest(
+        self, snapshot: Snapshot, parent_version: int | None
+    ) -> dict:
+        """Delta-encode the file list against the parent manifest when
+        the change set is small: commit metadata becomes O(changed
+        files), not O(table) — the property that keeps commit cost flat
+        at 100 TB file counts. Falls back to a self-contained manifest
+        when the parent is unreadable, the chain is
+        ``MANIFEST_FULL_EVERY`` deep, or the delta wouldn't pay
+        (overwrite/compaction/rollback churn most of the file set)."""
+        payload = snapshot.to_json()
+        if parent_version is None:
+            return payload
+        try:
+            parent_raw = self.backend.read_manifest(parent_version)
+            parent_full = self._resolve_manifest(parent_version)
+        except Exception:
+            return payload
+        depth = parent_raw.get("files_delta_depth", 0)
+        if depth + 1 >= self.MANIFEST_FULL_EVERY:
+            return payload
+        parent_by_path = {
+            f["path"]: f for f in parent_full.get("files", [])
+        }
+        cur = payload["files"]
+        cur_paths = {f["path"] for f in cur}
+        added = [
+            f
+            for f in cur
+            if parent_by_path.get(f["path"]) != f  # new OR changed entry
+        ]
+        removed = [
+            p for p in parent_by_path if p not in cur_paths
+        ] + [
+            f["path"]
+            for f in cur
+            if f["path"] in parent_by_path
+            and parent_by_path[f["path"]] != f
+        ]
+        if 2 * (len(added) + len(removed)) > max(1, len(cur)):
+            return payload
+        delta = dict(payload)
+        del delta["files"]
+        delta["files_base"] = parent_version
+        delta["files_delta_depth"] = depth + 1
+        delta["files_added"] = added
+        delta["files_removed"] = removed
+        return delta
 
     def _recover_orphan(self, version: int) -> None:
         """Roll the table pointer forward over a crashed writer's

@@ -71,6 +71,19 @@ def expire_snapshots(
             and s.version not in tagged
         ]
         survivors = [s for s in snapshots if s not in expired]
+        # Delta-encoded manifests may chain through versions being
+        # expired: materialize any surviving manifest whose base is about
+        # to disappear BEFORE deleting (ascending order so multi-hop
+        # chains resolve while their bases still exist; the replace is
+        # atomic, so concurrent readers see old-delta or new-full, both
+        # resolving to identical content).
+        expired_versions = {s.version for s in expired}
+        for s in sorted(survivors, key=lambda x: x.version):
+            raw = table.meta.backend.read_manifest(s.version)
+            if raw.get("files_base") in expired_versions:
+                table.meta.backend.write_manifest_replace(
+                    s.version, table.meta._resolve_manifest(s.version)
+                )
         live_paths = {f.path for s in survivors for f in s.files} | {
             d["path"] for s in survivors for d in s.delete_files
         }

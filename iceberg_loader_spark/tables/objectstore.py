@@ -183,6 +183,17 @@ class ObjectStoreBackend(MetadataBackend):
         except PreconditionFailed as e:
             raise CommitConflict(f"v{version} already committed") from e
 
+    def write_manifest_replace(self, version: int, payload: dict) -> None:
+        import json
+
+        # unconditional put: expiry-time materialization is a single-
+        # maintenance-actor operation (same assumption as file deletion);
+        # object stores make the swap atomic per key
+        self.store.put(
+            self._manifest_key(version),
+            json.dumps(payload, separators=(",", ":")).encode(),
+        )
+
     def publish_current(self, version: int) -> None:
         # Monotonic CAS loop: never move the pointer backwards. Two
         # publishers for the same version (original writer + orphan
