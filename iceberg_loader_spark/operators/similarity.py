@@ -736,9 +736,7 @@ def _duck_km_round(n: int, cent: str) -> str:
     )"""
 
 
-@_register(
-    "kmeans_embeddings",
-    f"""
+_KM_ORACLE = f"""
     WITH fp AS (
       SELECT vec_id, {_DUCK_FP.format(col='embedding')} AS e FROM embeddings
     ),
@@ -746,9 +744,12 @@ def _duck_km_round(n: int, cent: str) -> str:
       SELECT vec_id AS c_id, e AS c_e FROM fp WHERE vec_id < {_KM_K}
     ),{_duck_km_round(1, 'cent0')},{_duck_km_round(2, 'cent1')},{_duck_km_round(3, 'cent2')}
     SELECT vec_id, cluster, dist FROM a3 ORDER BY vec_id
-    """,
-)
-def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _kmeans_final_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, e, cluster, dist) after 3 Lloyd rounds — shared by the
+    kmeans query and the cluster-balanced sampler."""
     from iceberg_loader_spark.operators.dedup import _materialize
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -794,7 +795,62 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                     lambda s: s["cv"],
                 ).alias("c_e")
             ).select(F.col("cluster").alias("c_id"), "c_e")
-    return assigned.select("vec_id", "cluster", "dist").orderBy("vec_id")
+    return assigned
+
+
+@_register("kmeans_embeddings", _KM_ORACLE)
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _kmeans_final_assignment(spark, sf_dir)
+        .select("vec_id", "cluster", "dist")
+        .orderBy("vec_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Cluster-balanced sampling — the topic-balancing curation step: after
+# k-means, keep (up to) the same number of vectors from EVERY cluster,
+# chosen deterministically by md5(vec_id) — so no topic cluster
+# dominates the training mix regardless of its raw frequency. One rank
+# window per cluster over the assignment frame; the md5 order makes the
+# draw append-stable (adding vectors never flips which earlier ones are
+# kept, beyond the quota boundary).
+# --------------------------------------------------------------------------
+_BAL_QUOTA = 20
+
+
+@_register(
+    "cluster_balanced_sample",
+    f"""
+    WITH fp AS (
+      SELECT vec_id, {_DUCK_FP.format(col='embedding')} AS e FROM embeddings
+    ),
+    cent0 AS (
+      SELECT vec_id AS c_id, e AS c_e FROM fp WHERE vec_id < {_KM_K}
+    ),{_duck_km_round(1, 'cent0')},{_duck_km_round(2, 'cent1')},{_duck_km_round(3, 'cent2')},
+    ranked AS (
+      SELECT vec_id, cluster,
+             ROW_NUMBER() OVER (PARTITION BY cluster
+                                ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                         vec_id) AS draw
+      FROM a3
+    )
+    SELECT vec_id, cluster, draw
+    FROM ranked WHERE draw <= {_BAL_QUOTA}
+    ORDER BY cluster, draw
+    """,
+)
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assigned = _kmeans_final_assignment(spark, sf_dir)
+    w = W.partitionBy("cluster").orderBy(
+        F.md5(F.col("vec_id").cast("string").cast("binary")), F.asc("vec_id")
+    )
+    return (
+        assigned.withColumn("draw", F.row_number().over(w))
+        .filter(F.col("draw") <= _BAL_QUOTA)
+        .select("vec_id", "cluster", "draw")
+        .orderBy("cluster", "draw")
+    )
 
 
 # --------------------------------------------------------------------------
