@@ -26,6 +26,7 @@ def _modules():
         lifecycle,
         multimodal,
         relational,
+        retrieval,
         similarity,
         text,
         timeseries,
@@ -61,6 +62,7 @@ def _modules():
         timeseries,
         graph,
         lifecycle,
+        retrieval,
         relational,
         tpch_extra,
     ]

@@ -1,0 +1,302 @@
+"""Retrieval / RAG-pipeline operators over ``documents`` (SURVEY.md §2
+B27 extensions — LLM-data-pipeline surface, no reference citation by
+definition; inputs per ``repo:TESTDATA.md``).
+
+Three operators a retrieval-augmented-generation data pipeline needs
+between "raw corpus" and "index":
+
+* ``chunk_documents_overlap`` — split every document into fixed-size
+  overlapping token windows (the RAG chunking step).
+* ``bm25_topk_docs`` — BM25-shaped lexical retrieval for a query term
+  set, in exact integer fixed-point so the DuckDB oracle reproduces the
+  scores bit-for-bit.
+* ``unigram_rarity_score`` — unigram-LM surprisal proxy per document
+  (the cheap stand-in for perplexity-based quality filtering).
+
+Everything is built-in Spark SQL functions (JVM codegen); tokenization
+is the same single-space split the rest of the text family uses so the
+oracle can mirror it exactly. Integer division is spelled ``div`` on
+BIGINTs in Spark and ``//`` in DuckDB — identical for the non-negative
+operands used here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from iceberg_loader_spark.operators.dedup import _materialize, _token_rows
+from iceberg_loader_spark.sources.tables import load_table
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# RAG chunking: 32-token windows, stride 24 (8-token overlap). A trailing
+# chunk that is fully contained in its predecessor (fewer than overlap+1
+# new tokens) is dropped — it would index nothing new.
+#
+# Scale: map-only. The token array never leaves its row — split, windowed
+# slice, and re-join all happen inside one projection, so the operator is
+# embarrassingly parallel with zero shuffle; output partitioning follows
+# the scan. At 100 TB this is the ideal shape (chunking is the classic
+# "explode amplifies rows 2-5×" step — amplification happens AFTER the
+# scan filter, and downstream writers re-partition by chunk count anyway).
+# --------------------------------------------------------------------------
+_CHUNK_W = 32
+_CHUNK_S = 24
+_CHUNK_OVL = _CHUNK_W - _CHUNK_S
+
+
+@_register(
+    "chunk_documents_overlap",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '),
+                                 t -> t <> '') AS t
+      FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, t, len(t) AS n_total,
+             unnest(range(0, greatest(len(t), 1), {_CHUNK_S})) AS s
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(s // {_CHUNK_S} AS BIGINT) AS chunk_idx,
+           CAST(s AS BIGINT) AS tok_start,
+           CAST(len(array_slice(t, s + 1, s + {_CHUNK_W})) AS BIGINT) AS n_tok,
+           array_to_string(array_slice(t, s + 1, s + {_CHUNK_W}), ' ')
+             AS chunk_text
+    FROM starts
+    WHERE s = 0 OR n_total - s > {_CHUNK_OVL}
+    ORDER BY doc_id, tok_start
+    """,
+)
+def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), " "), lambda t: t != "").alias("t"),
+    ).withColumn("n_total", F.size("t"))
+    # sequence(0, n-1, S) == range(0, n, S) for n >= 1; greatest() keeps
+    # the one empty chunk for a token-less document (range's greatest(n,1)
+    # mirrors it on the oracle side).
+    starts = toks.select(
+        "doc_id",
+        "t",
+        "n_total",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col("n_total") - 1, F.lit(0)),
+                F.lit(_CHUNK_S),
+            )
+        ).alias("s"),
+    )
+    chunk = F.slice(F.col("t"), F.col("s") + 1, _CHUNK_W)
+    return (
+        starts.filter(
+            (F.col("s") == 0) | (F.col("n_total") - F.col("s") > _CHUNK_OVL)
+        )
+        .select(
+            "doc_id",
+            (F.col("s") / _CHUNK_S).cast("bigint").alias("chunk_idx"),
+            F.col("s").cast("bigint").alias("tok_start"),
+            F.size(chunk).cast("bigint").alias("n_tok"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+        .orderBy("doc_id", "tok_start")
+    )
+
+
+# --------------------------------------------------------------------------
+# BM25-shaped lexical retrieval (k1 = 1.2, b = 0.75) for a fixed query
+# term set, entirely in integer fixed-point:
+#
+#   idf_m    = (N * 1000) div df              (pseudo-IDF, monotone in ln(N/df))
+#   norm_m   = 250 + (750000 * dl) div avgdl_m       (1 - b + b*dl/avgdl)
+#   denom_m  = tf*1000 + (1200 * norm_m) div 1000    (tf + k1*norm)
+#   contrib  = (idf_m * tf * 2200) div denom_m       (idf * tf*(k1+1)/denom)
+#
+# Scale shape: the query-term filter runs BEFORE any aggregation, so the
+# (doc, term) frame entering the join is |matches|, not |corpus tokens|;
+# df for the 3 query terms and the corpus avgdl are broadcast scalars;
+# the only data-sized shuffles are the per-doc token count (partial
+# aggregate on doc_id) and the final per-doc score sum, both keyed on
+# doc_id. No global sort — top-10 via rank window over the scored frame
+# (bounded by |docs matching any query term|).
+# --------------------------------------------------------------------------
+_BM25_TERMS = ("spark", "join", "stream")
+
+
+@_register(
+    "bm25_topk_docs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                                        t -> t <> '')) AS tok
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, (SUM(dl) * 1000) // COUNT(*) AS avgdl_m
+      FROM dl
+    ),
+    qtf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+      WHERE tok IN {_BM25_TERMS!r}
+      GROUP BY doc_id, tok
+    ),
+    qdf AS (SELECT tok, COUNT(*) AS df FROM qtf GROUP BY tok),
+    contrib AS (
+      SELECT qtf.doc_id, qtf.tok,
+             ((stats.n_docs * 1000) // qdf.df) * qtf.tf * 2200
+               // (qtf.tf * 1000
+                   + (1200 * (250 + (750000 * dl.dl) // stats.avgdl_m)) // 1000)
+               AS c_m
+      FROM qtf
+      JOIN qdf ON qdf.tok = qtf.tok
+      JOIN dl ON dl.doc_id = qtf.doc_id
+      CROSS JOIN stats
+    ),
+    scored AS (
+      SELECT doc_id, CAST(SUM(c_m) AS BIGINT) AS bm25_m,
+             CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, bm25_m, n_terms_hit, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY bm25_m DESC, doc_id) AS rnk
+      FROM scored)
+    WHERE rnk <= 10
+    ORDER BY rnk
+    """,
+)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _token_rows(docs).select("doc_id", "tok")
+    # dl feeds both the corpus stats and the scoring join — materialize so
+    # tokenize + per-doc count runs once.
+    dl = _materialize(toks.groupBy("doc_id").agg(F.count("*").alias("dl")))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        F.expr("(SUM(dl) * 1000) div COUNT(*)").alias("avgdl_m"),
+    )
+    # qtf feeds both the per-term df counts and the scoring join —
+    # materialize (it is |docs matching a query term| rows, tiny relative
+    # to the corpus) so the corpus-wide explode+filter runs once.
+    qtf = _materialize(
+        toks.filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    qdf = qtf.groupBy("tok").agg(F.count("*").alias("df"))
+    contrib = (
+        qtf.join(F.broadcast(qdf), "tok")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .withColumn("idf_m", F.expr("(n_docs * 1000) div df"))
+        .withColumn("norm_m", F.expr("250 + (750000 * dl) div avgdl_m"))
+        .withColumn(
+            "c_m",
+            F.expr(
+                "(idf_m * tf * 2200) div "
+                "(tf * 1000 + (1200 * norm_m) div 1000)"
+            ),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(
+        F.sum("c_m").cast("bigint").alias("bm25_m"),
+        F.count("*").cast("bigint").alias("n_terms_hit"),
+    )
+    # Two-phase top-k (TakeOrderedAndProject: per-partition heads merged on
+    # the driver — no global sort, no unpartitioned window), then the rank
+    # column is derived over the 10 survivors with a broadcast "count of
+    # rows ahead of me" self-join — O(k²) on k=10, never data-sized.
+    top = _materialize(
+        scored.orderBy(F.desc("bm25_m"), F.asc("doc_id")).limit(10)
+    )
+    ahead = top.select(
+        F.col("doc_id").alias("b_doc"),
+        F.col("bm25_m").alias("b_score"),
+    )
+    return (
+        top.join(
+            F.broadcast(ahead),
+            (F.col("b_score") > F.col("bm25_m"))
+            | (
+                (F.col("b_score") == F.col("bm25_m"))
+                & (F.col("b_doc") <= F.col("doc_id"))
+            ),
+        )
+        .groupBy("doc_id", "bm25_m", "n_terms_hit")
+        .agg(F.count("*").cast("int").alias("rnk"))
+        .orderBy("rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# Unigram-LM surprisal proxy: every token's corpus "rarity" is the
+# integer inverse of its unigram probability, (total_tokens*1000) div
+# count; a document's score is the mean rarity over its token
+# OCCURRENCES. High mean rarity = improbable under the corpus unigram
+# model — the cheap analog of the perplexity filters LLM pipelines run
+# (and monotone in the true unigram perplexity when token probabilities
+# are equal, exact-integer so the oracle hash-matches).
+#
+# Scale: the model is one hash-aggregate over tokens (partial map-side
+# combine); scoring re-joins tokens to the model on the token key. At
+# 100 TB the production variant truncates the model to the top-V
+# vocabulary + an OOV bucket and BROADCASTS it, turning the scoring join
+# map-only; the equi-join spelling here is the exact-semantics fallback
+# when the vocabulary itself exceeds broadcast size.
+# --------------------------------------------------------------------------
+@_register(
+    "unigram_rarity_score",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                                        t -> t <> '')) AS tok
+      FROM documents
+    ),
+    model AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+    total AS (SELECT SUM(cnt) AS total_toks FROM model)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_toks,
+           CAST(SUM((total.total_toks * 1000) // m.cnt) // COUNT(*) AS BIGINT)
+             AS mean_rarity_m
+    FROM toks t JOIN model m ON m.tok = t.tok CROSS JOIN total
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def unigram_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # toks is read twice (model + scoring) — materialize the exploded
+    # frame once; the model aggregate is partial map-side.
+    toks = _materialize(_token_rows(docs).select("doc_id", "tok"))
+    model = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = model.agg(F.sum("cnt").alias("total_toks"))
+    return (
+        toks.join(model, "tok")
+        .join(F.broadcast(total))
+        .withColumn("rarity_m", F.expr("(total_toks * 1000) div cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_toks"),
+            F.expr("CAST(SUM(rarity_m) div COUNT(*) AS BIGINT)").alias(
+                "mean_rarity_m"
+            ),
+        )
+        .orderBy("doc_id")
+    )

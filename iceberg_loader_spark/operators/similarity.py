@@ -527,6 +527,78 @@ def semantic_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DECON_THRESH = 0.2  # cosine at/above which a train vector is contaminated
+
+
+# --------------------------------------------------------------------------
+# B25/B26 — embedding-space decontamination: the semantic twin of the
+# exact 5-gram `decontaminate_ngram_overlap`. Vectors with label = 0 are
+# the held-out eval split; a TRAIN vector (label <> 0) is contaminated
+# when an eval vector sharing its IVF cell reaches the cosine threshold
+# (paraphrased eval leakage that exact n-gram matching misses).
+#
+# Scale: identical shape to semantic_dedup_ivf — the eval side is tiny
+# relative to train (here 10%; in production a fixed benchmark suite),
+# and pair enumeration is cell-local, so the join is an equi-join on
+# cell id with the eval side broadcastable; no O(train × eval) blowup.
+# --------------------------------------------------------------------------
+@_register(
+    "decontaminate_embedding_ivf",
+    f"""
+    WITH {_DUCK_IVF},
+    hits AS (
+      SELECT t.vec_id, COUNT(*) AS n_eval_matches
+      FROM assigned t JOIN assigned e
+        ON t.c_id = e.c_id AND e.label = 0 AND t.label <> 0
+      WHERE CAST({_DUCK_DOT.format(a='t.e', b='e.e')} AS DOUBLE)
+              / (SQRT(CAST(t.nsq AS DOUBLE)) * SQRT(CAST(e.nsq AS DOUBLE)))
+            >= {_DECON_THRESH}
+      GROUP BY t.vec_id
+    )
+    SELECT v.vec_id, v.label, v.c_id AS cell,
+           CAST(COALESCE(h.n_eval_matches, 0) AS BIGINT) AS n_eval_matches,
+           CASE WHEN h.vec_id IS NULL THEN 0 ELSE 1 END AS is_contaminated
+    FROM assigned v LEFT JOIN hits h ON h.vec_id = v.vec_id
+    WHERE v.label <> 0
+    ORDER BY v.vec_id
+    """,
+)
+def decontaminate_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assigned = _ivf_assigned(spark, sf_dir)
+    train = assigned.filter(F.col("label") != 0)
+    eval_side = assigned.filter(F.col("label") == 0).select(
+        F.col("c_id").alias("e_cell"),
+        F.col("e").alias("e_e"),
+        F.col("nsq").alias("e_nsq"),
+    )
+    cosine = _dot(F.col("e"), F.col("e_e")).cast("double") / (
+        F.sqrt(F.col("nsq").cast("double"))
+        * F.sqrt(F.col("e_nsq").cast("double"))
+    )
+    hits = (
+        train.join(F.broadcast(eval_side), F.col("c_id") == F.col("e_cell"))
+        .filter(cosine >= _DECON_THRESH)
+        .groupBy("vec_id")
+        .agg(F.count("*").alias("n_eval_matches"))
+    )
+    return (
+        train.select("vec_id", "label", F.col("c_id").alias("cell"))
+        .join(hits, "vec_id", "left")
+        .select(
+            "vec_id",
+            "label",
+            "cell",
+            F.coalesce("n_eval_matches", F.lit(0).cast("bigint")).alias(
+                "n_eval_matches"
+            ),
+            F.when(F.col("n_eval_matches").isNull(), 0)
+            .otherwise(1)
+            .alias("is_contaminated"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # B26 — multi-probe IVF ANN (nprobe=2): each query probes its TWO nearest
 # centroid cells instead of one — the standard recall knob (candidates

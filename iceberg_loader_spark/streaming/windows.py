@@ -126,6 +126,47 @@ def stream_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# B20 — windowed top-k: the 3 most frequent event types per 1-hour
+# tumbling window (the "trending items per window" streaming shape).
+# Rank is PARTITIONED by the window start, so the window operator is
+# parallel across hours — never a global sort. In live streaming this is
+# the classic complete/update-mode ranking over a windowed aggregate;
+# batch semantics (here, oracle-checked) and the micro-batch replay
+# coincide because rank reads only the window's own finalized counts.
+# --------------------------------------------------------------------------
+@_register(
+    "stream_topk_types_hourly",
+    f"""
+    WITH counts AS (
+      SELECT date_trunc('hour', ts) AS w, event_type, COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT strftime(w, '{_DUCK_FMT}') AS w_start,
+           strftime(w + INTERVAL 1 HOUR, '{_DUCK_FMT}') AS w_end,
+           event_type, n_events, rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY w
+                 ORDER BY n_events DESC, event_type) AS rnk
+      FROM counts)
+    WHERE rnk <= 3
+    ORDER BY w_start, rnk
+    """,
+)
+def stream_topk_types_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count("*").alias("n_events")
+    )
+    w = W.partitionBy("window").orderBy(F.desc("n_events"), F.asc("event_type"))
+    ranked = counts.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 3
+    )
+    return _win_bounds(ranked).orderBy("w_start", "rnk")
+
+
+# --------------------------------------------------------------------------
 # B21 — session window, 30-minute gap, per user. Spark's session_window
 # semantics: a session closes after 30 idle minutes; session end = last
 # event + gap. The oracle rebuilds sessions with the classic
