@@ -61,9 +61,13 @@ class DataFile:
     # with a LOWER sequence — rows appended after the delete are untouched.
     # Files from pre-MoR manifests default to 0 (every delete applies).
     sequence: int = 0
+    # optional key bloom filter (write.bloom.keys property; tables/bloom.py):
+    # {"keys": [cols], "m": bits, "k": hashes, "b64": base64-bitmap} — the
+    # second file-skipping tier for equality deletes after min/max ranges.
+    bloom: dict | None = None
 
     def to_json(self) -> dict:
-        return {
+        d = {
             "path": self.path,
             "rows": self.rows,
             "bytes": self.bytes,
@@ -71,6 +75,9 @@ class DataFile:
             "stats": self.stats,
             "sequence": self.sequence,
         }
+        if self.bloom is not None:
+            d["bloom"] = self.bloom
+        return d
 
     @classmethod
     def from_json(cls, d: dict) -> DataFile:
@@ -81,6 +88,7 @@ class DataFile:
             partition=d.get("partition", {}),
             stats=d.get("stats", {}),
             sequence=d.get("sequence", 0),
+            bloom=d.get("bloom"),
         )
 
 

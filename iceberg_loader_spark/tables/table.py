@@ -37,6 +37,7 @@ from pyspark.sql import types as T
 from pyspark.storagelevel import StorageLevel
 
 from iceberg_loader_spark.sources.tables import ensure_compat
+from iceberg_loader_spark.tables import bloom as bloom_mod
 from iceberg_loader_spark.tables.filters import (
     prune_files,
     split_delete_candidates,
@@ -84,6 +85,23 @@ def _op_applies(f: DataFile, o: dict) -> bool:
                     return False  # ranges disjoint on this key column
             except TypeError:
                 pass  # cross-type comparison — assume overlap
+    # Second tier: bloom probe (tables/bloom.py). When ranges overlap
+    # (interleaved id-like keys — the common case where range pruning is
+    # useless) but the file carries a key bloom and the delete op carries
+    # per-key probe hashes over the SAME key tuple, the file is skipped
+    # iff no delete key can be present. False positives only cost an
+    # anti-join that deletes nothing — never correctness.
+    probe = o.get("probe")
+    fb = f.bloom
+    if (
+        probe
+        and fb
+        and fb.get("keys") == list(o["equality_cols"])
+        and fb.get("m") == bloom_mod.BLOOM_M
+        and fb.get("k") == bloom_mod.BLOOM_K
+    ):
+        if not bloom_mod.bloom_may_contain_any(fb["b64"], probe):
+            return False
     return True
 
 
@@ -559,6 +577,23 @@ class Table:
             raise ValueError(f"write.sort-order references unknown columns: {unknown}")
         return cols or None
 
+    def _bloom_keys(self) -> list[str] | None:
+        """``write.bloom.keys`` property (comma-separated columns): every
+        data write also records a per-file bloom filter over this key
+        tuple, enabling equality-delete file skipping when key RANGES
+        overlap but key SETS don't (tables/bloom.py)."""
+        raw = self.properties().get("write.bloom.keys")
+        if not raw:
+            return None
+        cols = [c.strip() for c in raw.split(",") if c.strip()]
+        schema_cols = {f.name for f in self.schema().fields}
+        unknown = [c for c in cols if c not in schema_cols]
+        if unknown:
+            raise ValueError(
+                f"write.bloom.keys references unknown columns: {unknown}"
+            )
+        return cols or None
+
     def _write_data_files(
         self,
         df: DataFrame,
@@ -604,7 +639,27 @@ class Table:
         if pcols:
             writer = writer.partitionBy(*pcols)
         writer.parquet(staging_abs)
-        return self._collect_entries(staging_abs, staging_rel)
+        entries = self._collect_entries(staging_abs, staging_rel)
+        bloom_cols = self._bloom_keys()
+        if bloom_cols and all(c in df.columns for c in bloom_cols):
+            # One column-pruned read-back of the staged files builds the
+            # per-file key blooms (bounded ≤m-position payload per file).
+            blooms = bloom_mod.compute_file_blooms(
+                df.sparkSession, staging_abs, bloom_cols
+            )
+            for e in entries:
+                rel = os.path.relpath(
+                    os.path.join(self.root, e.path), staging_abs
+                ).replace(os.sep, "/")
+                b64 = blooms.get(rel)
+                if b64 is not None:
+                    e.bloom = {
+                        "keys": list(bloom_cols),
+                        "m": bloom_mod.BLOOM_M,
+                        "k": bloom_mod.BLOOM_K,
+                        "b64": b64,
+                    }
+        return entries
 
     def _collect_entries(self, staging_abs: str, staging_rel: str) -> list[DataFile]:
         """Driver-side footer read of newly written files → manifest entries."""
@@ -1079,6 +1134,33 @@ class Table:
 
         return self._commit_with_retry(build)
 
+    def _key_probe_hashes(
+        self, key_entries: list[DataFile], key_cols: list[str]
+    ) -> dict[str, list[list[int]]]:
+        """Bloom probe payload for equality-delete ops: per-key (h1, h2)
+        hashes let ``_op_applies`` test each delete key against a
+        candidate file's bloom. Only computed for small key sets
+        (≤ PROBE_CAP total rows) so the manifest op stays O(small);
+        larger deletes fall back to key-range pruning alone. Keys are
+        read back from the just-written key files — a driver-side read
+        of O(keys) rows, same order as the commit metadata itself."""
+        probes: dict[str, list[list[int]]] = {}
+        if sum(e.rows for e in key_entries) > bloom_mod.PROBE_CAP:
+            return probes
+        for e in key_entries:
+            tbl = pq.read_table(
+                os.path.join(self.root, e.path), columns=list(key_cols)
+            )
+            tuples = [
+                t
+                for t in zip(*[tbl.column(c).to_pylist() for c in key_cols])
+                if all(v is not None for v in t)
+            ]
+            hashes = bloom_mod.probe_hashes_for_keys(tuples)
+            if hashes is not None:
+                probes[e.path] = hashes
+        return probes
+
     def _merge_mor(
         self, spark: SparkSession, source: DataFrame, join_cols: list[str]
     ) -> Snapshot:
@@ -1115,6 +1197,7 @@ class Table:
             )
         finally:
             src.unpersist()
+        probes = self._key_probe_hashes(key_entries, join_cols)
 
         def build(parent: Snapshot) -> Snapshot:
             v = parent.version + 1
@@ -1133,6 +1216,11 @@ class Table:
                         for c in join_cols
                         if e.stats.get(c) is not None
                     },
+                    **(
+                        {"probe": probes[e.path]}
+                        if e.path in probes
+                        else {}
+                    ),
                 }
                 for e in key_entries
             ]
@@ -1170,6 +1258,7 @@ class Table:
         key_entries = self._write_data_files(
             keys.select(*key_cols).distinct(), [], self._codec()
         )
+        probes = self._key_probe_hashes(key_entries, key_cols)
 
         def build(parent: Snapshot) -> Snapshot:
             v = parent.version + 1
@@ -1185,6 +1274,11 @@ class Table:
                         for c in key_cols
                         if e.stats.get(c) is not None
                     },
+                    **(
+                        {"probe": probes[e.path]}
+                        if probes.get(e.path) is not None
+                        else {}
+                    ),
                 }
                 for e in key_entries
             ]
