@@ -521,3 +521,55 @@ def lifecycle_wap_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# A14/B1 — bloom-assisted MoR delete under the oracle: two appends with
+# fully-overlapping doc_id ranges (even ids, then odd ids — range stats
+# alone can never separate the files), write.bloom.keys active, then a
+# small delete_by_keys of even ids. The scan must hide exactly the
+# deleted keys: a bloom that wrongly SKIPS a file resurrects rows and
+# flips a count; the pytest suite (tests/test_bloom_skip.py) separately
+# asserts the odd-id file IS skipped, so the fast path is the one under
+# this gate, not a silent fallback.
+# --------------------------------------------------------------------------
+@_register(
+    "lifecycle_bloom_skip_counts",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    WHERE NOT (doc_id % 2 = 0 AND doc_id < 20)
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def lifecycle_bloom_skip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    wh = _fresh_warehouse()
+    t = Table.create(
+        wh,
+        "db.docs",
+        docs.schema,
+        properties={"write.bloom.keys": "doc_id"},
+    )
+    # interleaved id ranges: every file overlaps every delete's key range
+    t.append(docs.filter(F.col("doc_id") % 2 == 0).coalesce(1))
+    t.append(docs.filter(F.col("doc_id") % 2 == 1).coalesce(1))
+    keys = docs.filter(
+        (F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 20)
+    ).select("doc_id")
+    t.delete_by_keys(spark, keys, ["doc_id"])
+    t = wh.load_table("db.docs")
+    return (
+        t.scan(spark)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
