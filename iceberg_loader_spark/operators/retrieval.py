@@ -2,7 +2,7 @@
 B27 extensions — LLM-data-pipeline surface, no reference citation by
 definition; inputs per ``repo:TESTDATA.md``).
 
-Three operators a retrieval-augmented-generation data pipeline needs
+The operators a retrieval-augmented-generation data pipeline needs
 between "raw corpus" and "index":
 
 * ``chunk_documents_overlap`` — split every document into fixed-size
@@ -12,6 +12,8 @@ between "raw corpus" and "index":
   scores bit-for-bit.
 * ``unigram_rarity_score`` — unigram-LM surprisal proxy per document
   (the cheap stand-in for perplexity-based quality filtering).
+* ``feature_hash_bigrams`` — fastText-style hashed bag-of-bigrams
+  featurization (the embedding-free input to cheap linear classifiers).
 
 Everything is built-in Spark SQL functions (JVM codegen); tokenization
 is the same single-space split the rest of the text family uses so the
@@ -299,4 +301,81 @@ def unigram_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# fastText-style feature hashing: every word BIGRAM (with multiplicity)
+# is hashed into one of 64 buckets; a document's feature vector is its
+# per-bucket count histogram. The embedding-free featurization step for
+# cheap linear classifiers (quality gates, language filters) — emitted
+# here as the top-3 buckets per document, which is the sparse form the
+# classifier consumes.
+#
+# Scale: one shuffle gathers each doc's ordered token array (the same
+# single-pass shape dedup's shingler uses); bigrams, hashing, and bucket
+# counts are per-row array work + one (doc, bucket) hash aggregate with
+# map-side combine. The rank window partitions by doc_id — parallel
+# across documents. Bucket count (64) is a constant: the shuffle carries
+# ≤64 rows per doc regardless of document length.
+# --------------------------------------------------------------------------
+_FH_BUCKETS = 64
+
+
+@_register(
+    "feature_hash_bigrams",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '),
+                                 t -> t <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i+1])) AS g
+      FROM toks
+    ),
+    counts AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(g), 1, 8))::BIGINT % {_FH_BUCKETS}
+               AS bucket,
+             COUNT(*) AS cnt
+      FROM grams GROUP BY 1, 2
+    )
+    SELECT doc_id, bucket, cnt, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY cnt DESC, bucket) AS rnk
+      FROM counts)
+    WHERE rnk <= 3
+    ORDER BY doc_id, rnk
+    """,
+)
+def feature_hash_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), " "), lambda t: t != "").alias("t"),
+    )
+    n = F.size("t")
+    bigrams = F.zip_with(
+        F.slice(F.col("t"), 1, n - 1),
+        F.slice(F.col("t"), 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    grams = toks.filter(n >= 2).select(
+        "doc_id", F.explode(bigrams).alias("g")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("bigint")
+        % _FH_BUCKETS
+    )
+    counts = grams.select("doc_id", bucket.alias("bucket")).groupBy(
+        "doc_id", "bucket"
+    ).agg(F.count("*").alias("cnt"))
+    w = W.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("bucket"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("doc_id", "rnk")
     )
