@@ -398,6 +398,38 @@ def tumbling_1h_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("tumbling_1h_streaming")
 
 
+def topk_types_hourly_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B20: streaming windowed top-k. Ranking over an unbounded stream is
+    not expressible inside the engine (no window functions on streaming
+    frames); the production shape is exactly this split — the STREAM
+    maintains the per-(window, key) counts (complete/update mode, state
+    bounded by watermark), and the rank is applied at serving time over
+    the materialized counts. The paired test asserts the result equals
+    the batch ``stream_topk_types_hourly`` query."""
+    ev = streaming_events(spark, sf_dir).withWatermark("ts", "10 minutes")
+    counts = ev.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count("*").alias("n_events")
+    )
+    q = (
+        _win_bounds(counts)
+        .writeStream.format("memory")
+        .queryName("topk_types_hourly_streaming")
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    from pyspark.sql import Window as W
+
+    sink = spark.table("topk_types_hourly_streaming")
+    w = W.partitionBy("w_start").orderBy(F.desc("n_events"), F.asc("event_type"))
+    return (
+        sink.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("w_start", "rnk")
+    )
+
+
 def stateful_dedup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B23: dropDuplicatesWithinWatermark on (user_id, event_type)."""
     ev = streaming_events(spark, sf_dir).withWatermark("ts", "1 hour")

@@ -207,3 +207,17 @@ def test_stateful_sessionizer_event_time_timeout(spark, tmp_path):
     assert (2, ms(2024, 1, 1, 12, 0), ms(2024, 1, 1, 12, 0), 1) in got
     # user 3 still open — in state, not in output
     assert not any(u == 3 for (u, *_rest) in got)
+
+
+def test_streaming_topk_matches_batch(spark):
+    got = canon(
+        w.topk_types_hourly_streaming(spark, SF_SMOKE)
+        .select("w_start", "w_end", "event_type", "n_events", "rnk")
+        .toPandas()
+    )
+    want = canon(
+        w.stream_topk_types_hourly(spark, SF_SMOKE)
+        .select("w_start", "w_end", "event_type", "n_events", "rnk")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
