@@ -573,3 +573,62 @@ def lifecycle_bloom_skip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# A14/B1 — positional-delete MoR under the oracle (Iceberg v2's second
+# delete shape): predicate evaluated once at delete time, matching rows'
+# (file, pos) lineage recorded in a delete file, the scan anti-joins on
+# lineage. A post-delete append of predicate-matching rows pins the
+# position semantics: positions never cover rows that did not exist at
+# delete time, so those rows must stay visible — a predicate-replay
+# implementation would (wrongly) hide them and flip the counts.
+# --------------------------------------------------------------------------
+@_register(
+    "lifecycle_pos_delete_counts",
+    """
+    WITH visible AS (
+      SELECT doc_id, lang, n_chars FROM documents
+      WHERE NOT (lang = 'en' AND doc_id % 3 = 0)
+      UNION ALL
+      SELECT doc_id, lang, n_chars FROM documents
+      WHERE lang = 'en' AND doc_id % 3 = 0 AND doc_id % 2 = 0
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM visible
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def lifecycle_pos_delete_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    wh = _fresh_warehouse()
+    t = Table.create(wh, "db.docs", docs.schema)
+    t.append(docs.coalesce(2))
+    # the % term is not metadata-provable, so every file is a candidate
+    # and the delete goes through the positional path (positions written,
+    # no full-file drop)
+    t.delete_where(spark, "lang == 'en' and doc_id % 3 == 0", mode="mor-pos")
+    # post-delete append deliberately matches the predicate: positions
+    # must not cover rows that did not exist at delete time
+    t.append(
+        docs.filter(
+            (F.col("lang") == "en")
+            & (F.col("doc_id") % 3 == 0)
+            & (F.col("doc_id") % 2 == 0)
+        )
+    )
+    t = wh.load_table("db.docs")
+    return (
+        t.scan(spark)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )

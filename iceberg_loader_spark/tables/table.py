@@ -73,6 +73,18 @@ def _op_applies(f: DataFile, o: dict) -> bool:
     """
     if f.sequence >= o["sequence"]:
         return False
+    if o["kind"] == "pos":
+        # A positional delete covers exactly the data files whose rows it
+        # names. "paths" is the exact referenced set when small; past the
+        # cap, the delete file's own footer stats on file_path give a
+        # lexical range check (delete files sort by path at write).
+        paths = o.get("paths")
+        if paths is not None:
+            return f.path in set(paths)
+        ps = (o.get("stats") or {}).get("file_path")
+        if ps and ps[0] is not None:
+            return ps[0] <= f.path <= ps[1]
+        return True
     if o["kind"] != "eq":
         return True
     dstats = o.get("stats") or {}
@@ -103,6 +115,33 @@ def _op_applies(f: DataFile, o: dict) -> bool:
         if not bloom_mod.bloom_may_contain_any(fb["b64"], probe):
             return False
     return True
+
+
+# Row-lineage helper columns for positional deletes: the file a row came
+# from (table-relative, re-derived from _metadata.file_path with the same
+# deterministic extraction the delete writer used) and its raw row index
+# within that file. Reserved names — never part of a table schema.
+_LINEAGE_FILE = "__ils_file"
+_LINEAGE_POS = "__ils_pos"
+# data files always live at <root>/data/<32-hex-uuid>/...; extracting that
+# suffix is deterministic per absolute path, so writer and reader agree
+# even if the root path itself ever matched the pattern.
+_LINEAGE_RE = r"(data/[0-9a-f]{32}/.*)$"
+
+
+def _with_lineage(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        _LINEAGE_FILE,
+        F.regexp_extract(F.col("_metadata.file_path"), _LINEAGE_RE, 1),
+    ).withColumn(_LINEAGE_POS, F.col("_metadata.row_index"))
+
+
+_POS_DELETE_SCHEMA = T.StructType(
+    [
+        T.StructField("file_path", T.StringType()),
+        T.StructField("pos", T.LongType()),
+    ]
+)
 
 
 def _stamp_sequence(entries, version: int) -> None:
@@ -246,6 +285,7 @@ class Table:
         schema: T.StructType,
         preds: list[dict],
         eq_dels: list[dict] | None = None,
+        with_lineage: bool = False,
     ) -> DataFrame:
         """Read data files with pending merge-on-read deletes applied —
         both predicate deletes (row filters) and equality-delete files
@@ -263,13 +303,20 @@ class Table:
         key file is small — exactly the read-time cost Iceberg v2 pays.
         Compaction (`rewrite_data_files`) materializes + clears both
         kinds so neither list grows unboundedly."""
+        # entries from delete_files default to equality; positional delete
+        # ops carry their own "kind": "pos" marker which **d preserves
         ops = [
             {"kind": "pred", **p} for p in (preds or [])
         ] + [{"kind": "eq", **d} for d in (eq_dels or [])]
         ops.sort(key=lambda o: o["sequence"])
         if not files:
-            return spark.createDataFrame([], schema)
-        if not ops:
+            df = spark.createDataFrame([], schema)
+            if with_lineage:
+                df = df.withColumn(
+                    _LINEAGE_FILE, F.lit(None).cast("string")
+                ).withColumn(_LINEAGE_POS, F.lit(None).cast("long"))
+            return df
+        if not ops and not with_lineage:
             paths = [os.path.join(self.root, f.path) for f in files]
             return spark.read.schema(schema).parquet(*paths)
         groups: dict[tuple, list[DataFile]] = {}
@@ -282,10 +329,29 @@ class Table:
         for k in sorted(groups):
             paths = [os.path.join(self.root, f.path) for f in groups[k]]
             df = spark.read.schema(schema).parquet(*paths)
+            # lineage columns are needed when any positional delete
+            # applies to this era (the anti-join key) or the caller asked
+            # for them; they must be derived on the scan frame directly
+            # (_metadata is unavailable after a union)
+            need_lineage = with_lineage or any(
+                ops[i]["kind"] == "pos" for i in k
+            )
+            if need_lineage:
+                df = _with_lineage(df)
             for o in (ops[i] for i in k):
                 if o["kind"] == "pred":
                     e = F.expr(to_spark_sql(o["where"]))
                     df = df.filter(~e | e.isNull())
+                elif o["kind"] == "pos":
+                    dels = spark.read.schema(_POS_DELETE_SCHEMA).parquet(
+                        os.path.join(self.root, o["path"])
+                    )
+                    df = df.join(
+                        dels,
+                        (F.col(_LINEAGE_FILE) == dels["file_path"])
+                        & (F.col(_LINEAGE_POS) == dels["pos"]),
+                        how="left_anti",
+                    )
                 else:
                     kcols = o["equality_cols"]
                     kset = set(kcols)
@@ -298,6 +364,8 @@ class Table:
                     # plain-equality anti join (NULL keys never match) —
                     # the same null semantics the CoW merge join uses
                     df = df.join(keys, on=list(kcols), how="left_anti")
+            if need_lineage and not with_lineage:
+                df = df.drop(_LINEAGE_FILE, _LINEAGE_POS)
             out = df if out is None else out.unionByName(df)
         return out
 
@@ -472,30 +540,43 @@ class Table:
                     hit if mor_dels is None else mor_dels.unionByName(hit)
                 )
             for di, d in enumerate(new_eqdels):
-                # rows an equality-delete file hides: lower-sequence
-                # surviving files, semi-joined on the key columns (the
-                # MoR upsert's 'old row versions') — cost ∝ applicable
-                # files, same as any CDC step
+                # rows a delete FILE hides: lower-sequence surviving
+                # files, semi-joined on the key columns (equality — the
+                # MoR upsert's 'old row versions') or on row lineage
+                # (positional) — cost ∝ applicable files either way
                 applicable = [
                     f for f in snap.files if f.sequence < d["sequence"]
                 ]
+                is_pos = d.get("kind") == "pos"
                 visible = self._read_files_mor(
                     spark,
                     applicable,
                     step_schema,
                     parent_preds + new_preds,
                     parent_dels + new_eqdels[:di],
+                    with_lineage=is_pos,
                 )
-                kset = set(d["equality_cols"])
-                kschema = T.StructType(
-                    [f for f in step_schema.fields if f.name in kset]
-                )
-                keys = spark.read.schema(kschema).parquet(
-                    os.path.join(self.root, d["path"])
-                )
-                hit = visible.join(
-                    keys, on=list(d["equality_cols"]), how="left_semi"
-                )
+                if is_pos:
+                    pos = spark.read.schema(_POS_DELETE_SCHEMA).parquet(
+                        os.path.join(self.root, d["path"])
+                    )
+                    hit = visible.join(
+                        pos,
+                        (F.col(_LINEAGE_FILE) == pos["file_path"])
+                        & (F.col(_LINEAGE_POS) == pos["pos"]),
+                        how="left_semi",
+                    ).drop(_LINEAGE_FILE, _LINEAGE_POS)
+                else:
+                    kset = set(d["equality_cols"])
+                    kschema = T.StructType(
+                        [f for f in step_schema.fields if f.name in kset]
+                    )
+                    keys = spark.read.schema(kschema).parquet(
+                        os.path.join(self.root, d["path"])
+                    )
+                    hit = visible.join(
+                        keys, on=list(d["equality_cols"]), how="left_semi"
+                    )
                 mor_dels = (
                     hit if mor_dels is None else mor_dels.unionByName(hit)
                 )
@@ -859,11 +940,13 @@ class Table:
         outright, so partition-aligned deletes stay pure-metadata AND
         instant in either mode.
         """
-        if mode not in ("cow", "mor"):
+        if mode not in ("cow", "mor", "mor-pos"):
             raise ValueError(f"unknown delete mode: {mode!r}")
         ensure_compat(spark)
         if mode == "mor":
             return self._delete_where_mor(spark, where)
+        if mode == "mor-pos":
+            return self._delete_where_mor_pos(spark, where)
         snap = self.snapshot()
         spec = self.partition_spec()
         schema = self.schema()
@@ -975,6 +1058,111 @@ class Table:
                 },
                 delete_predicates=parent.delete_predicates
                 + [{"where": where, "sequence": seqv}],
+            )
+
+        return self._commit_with_retry(build)
+
+    _POS_PATHS_CAP = 1000  # max referenced data paths stored on a pos op
+
+    def _delete_where_mor_pos(self, spark: SparkSession, where: str) -> Snapshot:
+        """Merge-on-read DELETE with POSITION delete files (Iceberg v2's
+        second delete shape): the predicate is evaluated ONCE, now, and
+        the matching rows' (file_path, pos) pairs land in one delete
+        file; scans anti-join on row lineage instead of re-evaluating
+        the predicate every read.
+
+        vs ``mode='mor'`` (predicate-as-metadata): the predicate path is
+        O(1) commit but re-filters every scan and requires the predicate
+        stay deterministic; the positional path pays one predicate scan
+        at delete time, then costs scans a lineage anti-join bounded by
+        the REFERENCED files only (``paths`` / file_path-range pruning in
+        ``_op_applies``). Metadata-proof full matches still drop their
+        files outright in both.
+
+        Isolation: snapshot — a position references rows existing at
+        execution, so concurrent appends never conflict (their rows were
+        never covered); a concurrent REWRITE of a scanned candidate
+        re-homes rows to new positions, which would resurrect them, so
+        that aborts with :class:`ConcurrentModification`. Positions are
+        computed from the RAW candidate files (pending deletes not
+        re-applied): a position for an already-hidden row is a no-op in
+        the anti-join, never a correctness issue.
+        """
+        snap = self.snapshot()
+        spec = self.partition_spec()
+        schema = T.StructType.fromJson(snap.schema_json)
+        sql_pred = to_spark_sql(where)  # validates the predicate parses
+        dropped, candidates, _clean = split_delete_candidates(
+            where, snap.files, spec
+        )
+        pos_entries: list[DataFile] = []
+        if candidates:
+            paths = [os.path.join(self.root, f.path) for f in candidates]
+            raw = _with_lineage(spark.read.schema(schema).parquet(*paths))
+            pos_df = (
+                raw.filter(F.expr(sql_pred))
+                .select(
+                    F.col(_LINEAGE_FILE).alias("file_path"),
+                    F.col(_LINEAGE_POS).alias("pos"),
+                )
+                .coalesce(1)
+            )
+            pos_entries = self._write_data_files(
+                pos_df, [], self._codec(), sort_within=["file_path", "pos"]
+            )
+            # an empty delete file (no rows matched) adds scan cost for
+            # nothing — drop it from the commit
+            if sum(e.rows for e in pos_entries) == 0:
+                pos_entries = []
+        cand_paths = [f.path for f in candidates]
+        dropped_paths = {f.path for f in dropped}
+
+        def build(parent: Snapshot) -> Snapshot:
+            parent_paths = {f.path for f in parent.files}
+            gone = [p for p in cand_paths if p not in parent_paths]
+            if gone and pos_entries:
+                raise ConcurrentModification(
+                    f"positional delete invalidated: {len(gone)} scanned "
+                    f"file(s) rewritten concurrently (positions would "
+                    f"dangle and rows resurrect)"
+                )
+            v = parent.version + 1
+            kept = [f for f in parent.files if f.path not in dropped_paths]
+            dels = parent.delete_files + [
+                {
+                    "path": e.path,
+                    "kind": "pos",
+                    "sequence": v,
+                    "rows": e.rows,
+                    "bytes": e.bytes,
+                    "stats": {
+                        c: e.stats[c]
+                        for c in ("file_path", "pos")
+                        if e.stats.get(c) is not None
+                    },
+                    **(
+                        {"paths": cand_paths}
+                        if len(cand_paths) <= self._POS_PATHS_CAP
+                        else {}
+                    ),
+                }
+                for e in pos_entries
+            ]
+            return new_snapshot(
+                parent,
+                "delete",
+                parent.schema_json,
+                parent.partition_spec,
+                kept,
+                parent.properties,
+                {
+                    "delete-mode": "mor-pos",
+                    "delete-where": where,
+                    "dropped-files": len(dropped),
+                    "position-delete-files": len(pos_entries),
+                    "position-delete-rows": sum(e.rows for e in pos_entries),
+                },
+                delete_files=dels,
             )
 
         return self._commit_with_retry(build)
