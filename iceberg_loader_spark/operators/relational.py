@@ -1429,3 +1429,94 @@ def quality_report_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_violations",
         "passed",
     ).orderBy("constraint_name", "col_name")
+
+
+# --------------------------------------------------------------------------
+# Robust outlier detection: median absolute deviation (MAD) per event
+# type, flagging values beyond 3×MAD from the median — the
+# heavy-tail-safe alternative to z-scores (mean/stddev are themselves
+# dragged by the outliers they're meant to find).
+#
+# Determinism: values ride as exact integer cents; the median of a
+# BIGINT column interpolates to an exact multiple of 0.5, deviations are
+# exact multiples of 0.5, and their median is an exact multiple of 0.25
+# — every intermediate is exactly representable in a double, so both
+# engines' lo + frac*(hi-lo) interpolation agrees bit-for-bit (the
+# value_percentiles_by_type recipe).
+#
+# Scale: the classic two-pass robust aggregate — pass 1 computes
+# per-type medians (per-group sort, bounded groups), which broadcast
+# back (one row per event type) for the deviation pass. A single-pass
+# 100 TB variant swaps both percentiles for mergeable KLL/t-digest
+# sketches at a quantified accuracy cost (approx_percentile_value shows
+# the sketch-vs-exact discipline).
+# --------------------------------------------------------------------------
+@_register(
+    "mad_outliers_by_type",
+    """
+    WITH cents AS (
+      SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+      FROM events
+    ),
+    med AS (
+      SELECT event_type, quantile_cont(c, 0.5) AS med_cents
+      FROM cents GROUP BY event_type
+    ),
+    dev AS (
+      SELECT c.event_type, ABS(c.c - m.med_cents) AS d
+      FROM cents c JOIN med m ON m.event_type = c.event_type
+    ),
+    mad AS (
+      SELECT dev.event_type,
+             COUNT(*) AS n_events,
+             ANY_VALUE(med.med_cents) AS med_cents,
+             quantile_cont(d, 0.5) AS mad_cents
+      FROM dev JOIN med ON med.event_type = dev.event_type
+      GROUP BY dev.event_type
+    )
+    SELECT d.event_type, ANY_VALUE(m.n_events) AS n_events,
+           ANY_VALUE(m.med_cents) AS med_cents,
+           ANY_VALUE(m.mad_cents) AS mad_cents,
+           CAST(SUM(CASE WHEN d.d > 3 * m.mad_cents THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m ON m.event_type = d.event_type
+    GROUP BY d.event_type
+    ORDER BY d.event_type
+    """,
+)
+def mad_outliers_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cents = ev.select(
+        "event_type", F.round(F.col("value") * 100, 0).cast("bigint").alias("c")
+    )
+    med = cents.groupBy("event_type").agg(
+        F.percentile("c", 0.5).alias("med_cents")
+    )
+    dev = (
+        cents.join(F.broadcast(med), "event_type")
+        .withColumn("d", F.abs(F.col("c") - F.col("med_cents")))
+        .select("event_type", "d")
+    )
+    mad = (
+        dev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.percentile("d", 0.5).alias("mad_cents"),
+        )
+        .join(F.broadcast(med), "event_type")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("n_events").alias("n_events"),
+            F.first("med_cents").alias("med_cents"),
+            F.first("mad_cents").alias("mad_cents"),
+            F.sum(
+                F.when(F.col("d") > 3 * F.col("mad_cents"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
