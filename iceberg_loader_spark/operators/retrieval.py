@@ -27,8 +27,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from iceberg_loader_spark.operators.dedup import _materialize, _token_rows
+from iceberg_loader_spark.operators import dedup as _dedup
+from iceberg_loader_spark.operators.dedup import _token_rows
 from iceberg_loader_spark.sources.tables import load_table
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    # Resolve through the dedup MODULE at call time — never bind the
+    # function at import. Tooling (plan fingerprints, oracle tests)
+    # patches ``dedup._materialize``; a name bound here at import would
+    # make that patch take effect only when this module happens to be
+    # imported inside the patch window (a real order-dependent flake).
+    return _dedup._materialize(df)
 
 QUERIES = {}
 ORACLES = {}
