@@ -1520,3 +1520,98 @@ def mad_outliers_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# B4 at scale — storage-bucketed co-located join (Spark bucketing).
+#
+# The one join strategy the rest of the surface doesn't demonstrate:
+# when BOTH sides are written bucketed on the join key (same bucket
+# count), Spark's scan exposes the hash-partitioning to the planner and
+# the sort-merge join runs with NO shuffle on either side — the classic
+# answer to "this fact-to-fact join shuffles 100 TB every night". The
+# query writes orders and customer as 8-bucket tables (one-time,
+# content-addressed by sf_dir), then joins them with a merge hint;
+# the plan-fingerprint gate pins the shape: 1 SortMergeJoin, exactly
+# 1 Exchange (the final group-by) — zero exchanges below the join.
+#
+# Scale: the write is the amortized cost (done once at ingest); every
+# subsequent join/aggregate on the bucket key is shuffle-free. Bucket
+# count on a real cluster = cores × small-factor (8 here only to keep
+# local file counts sane); both tables MUST use the same count or Spark
+# falls back to shuffling the smaller side.
+# --------------------------------------------------------------------------
+_BUCKETS = 8
+
+
+def _write_bucketed(
+    spark: SparkSession, df: DataFrame, name: str, key: str
+) -> None:
+    """One-time bucketed managed-table write, idempotent across sessions.
+
+    A table the in-memory catalog doesn't know about may still have a
+    directory in the warehouse from a previous process — managed-table
+    creation refuses to reuse the location, so clear it first."""
+    import shutil
+    from urllib.parse import urlparse
+
+    if spark.catalog.tableExists(name):
+        return
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{wh}/{name}", ignore_errors=True)
+    (
+        df.write.bucketBy(_BUCKETS, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(name)
+    )
+
+
+
+@_register(
+    "bucketed_join_mktsegment",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM orders JOIN customer ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def bucketed_join_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    t_orders = f"ils_bucketed_orders_{tag}"
+    t_cust = f"ils_bucketed_customer_{tag}"
+    _write_bucketed(
+        spark,
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        ),
+        t_orders,
+        "o_custkey",
+    )
+    _write_bucketed(
+        spark,
+        load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        ),
+        t_cust,
+        "c_custkey",
+    )
+    o = spark.table(t_orders)
+    c = spark.table(t_cust)
+    return (
+        o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -165,3 +165,14 @@ def test_ngram_jaccard_hot_gram_cap_in_plan(spark):
     # the hot set is broadcast, never shuffled
     anti_idx = plan.index("LeftAnti")
     assert "Broadcast" in plan[max(0, anti_idx - 2000) : anti_idx + 2000]
+
+
+def test_bucketed_join_query_is_colocated(spark):
+    """The registered bucketed-join query must join the two bucketed
+    tables WITHOUT a shuffle on the join key: the only exchanges allowed
+    are the final group-by and order-by (which are not on the bucket
+    key)."""
+    plan = plan_of(QUERIES["bucketed_join_mktsegment"](spark, SF_SMOKE))
+    assert "SortMergeJoin" in plan
+    assert "hashpartitioning(o_custkey" not in plan
+    assert "hashpartitioning(c_custkey" not in plan
