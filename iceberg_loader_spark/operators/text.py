@@ -1121,3 +1121,130 @@ def bigram_coverage_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR-style data selection with importance resampling (Xie et al. 2023,
+# "Data Selection for Language Models via Importance Resampling",
+# arXiv:2302.03169): score every raw document by how much its hashed
+# n-gram distribution looks like a TARGET domain (here: the English
+# slice) relative to the raw pool. DSIR's estimator is a ratio of two
+# hashed-bigram unigram models; the classic formulation sums log
+# p_tgt/p_src per gram — here the ratio rides as exact integer
+# fixed-point ((tgt+1)·(S+B)·10⁴) div ((src+1)·(T+B)) per occurrence
+# (Laplace-smoothed, B = bucket count) so both engines agree
+# bit-for-bit where a float log-sum would not. mean_w ≥ 10⁴ ⇔ the doc
+# is more target-like than the pool average — the resampling keep set.
+#
+# Scale: one bigram explode feeds (a) the 256-bucket model aggregate
+# (map-side combined, output is 256 rows → broadcast) and (b) the
+# per-doc scoring aggregate — the canonical build-model/broadcast/score
+# shape. Shuffles carry (doc_id, bucket) pairs and the 256-row model,
+# never text. The i64 fixed-point headroom holds to ~10¹⁴ corpus
+# bigrams; past that, swap the weight column to DECIMAL(38,0) (same
+# plan) or score in log-space with a documented tolerance.
+# --------------------------------------------------------------------------
+_DSIR_BUCKETS = 256
+
+
+@_register(
+    "dsir_importance_weights",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                                       t -> t <> '') AS ts
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, lang,
+             ('0x' || substring(md5(unnest(list_transform(range(1, len(ts)),
+                      i -> ts[i] || ' ' || ts[i + 1]))), 1, 8))::BIGINT
+               % {_DSIR_BUCKETS} AS bucket
+      FROM toks
+    ),
+    model AS (
+      SELECT bucket, COUNT(*) AS src_cnt,
+             COUNT(*) FILTER (WHERE lang = 'en') AS tgt_cnt
+      FROM grams GROUP BY bucket
+    ),
+    tot AS (
+      SELECT SUM(src_cnt) AS s_tot, SUM(tgt_cnt) AS t_tot FROM model
+    ),
+    scored AS (
+      SELECT g.doc_id, ANY_VALUE(g.lang) AS lang,
+             COUNT(*) AS n_bigrams,
+             CAST(SUM(((m.tgt_cnt + 1) * (t.s_tot + {_DSIR_BUCKETS}) * 10000)
+                      // ((m.src_cnt + 1) * (t.t_tot + {_DSIR_BUCKETS})))
+                  // COUNT(*) AS BIGINT) AS mean_w_m
+      FROM grams g JOIN model m ON m.bucket = g.bucket CROSS JOIN tot t
+      GROUP BY g.doc_id
+    )
+    SELECT doc_id, lang, n_bigrams, mean_w_m,
+           mean_w_m >= 10000 AS selected
+    FROM scored
+    ORDER BY doc_id
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_loader_spark.operators.dedup import _materialize
+
+    docs = load_table(spark, sf_dir, "documents")
+    ts = F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+    toks = docs.select("doc_id", "lang", ts.alias("ts"))
+    bucket = (
+        F.conv(F.substring(F.md5("bg"), 1, 8), 16, 10).cast("bigint")
+        % _DSIR_BUCKETS
+    )
+    # grams feeds both the bucket model and the per-doc scorer —
+    # materialize the exploded frame once (same trade unigram_rarity
+    # makes; at 100 TB swap for an intermediate table or recompute).
+    grams = _materialize(
+        toks.filter(F.size("ts") >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ts") - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("ts"), i),
+                        F.element_at(F.col("ts"), i + F.lit(1)),
+                    ),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "lang", bucket.alias("bucket"))
+    )
+    model = grams.groupBy("bucket").agg(
+        F.count("*").alias("src_cnt"),
+        F.count_if(F.col("lang") == "en").alias("tgt_cnt"),
+    )
+    tot = model.agg(
+        F.sum("src_cnt").alias("s_tot"), F.sum("tgt_cnt").alias("t_tot")
+    )
+    w = F.expr(
+        f"((tgt_cnt + 1) * (s_tot + {_DSIR_BUCKETS}) * 10000)"
+        f" div ((src_cnt + 1) * (t_tot + {_DSIR_BUCKETS}))"
+    )
+    scored = (
+        grams.join(F.broadcast(model), "bucket")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("lang").alias("lang"),
+            F.count("*").alias("n_bigrams"),
+            F.expr(
+                f"CAST(SUM(((tgt_cnt + 1) * (s_tot + {_DSIR_BUCKETS}) * 10000)"
+                f" div ((src_cnt + 1) * (t_tot + {_DSIR_BUCKETS})))"
+                f" div COUNT(*) AS BIGINT)"
+            ).alias("mean_w_m"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        "mean_w_m",
+        (F.col("mean_w_m") >= 10000).alias("selected"),
+    ).orderBy("doc_id")
