@@ -755,3 +755,83 @@ def run_stateful_sessionizer(
     q.processAllAvailable()
     q.stop()
     return spark.table(name)
+
+
+# --------------------------------------------------------------------------
+# B20+ — stream-static enrichment join: the unbounded event stream joined
+# to slowly-changing dimension tables (customer → nation), aggregated per
+# nation. The canonical "enrich the clickstream with account metadata"
+# job. Registered as the deterministic batch query; the paired micro-batch
+# runner (enrich_nation_totals_streaming) executes the same join under
+# the streaming engine — Spark re-reads/broadcasts the static side per
+# micro-batch, so no state is kept for the dimension.
+#
+# Scale: the stream side never shuffles before the join (broadcast hash
+# join against the dimension); the only stateful operator is the windowless
+# global aggregate on n_name (25 groups, map-side combined). Dimension
+# updates are picked up per micro-batch — the streaming answer to SCD
+# lookups at 100 TB/day event volume.
+# --------------------------------------------------------------------------
+@_register(
+    "stream_enrich_nation_totals",
+    f"""
+    SELECT n_name,
+           COUNT(*) AS n_events,
+           CAST(SUM({_DUCK_CENTS}) AS DOUBLE) / 100 AS sum_value
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def stream_enrich_nation_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    return (
+        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(_cents()).cast("double") / 100).alias("sum_value"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def enrich_nation_totals_streaming(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """B20+: the stream-static join under the micro-batch engine. The
+    static dimensions are plain batch frames joined into the streaming
+    plan; the paired test asserts the sink equals the registered batch
+    query."""
+    ev = streaming_events(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    enriched = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey).join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    agg = enriched.groupBy("n_name").agg(
+        F.count("*").alias("n_events"),
+        (F.sum(_cents()).cast("double") / 100).alias("sum_value"),
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("enrich_nation_totals_streaming")
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table("enrich_nation_totals_streaming").orderBy("n_name")

@@ -221,3 +221,11 @@ def test_streaming_topk_matches_batch(spark):
         .toPandas()
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_streaming_enrich_matches_batch(spark):
+    """Stream-static broadcast join: the micro-batch sink must equal the
+    registered batch query row-for-row."""
+    got = canon(w.enrich_nation_totals_streaming(spark, SF_SMOKE).toPandas())
+    want = canon(w.stream_enrich_nation_totals(spark, SF_SMOKE).toPandas())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
