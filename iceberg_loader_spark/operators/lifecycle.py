@@ -632,3 +632,59 @@ def lifecycle_pos_delete_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Partition-spec evolution under the oracle gate (Iceberg's ADD PARTITION
+# FIELD): half the corpus is written unpartitioned, the spec then evolves
+# to identity(lang), the second half lands partitioned, and a predicate
+# delete runs across the MIXED layouts (old files have no partition
+# values and must be conservatively scanned; new files prune by value).
+# The surviving per-language aggregate equals the oracle's — a pruning
+# bug that skips an old-spec file, or applies the new spec
+# retroactively, flips a count.
+#
+# Scale: spec evolution is a metadata-only commit (no rewrite — the
+# whole point at 100 TB); the delete's file-candidate set is bounded by
+# partition pruning on the new-spec files.
+# --------------------------------------------------------------------------
+@_register(
+    "lifecycle_partition_evolution_counts",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    WHERE lang <> 'fr'
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def lifecycle_partition_evolution_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from iceberg_loader_spark.tables.partitioning import PartitionField
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    half = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    wh = _fresh_warehouse()
+    t = Table.create(wh, "db.docs", docs.schema)
+    t.append(docs.filter(F.col("doc_id") <= half).coalesce(2))
+    t = wh.load_table("db.docs")
+    t.set_partition_spec([PartitionField(transform="identity", source="lang")])
+    t = wh.load_table("db.docs")
+    t.append(docs.filter(F.col("doc_id") > half))
+    t = wh.load_table("db.docs")
+    t.delete_where(spark, "lang == 'fr'")
+    t = wh.load_table("db.docs")
+    return (
+        t.scan(spark)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )

@@ -1615,3 +1615,60 @@ def bucketed_join_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# --------------------------------------------------------------------------
+# B4 — FULL OUTER equi-join: per-nation customer presence vs supplier
+# presence, with nations appearing on only one side surviving as NULLs
+# (spelled through COALESCE so the output is deterministic and typed).
+# The join-type the rest of the surface doesn't exercise — inner/left/
+# semi/anti/range/as-of are all covered elsewhere.
+#
+# Scale: both inputs are already per-nation aggregates (≤|nation| rows)
+# when they meet the full-outer join, so the join is on two tiny frames —
+# the aggregate-then-join shape, never a fact-to-fact outer join. A
+# full-outer between facts would shuffle both sides on the key; spelling
+# the aggregates first keeps the shuffled payload at group granularity.
+# --------------------------------------------------------------------------
+@_register(
+    "full_outer_nation_coverage",
+    """
+    WITH c AS (
+      SELECT c_nationkey AS nk, COUNT(*) AS n_customers
+      FROM customer GROUP BY c_nationkey
+    ),
+    s AS (
+      SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers
+      FROM supplier GROUP BY s_nationkey
+    )
+    SELECT COALESCE(c.nk, s.nk) AS nationkey,
+           COALESCE(n_customers, 0) AS n_customers,
+           COALESCE(n_suppliers, 0) AS n_suppliers,
+           (c.nk IS NULL) AS suppliers_only,
+           (s.nk IS NULL) AS customers_only
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    ORDER BY nationkey
+    """,
+)
+def full_outer_nation_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("c_nk"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("s_nk"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    return (
+        cust.join(sup, cust.c_nk == sup.s_nk, "full_outer")
+        .select(
+            F.coalesce("c_nk", "s_nk").alias("nationkey"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+            F.col("c_nk").isNull().alias("suppliers_only"),
+            F.col("s_nk").isNull().alias("customers_only"),
+        )
+        .orderBy("nationkey")
+    )

@@ -310,3 +310,81 @@ def spike_hours_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour")
     )
+
+
+# --------------------------------------------------------------------------
+# Exponentially weighted moving average (EWMA) of the hourly value
+# series per event type — the metrics-dashboard smoother (Prometheus /
+# pandas `ewm` shape). alpha = 1/2 over a 16-point trailing window: every
+# weight is a power of two (shiftleft — exact BIGINT), the normalizer is
+# 2^K − 2^(K−n), and the result is emitted as an integer-milli ratio, so
+# both engines agree bit-for-bit where a float pow()-chain would not.
+#
+# Physical shape: ONE hour×type aggregate (map-side combined), then a
+# 16-row trailing collect_list window partitioned by event_type —
+# parallel across types, |hours| rows per partition (dashboard-scale).
+# The weighted fold is per-row array math (zip_with + aggregate, JVM
+# codegen), no Python, no extra shuffle.
+# --------------------------------------------------------------------------
+_EWMA_K = 16
+
+
+@_register(
+    "ewma_hourly_value",
+    f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             SUM({_CENTS}) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    arrs AS (
+      SELECT event_type, h, cents,
+             list(cents) OVER (PARTITION BY event_type ORDER BY h
+                               ROWS 15 PRECEDING) AS arr
+      FROM hourly
+    )
+    SELECT event_type,
+           strftime(h, '{_DUCK_FMT}') AS hour,
+           CAST(cents AS BIGINT) AS cents,
+           CAST(
+             (list_sum(list_transform(range(1, len(arr) + 1),
+                j -> arr[j] * (1::BIGINT << ({_EWMA_K} - 1 - len(arr) + j))))
+              * 1000)
+             // ((1::BIGINT << {_EWMA_K}) - (1::BIGINT << ({_EWMA_K} - len(arr))))
+             AS BIGINT) AS ewma_cents_m
+    FROM arrs
+    ORDER BY event_type, hour
+    """,
+)
+def ewma_hourly_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.sum(cents).alias("cents"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-(_EWMA_K - 1), 0)
+    )
+    arrs = hourly.withColumn("arr", F.collect_list("cents").over(w))
+    # Weighted fold + exact integer normalization, spelled in SQL so the
+    # division is BIGINT `div` (a float `/` would round-to-nearest where
+    # DuckDB's `//` floors).
+    ewma = F.expr(
+        f"""CAST(
+          aggregate(
+            zip_with(arr, sequence(1, size(arr)),
+                     (c, j) -> c * shiftleft(CAST(1 AS BIGINT),
+                                   {_EWMA_K} - 1 - size(arr) + j)),
+            CAST(0 AS BIGINT), (acc, x) -> acc + x) * 1000
+          div (shiftleft(CAST(1 AS BIGINT), {_EWMA_K})
+               - shiftleft(CAST(1 AS BIGINT), {_EWMA_K} - size(arr)))
+          AS BIGINT)"""
+    )
+    return arrs.select(
+        "event_type",
+        F.date_format("h", _FMT).alias("hour"),
+        F.col("cents").cast("bigint").alias("cents"),
+        ewma.alias("ewma_cents_m"),
+    ).orderBy("event_type", "hour")

@@ -176,3 +176,42 @@ def test_bucketed_join_query_is_colocated(spark):
     assert "SortMergeJoin" in plan
     assert "hashpartitioning(o_custkey" not in plan
     assert "hashpartitioning(c_custkey" not in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """Spark's runtime-filter optimization must inject a bloom semi-filter
+    on the fact side of a selective dimension join: the lineitem scan is
+    pre-filtered by might_contain(bloom(o_orderkey)) BEFORE its shuffle —
+    at 100 TB this drops non-joining fact rows at the scan instead of
+    shuffling them. (Thresholds lowered only because the local test data
+    is far below the production defaults.)"""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        od = load_table(spark, SF_SMOKE, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(od, li.l_orderkey == od.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = plan_of(j, "simple")
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
