@@ -688,3 +688,122 @@ def lifecycle_partition_evolution_counts(
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# A35 + A32 under the oracle gate — compaction then snapshot expiry:
+# four single-file appends and a copy-on-write delete leave a fragmented
+# table; rewrite_data_files coalesces it to exactly 2 files and
+# expire_snapshots(keep_last=2) drops the old metadata — after which the
+# CONTENT must still equal the oracle's filtered aggregate and the file/
+# snapshot counts must equal the literals. A compaction that loses or
+# duplicates rows, or an expiry that deletes a still-referenced file,
+# flips a value.
+#
+# Scale: compaction is THE small-file fix at 100 TB (the reference's
+# north-star maintenance op); expiry bounds metadata growth. Both are
+# metadata-planned — file lists, never row scans, on the driver.
+# --------------------------------------------------------------------------
+@_register(
+    "lifecycle_compaction_counts",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           2 AS n_files_after,
+           2 AS n_snapshots_retained
+    FROM documents
+    WHERE lang <> 'de'
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def lifecycle_compaction_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from iceberg_loader_spark.tables.maintenance import (
+        expire_snapshots,
+        rewrite_data_files,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    wh = _fresh_warehouse()
+    t = Table.create(wh, "db.docs", docs.schema)
+    for i in range(4):  # fragment: one file per append
+        t = wh.load_table("db.docs")
+        t.append(docs.filter(F.col("doc_id") % 4 == i).coalesce(1))
+    t = wh.load_table("db.docs")
+    t.delete_where(spark, "lang == 'de'")
+    t = wh.load_table("db.docs")
+    rewrite_data_files(t, spark, target_files=2)
+    t = wh.load_table("db.docs")
+    expire_snapshots(t, keep_last=2)
+    t = wh.load_table("db.docs")
+    n_files = len(t.snapshot().files)
+    n_snaps = len(t.history())
+    return (
+        t.scan(spark)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .withColumn("n_files_after", F.lit(n_files))
+        .withColumn("n_snapshots_retained", F.lit(n_snaps))
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# B1 time travel under the oracle gate: the same table scanned at the
+# pre-delete version AND at the current version in one result — the
+# 'v1' rows must show the full corpus, the 'current' rows the survivors.
+# A time-travel read that resolves to the wrong snapshot (or a delete
+# that rewrites history) flips a row.
+# --------------------------------------------------------------------------
+@_register(
+    "lifecycle_time_travel_counts",
+    """
+    SELECT 'v1' AS state, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY lang
+    UNION ALL
+    SELECT 'current' AS state, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents WHERE lang <> 'zh' GROUP BY lang
+    ORDER BY state, lang
+    """,
+)
+def lifecycle_time_travel_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    wh = _fresh_warehouse()
+    t = Table.create(wh, "db.docs", docs.schema)
+    t.append(docs)
+    t = wh.load_table("db.docs")
+    v1 = t.meta.current_version()
+    t.delete_where(spark, "lang == 'zh'")
+    t = wh.load_table("db.docs")
+
+    def _agg(df, state):
+        return (
+            df.groupBy("lang")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            )
+            .select(F.lit(state).alias("state"), "*")
+        )
+
+    return (
+        _agg(t.scan(spark, version=v1), "v1")
+        .unionByName(_agg(t.scan(spark), "current"))
+        .orderBy("state", "lang")
+    )
