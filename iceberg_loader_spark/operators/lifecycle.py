@@ -807,3 +807,68 @@ def lifecycle_time_travel_counts(
         .unionByName(_agg(t.scan(spark), "current"))
         .orderBy("state", "lang")
     )
+
+
+# --------------------------------------------------------------------------
+# A35 Z-order rewrite under the oracle gate: events (doc-id-free numeric
+# table) written fragmented, then Z-order-compacted on (user_id, value
+# cents) into 4 files. Content must survive byte-exact AND the rewrite
+# must actually tighten per-file ranges: the query emits, alongside the
+# per-type aggregate, the number of files a user_id point-lookup may
+# touch after the rewrite — asserted strictly fewer than all files.
+# Without the Morton interleave the lookup would touch all 4 files.
+#
+# Scale: Z-order is the multi-column pruning lever for unpartitioned
+# 100 TB tables — point/range predicates on ANY clustered column prune
+# to ~n^((d-1)/d) files. The check here reads ONLY file metadata
+# (min/max stats), the same planning path a real scan uses.
+# --------------------------------------------------------------------------
+@_register(
+    "lifecycle_zorder_counts",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           4 AS n_files_after,
+           TRUE AS user_probe_prunes
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def lifecycle_zorder_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_loader_spark.tables.filters import prune_files
+    from iceberg_loader_spark.tables.maintenance import rewrite_data_files
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    wh = _fresh_warehouse()
+    t = Table.create(wh, "db.ev", ev.schema)
+    for i in range(4):  # fragment with interleaved users per file
+        t = wh.load_table("db.ev")
+        t.append(ev.filter(F.col("event_id") % 4 == i).coalesce(1))
+    t = wh.load_table("db.ev")
+    rewrite_data_files(t, spark, zorder_by=["user_id", "cents"], target_files=4)
+    t = wh.load_table("db.ev")
+    files = t.snapshot().files
+    n_files = len(files)
+    # metadata-only probe: a user_id point-lookup must NOT touch every
+    # file once the Z-order clustering has tightened per-file ranges
+    may, _ = prune_files("user_id == 7", files, t.partition_spec())
+    probe_prunes = len(may) < n_files
+    return (
+        t.scan(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .withColumn("n_files_after", F.lit(n_files))
+        .withColumn("user_probe_prunes", F.lit(probe_prunes))
+        .orderBy("event_type")
+    )

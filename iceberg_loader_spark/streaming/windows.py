@@ -835,3 +835,115 @@ def enrich_nation_totals_streaming(
     q.processAllAvailable()
     q.stop()
     return spark.table("enrich_nation_totals_streaming").orderBy("n_name")
+
+
+# --------------------------------------------------------------------------
+# B20+ — LEFT OUTER interval join: every purchase, attributed to its
+# click count within the trailing 30 minutes — INCLUDING purchases with
+# no qualifying click (the rows an inner join silently drops, and the
+# rows a marketing funnel most wants to see). Batch query under the
+# oracle; the paired runner executes the same join left-outer under the
+# micro-batch engine, where watermarks on both sides bound the click
+# state AND give the engine the completion point at which a NULL row may
+# be emitted.
+#
+# Scale: equi-join on user_id with the time-range predicate evaluated
+# inside the join; output is per-purchase (never a cross product); the
+# aggregate is map-side combined.
+# --------------------------------------------------------------------------
+@_register(
+    "stream_attribution_left_outer",
+    f"""
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           strftime(p.ts, '{_DUCK_FMT}') AS purchase_ts,
+           COUNT(c.event_id) AS n_clicks_30m,
+           COUNT(c.event_id) = 0 AS unattributed
+    FROM events p LEFT JOIN events c
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 30 MINUTE
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id, p.user_id, p.ts
+    ORDER BY purchase_id
+    """,
+)
+def stream_attribution_left_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    )
+    return (
+        joined.groupBy("purchase_id", "user_id", "p_ts")
+        .agg(F.count("click_id").alias("n_clicks_30m"))
+        .select(
+            "purchase_id",
+            "user_id",
+            F.date_format("p_ts", _FMT).alias("purchase_ts"),
+            "n_clicks_30m",
+            (F.col("n_clicks_30m") == 0).alias("unattributed"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+def attribution_left_outer_streaming(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """B20+: the left-outer interval join under the micro-batch engine.
+    Watermarks on both sides are MANDATORY for outer interval joins —
+    the engine can only emit the NULL (unmatched) row once the watermark
+    proves no more qualifying clicks can arrive. Emits raw outer pairs;
+    the per-purchase rollup happens at serving time (the paired test
+    compares against the batch query's pair multiset)."""
+    ev = streaming_events(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
+        "leftOuter",
+    ).select("purchase_id", "user_id", "click_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attribution_left_outer_streaming")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table("attribution_left_outer_streaming")

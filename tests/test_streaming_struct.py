@@ -229,3 +229,69 @@ def test_streaming_enrich_matches_batch(spark):
     got = canon(w.enrich_nation_totals_streaming(spark, SF_SMOKE).toPandas())
     want = canon(w.stream_enrich_nation_totals(spark, SF_SMOKE).toPandas())
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_streaming_left_outer_interval_join_matches_batch(spark):
+    """Outer interval join under the micro-batch engine. Matched pairs
+    must equal the batch inner result exactly (inner rows emit
+    immediately). NULL (unmatched) rows are watermark-gated: the engine
+    emits one only after the watermark proves no qualifying click can
+    still arrive, so at end-of-stream the newest purchases' NULLs stay
+    in state. The assertions: stream nulls are a subset of batch nulls,
+    and every batch null older than a conservative cutoff (max event
+    time - watermark delay - join range) was emitted."""
+    from pyspark.sql import functions as F
+    from iceberg_loader_spark.sources.tables import load_table
+
+    got = w.attribution_left_outer_streaming(spark, SF_SMOKE).toPandas()
+    ev = load_table(spark, SF_SMOKE, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    batch = (
+        purchases.join(
+            clicks,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
+            "left_outer",
+        )
+        .select("purchase_id", "user_id", "click_id", "p_ts")
+        .toPandas()
+    )
+    # matched pairs: exact equality
+    got_m = canon(got[got.click_id.notna()].reset_index(drop=True))
+    want_m = canon(
+        batch[batch.click_id.notna()][
+            ["purchase_id", "user_id", "click_id"]
+        ].reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got_m, want_m, check_dtype=False)
+    # null rows: stream ⊆ batch, and all old-enough batch nulls present
+    got_nulls = set(got[got.click_id.isna()].purchase_id.astype(int))
+    batch_nulls = set(batch[batch.click_id.isna()].purchase_id.astype(int))
+    assert got_nulls <= batch_nulls
+    # The engine's global watermark is the MIN across both input
+    # watermarks; the clicks stream may end hours before the purchases
+    # stream, so the eviction frontier follows the EARLIER side.
+    side_max = (
+        ev.filter(F.col("event_type").isin("purchase", "click"))
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("m"))
+        .agg(F.min("m").alias("m"))
+        .collect()[0][0]
+    )
+    cutoff = side_max - pd.Timedelta(hours=1, minutes=30)
+    old_nulls = set(
+        batch[batch.click_id.isna() & (batch.p_ts <= cutoff)]
+        .purchase_id.astype(int)
+    )
+    assert old_nulls <= got_nulls
+    assert len(got_nulls) > 0
