@@ -1672,3 +1672,144 @@ def full_outer_nation_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+# --------------------------------------------------------------------------
+# B17+ — correlation / simple-regression battery: Pearson r and the OLS
+# slope/intercept of value against hour-of-day, per event type. Spelled
+# from EXACT integer sums (n, Σx, Σy, Σxy, Σx², Σy² over cents and
+# hours) with ONE IEEE division/sqrt chain at the end — both engines
+# compute identical BIGINT sums, and +,-,*,/,sqrt on exactly-held
+# operands are correctly-rounded IEEE ops, so the doubles hash-match
+# where a built-in corr()/regr_slope() (engine-internal accumulation
+# order) would not.
+#
+# Scale: one partial-aggregated scan — six sums per group ride the
+# shuffle, never rows. This IS the textbook one-pass parallel moment
+# recipe (the same shape a 1000-executor reduce uses).
+# --------------------------------------------------------------------------
+@_register(
+    "corr_value_hour_by_type",
+    """
+    WITH m AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(CAST(hour(ts) AS BIGINT)) AS sx,
+             SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS sy,
+             SUM(CAST(hour(ts) AS BIGINT)
+                 * CAST(ROUND(value * 100, 0) AS BIGINT)) AS sxy,
+             SUM(CAST(hour(ts) AS BIGINT) * CAST(hour(ts) AS BIGINT)) AS sxx,
+             SUM(CAST(ROUND(value * 100, 0) AS BIGINT)
+                 * CAST(ROUND(value * 100, 0) AS BIGINT)) AS syy
+      FROM events
+      GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+             / sqrt(CAST(n * syy - sy * sy AS DOUBLE)) AS pearson_r,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_hour,
+           (CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)
+              / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) AS intercept_cents
+    FROM m
+    ORDER BY event_type
+    """,
+)
+def corr_value_hour_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    x = F.hour("ts").cast("bigint")
+    y = F.round(F.col("value") * 100, 0).cast("bigint")
+    m = ev.select("event_type", x.alias("x"), y.alias("y")).groupBy(
+        "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    cov_n = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    var_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    var_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    slope = cov_n / var_x
+    return m.select(
+        "event_type",
+        "n",
+        (cov_n / F.sqrt(var_x) / F.sqrt(var_y)).alias("pearson_r"),
+        slope.alias("slope_cents_per_hour"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("intercept_cents"),
+    ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# B12+ — IGNORE NULLS window battery: per-user running "last known
+# purchase amount" over a sparse column (amount is NULL except on
+# purchase events) — the gap-tolerant carry-forward every sessionized
+# feature pipeline needs (LOCF over sparse signals). Covers
+# last_value/first_value/nth_value with IGNORE NULLS; the tie-broken
+# total order makes every value deterministic.
+#
+# Scale: one window partitioned by user_id — parallel across users,
+# running frames are O(events per user).
+# --------------------------------------------------------------------------
+@_register(
+    "window_ignorenulls_locf",
+    """
+    WITH base AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(ROUND(value * 100, 0) AS BIGINT) END AS amt
+      FROM events
+    )
+    SELECT user_id, event_id,
+           amt,
+           last_value(amt IGNORE NULLS) OVER w AS last_purchase_cents,
+           first_value(amt IGNORE NULLS) OVER w AS first_purchase_cents,
+           nth_value(amt, 2 IGNORE NULLS) OVER w AS second_purchase_cents
+    FROM base
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+)
+def window_ignorenulls_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    amt = F.when(
+        F.col("event_type") == "purchase",
+        F.round(F.col("value") * 100, 0).cast("bigint"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        ev.select("user_id", "event_id", "ts", amt.alias("amt"))
+        .select(
+            "user_id",
+            "event_id",
+            "amt",
+            F.last("amt", ignorenulls=True).over(w).alias(
+                "last_purchase_cents"
+            ),
+            F.first("amt", ignorenulls=True).over(w).alias(
+                "first_purchase_cents"
+            ),
+            F.nth_value("amt", 2, ignoreNulls=True).over(w).alias(
+                "second_purchase_cents"
+            ),
+        )
+        .orderBy("user_id", "event_id")
+    )
