@@ -217,3 +217,90 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Triangle counting over the nation-trade graph: an undirected edge
+# (a, b) whenever customers of nation a bought from suppliers of nation
+# b (a ≠ b); triangles are closed 3-cliques of trading partners. Uses
+# the canonical ORIENTED enumeration: every edge is stored once as
+# (lo, hi), and a triangle (a < b < c) is found exactly once by joining
+# (a,b) ⋈ (b,c) on the middle vertex and probing for the closing edge
+# (a,c) — no double counting, no symmetric blowup.
+#
+# Scale: the orientation trick is THE standard distributed-triangle
+# recipe (degree-ordered in the general case): the wedge join shuffles
+# on the middle vertex, and skew is bounded because high-degree vertices
+# only ever appear as wedge ENDPOINTS once ordered. Edge building is
+# one distinct over an equi-join of two fact aggregates.
+# --------------------------------------------------------------------------
+@_register(
+    "triangle_count_nation_trade",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT
+             LEAST(cn.n_nationkey, sn.n_nationkey) AS lo,
+             GREATEST(cn.n_nationkey, sn.n_nationkey) AS hi
+      FROM lineitem l
+      JOIN orders o    ON o.o_orderkey = l.l_orderkey
+      JOIN customer c  ON c.c_custkey = o.o_custkey
+      JOIN nation cn   ON cn.n_nationkey = c.c_nationkey
+      JOIN supplier s  ON s.s_suppkey = l.l_suppkey
+      JOIN nation sn   ON sn.n_nationkey = s.s_nationkey
+      WHERE cn.n_nationkey <> sn.n_nationkey
+    ),
+    tri AS (
+      SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+      FROM pairs e1
+      JOIN pairs e2 ON e2.lo = e1.hi
+      JOIN pairs e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
+           CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_edges
+    FROM tri
+    """,
+)
+def triangle_count_nation_trade(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from iceberg_loader_spark.operators.dedup import _materialize
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    cn = F.col("c_nationkey")
+    sn = F.col("s_nationkey")
+    pairs = _materialize(
+        li.join(F.broadcast(orders), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .filter(cn != sn)
+        .select(
+            F.least(cn, sn).alias("lo"), F.greatest(cn, sn).alias("hi")
+        )
+        .distinct()
+    )
+    e1 = pairs.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    e2 = pairs.select(F.col("lo").alias("b2"), F.col("hi").alias("c"))
+    e3 = pairs.select(F.col("lo").alias("a3"), F.col("hi").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(
+            e3,
+            (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
+            "left_semi",
+        )
+    )
+    n_edges = pairs.count()
+    return tri.agg(
+        F.count("*").cast("bigint").alias("n_triangles")
+    ).withColumn("n_edges", F.lit(n_edges).cast("bigint"))

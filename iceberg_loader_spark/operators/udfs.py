@@ -162,3 +162,58 @@ def map_in_arrow_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@pandas_udf(LongType())
+def _midrange_cents(cents: pd.Series) -> int:
+    """GROUPED_AGG pandas UDF: midrange (max+min) div 2 — integer math
+    on the already-exact cents so the SQL twin matches bit-for-bit."""
+    return int((int(cents.max()) + int(cents.min())) // 2)
+
+
+@pandas_udf(LongType())
+def _count_rows(cents: pd.Series) -> int:
+    # Spark refuses to mix GROUPED_AGG pandas UDFs with built-in
+    # aggregates in one agg() (INVALID_PANDAS_UDF_PLACEMENT), so the row
+    # count rides as a second pandas aggregate.
+    return int(len(cents))
+
+
+# --------------------------------------------------------------------------
+# B24 — GROUPED_AGG pandas UDF (the third UDF mode: scalar and grouped-
+# map are covered above; this is the user-defined *aggregate* path,
+# usable in groupBy().agg and over windows). The aggregate itself stays
+# integer-exact so the oracle twin reproduces it.
+#
+# Scale: AggregateInPandas shuffles once on the group key and streams
+# each group's column through Arrow — same shuffle shape as a built-in
+# aggregate, minus partial map-side combine (the documented cost of
+# custom UDAFs; keep them off the hottest paths).
+# --------------------------------------------------------------------------
+@_register(
+    "pandas_udaf_value_midrange",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST((MAX(CAST(ROUND(value * 100, 0) AS BIGINT))
+                 + MIN(CAST(ROUND(value * 100, 0) AS BIGINT))) // 2
+                AS BIGINT) AS midrange_cents
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def pandas_udaf_value_midrange(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    return (
+        ev.select("event_type", cents.alias("cents"))
+        .groupBy("event_type")
+        .agg(
+            _count_rows("cents").alias("n_events"),
+            _midrange_cents("cents").alias("midrange_cents"),
+        )
+        .orderBy("event_type")
+    )
