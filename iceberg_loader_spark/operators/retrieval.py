@@ -152,10 +152,8 @@ def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_TERMS = ("spark", "join", "stream")
 
 
-@_register(
-    "bm25_topk_docs",
-    f"""
-    WITH toks AS (
+_BM25_SCORED_CTES = f"""
+    toks AS (
       SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
                                         t -> t <> '')) AS tok
       FROM documents
@@ -186,15 +184,12 @@ _BM25_TERMS = ("spark", "join", "stream")
       SELECT doc_id, CAST(SUM(c_m) AS BIGINT) AS bm25_m,
              CAST(COUNT(*) AS BIGINT) AS n_terms_hit
       FROM contrib GROUP BY doc_id
-    )
-    SELECT doc_id, bm25_m, n_terms_hit, rnk FROM (
-      SELECT *, ROW_NUMBER() OVER (ORDER BY bm25_m DESC, doc_id) AS rnk
-      FROM scored)
-    WHERE rnk <= 10
-    ORDER BY rnk
-    """,
-)
-def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    )"""
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bm25_m, n_terms_hit) for every doc matching a query term
+    — the scored frame behind bm25_topk_docs, reused by the RRF fusion."""
     docs = load_table(spark, sf_dir, "documents")
     toks = _token_rows(docs).select("doc_id", "tok")
     # dl feeds both the corpus stats and the scoring join — materialize so
@@ -227,10 +222,25 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    scored = contrib.groupBy("doc_id").agg(
+    return contrib.groupBy("doc_id").agg(
         F.sum("c_m").cast("bigint").alias("bm25_m"),
         F.count("*").cast("bigint").alias("n_terms_hit"),
     )
+
+
+@_register(
+    "bm25_topk_docs",
+    f"""
+    WITH {_BM25_SCORED_CTES}
+    SELECT doc_id, bm25_m, n_terms_hit, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY bm25_m DESC, doc_id) AS rnk
+      FROM scored)
+    WHERE rnk <= 10
+    ORDER BY rnk
+    """,
+)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _bm25_scored(spark, sf_dir)
     # Two-phase top-k (TakeOrderedAndProject: per-partition heads merged on
     # the driver — no global sort, no unpartitioned window), then the rank
     # column is derived over the 10 survivors with a broadcast "count of
@@ -388,4 +398,155 @@ def feature_hash_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
         .orderBy("doc_id", "rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval with Reciprocal Rank Fusion (Cormack et al., SIGIR
+# 2009): the lexical channel (BM25 over the query terms) and the
+# semantic channel (exact cosine against query vector 0 — vec_id aligns
+# 1:1 with doc_id in the testdata) each produce a top-20 ranking; a
+# document's fused score is Σ 10⁶ div (60 + rank) over the channels it
+# appears in — the canonical RRF k=60, in integer fixed-point so both
+# engines agree exactly. THE production hybrid-search shape: dense and
+# sparse retrievers disagree about the tail, RRF promotes documents
+# both channels like.
+#
+# Scale: each channel is its own bounded top-k (rank windows over
+# already-aggregated frames); the fusion is a tiny full-outer join of
+# two ≤20-row frames. Nothing data-sized crosses the fusion boundary.
+# --------------------------------------------------------------------------
+def _rank_bounded(
+    df: DataFrame, score: str, ident: str, k: int, rank_col: str
+) -> DataFrame:
+    """Top-k by (score desc, ident asc) with a derived 1-based rank and
+    NO global window: orderBy+limit plans as TakeOrderedAndProject
+    (per-partition heads, k-row driver merge), then the rank is a
+    broadcast count-ahead self-join over the k survivors — O(k²) on a
+    constant k, never data-sized, and no `WindowExec: No Partition
+    Defined` single-task sort at any input size."""
+    top = _materialize(df.orderBy(F.desc(score), F.asc(ident)).limit(k))
+    ahead = top.select(
+        F.col(score).alias("_b_s"), F.col(ident).alias("_b_i")
+    )
+    return (
+        top.join(
+            F.broadcast(ahead),
+            (F.col("_b_s") > F.col(score))
+            | (
+                (F.col("_b_s") == F.col(score))
+                & (F.col("_b_i") <= F.col(ident))
+            ),
+        )
+        .groupBy(*df.columns)
+        .agg(F.count("*").cast("int").alias(rank_col))
+    )
+
+
+_RRF_K = 60
+_RRF_TOPC = 20  # per-channel candidate depth
+
+
+@_register(
+    "hybrid_rrf_fusion",
+    f"""
+    WITH {{bm25}},
+    lex AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25_m DESC, doc_id)
+               AS r_lex
+      FROM scored QUALIFY r_lex <= {_RRF_TOPC}
+    ),
+    fp AS (
+      SELECT vec_id, {{fpexpr}} AS e FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id, e, {{dot_ee}} AS nsq FROM fp
+    ),
+    q AS (SELECT e AS q_e, nsq AS q_nsq FROM norms WHERE vec_id = 0),
+    cos AS (
+      SELECT c.vec_id AS doc_id,
+             CAST({{dot_qc}} AS DOUBLE)
+               / (SQRT(CAST(q.q_nsq AS DOUBLE)) * SQRT(CAST(c.nsq AS DOUBLE)))
+               AS cosine
+      FROM norms c CROSS JOIN q WHERE c.vec_id <> 0
+    ),
+    sem AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id)
+               AS r_sem
+      FROM cos QUALIFY r_sem <= {_RRF_TOPC}
+    ),
+    fused AS (
+      SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+             COALESCE(1000000 // ({_RRF_K} + r_lex), 0)
+               + COALESCE(1000000 // ({_RRF_K} + r_sem), 0) AS rrf_m,
+             lex.doc_id IS NOT NULL AS in_lexical,
+             sem.doc_id IS NOT NULL AS in_semantic
+      FROM lex FULL OUTER JOIN sem ON sem.doc_id = lex.doc_id
+    )
+    SELECT doc_id, rrf_m, in_lexical, in_semantic, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY rrf_m DESC, doc_id) AS rnk
+      FROM fused)
+    WHERE rnk <= 10
+    ORDER BY rnk
+    """.format(
+        bm25=_BM25_SCORED_CTES,
+        fpexpr="list_transform(CAST(embedding AS DOUBLE[]), "
+        "x -> CAST(ROUND(x * 10000000, 0) AS BIGINT))",
+        dot_ee="list_sum(list_transform(range(1, len(e) + 1), "
+        "i -> e[i] * e[i]))",
+        dot_qc="list_sum(list_transform(range(1, len(q.q_e) + 1), "
+        "i -> q.q_e[i] * c.e[i]))",
+    ),
+)
+def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_loader_spark.operators.similarity import _dot, _fixed_point
+
+    # lexical channel: top-20 BM25, two-phase top-k (no global window)
+    lex = _rank_bounded(
+        _bm25_scored(spark, sf_dir).select("doc_id", "bm25_m"),
+        "bm25_m",
+        "doc_id",
+        _RRF_TOPC,
+        "r_lex",
+    ).select("doc_id", "r_lex")
+    # semantic channel: exact cosine vs query vector 0, top-20
+    emb = load_table(spark, sf_dir, "embeddings")
+    fp = emb.select(
+        "vec_id", _fixed_point(F.col("embedding")).alias("e")
+    ).withColumn("nsq", _dot(F.col("e"), F.col("e")))
+    q = fp.filter(F.col("vec_id") == 0).select(
+        F.col("e").alias("q_e"), F.col("nsq").alias("q_nsq")
+    )
+    cos = (
+        fp.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            (
+                _dot(F.col("q_e"), F.col("e")).cast("double")
+                / (
+                    F.sqrt(F.col("q_nsq").cast("double"))
+                    * F.sqrt(F.col("nsq").cast("double"))
+                )
+            ).alias("cosine"),
+        )
+    )
+    sem = _rank_bounded(cos, "cosine", "doc_id", _RRF_TOPC, "r_sem").select(
+        F.col("doc_id").alias("s_doc"), "r_sem"
+    )
+    rrf = F.coalesce(
+        F.expr(f"1000000 div ({_RRF_K} + r_lex)"), F.lit(0).cast("bigint")
+    ) + F.coalesce(
+        F.expr(f"1000000 div ({_RRF_K} + r_sem)"), F.lit(0).cast("bigint")
+    )
+    fused = lex.join(sem, F.col("s_doc") == F.col("doc_id"), "full_outer").select(
+        F.coalesce("doc_id", "s_doc").alias("doc_id"),
+        rrf.alias("rrf_m"),
+        F.col("r_lex").isNotNull().alias("in_lexical"),
+        F.col("r_sem").isNotNull().alias("in_semantic"),
+    )
+    return (
+        _rank_bounded(fused, "rrf_m", "doc_id", 10, "rnk")
+        .filter(F.col("rnk") <= 10)
+        .orderBy("rnk")
     )
