@@ -872,3 +872,81 @@ def lifecycle_zorder_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("user_probe_prunes", F.lit(probe_prunes))
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# A32-adjacent — tag refs as retention pins (reference keeps snapshots
+# only by count/age; tags are the Spark-side extension that makes a
+# released dataset version immortal): three appends, tag the middle
+# version, expire to keep_last=1 — the tagged snapshot MUST survive
+# while its untagged siblings expire, and time travel through the tag
+# must return exactly the first two commits' rows. The oracle replays
+# both row sets from the source parquet, and pins the deterministic
+# snapshot accounting (3 expired — create, first append, and the
+# set-ref commit itself; 2 surviving — tagged + current) as literal
+# rows — a
+# retention bug (tag expired, or nothing expired) flips a count or
+# errors the scan outright.
+# --------------------------------------------------------------------------
+@_register(
+    "lifecycle_tag_retention_counts",
+    """
+    SELECT 'current' AS ref, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY lang
+    UNION ALL
+    SELECT 'tag_release' AS ref, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    WHERE lang IN ('en', 'fr', 'de')
+    GROUP BY lang
+    UNION ALL
+    SELECT 'maintenance' AS ref, 'snapshots' AS lang,
+           3 AS n_docs, 2 AS sum_chars
+    ORDER BY ref, lang
+    """,
+)
+def lifecycle_tag_retention_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from iceberg_loader_spark.tables.maintenance import expire_snapshots
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    wh = _fresh_warehouse()
+    t = Table.create(wh, "db.docs", docs.schema)
+    t.append(docs.filter(F.col("lang").isin("en", "fr")))
+    t = wh.load_table("db.docs")
+    t.append(docs.filter(F.col("lang") == "de"))
+    t = wh.load_table("db.docs")
+    t.set_tag("release")
+    t = wh.load_table("db.docs")
+    t.append(docs.filter(F.col("lang").isin("es", "zh")))
+    t = wh.load_table("db.docs")
+    report = expire_snapshots(t, keep_last=1)
+    t = wh.load_table("db.docs")
+
+    def _agg(df: DataFrame, ref: str) -> DataFrame:
+        return (
+            df.groupBy("lang")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            )
+            .select(F.lit(ref).alias("ref"), "lang", "n_docs", "sum_chars")
+        )
+
+    maint = spark.createDataFrame(
+        [("maintenance", "snapshots", report["expired"], report["remaining"])],
+        "ref string, lang string, n_docs long, sum_chars long",
+    )
+    return (
+        _agg(t.scan(spark), "current")
+        .unionByName(_agg(t.scan(spark, tag="release"), "tag_release"))
+        .unionByName(maint)
+        .orderBy("ref", "lang")
+    )

@@ -1813,3 +1813,59 @@ def window_ignorenulls_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# B19 at the type level — the VARIANT column type (Spark 4's
+# semi-structured native type; the get_json_object path above re-parses
+# the JSON text per extraction, while ``parse_json`` parses ONCE into a
+# binary-encoded variant that typed ``variant_get`` calls then navigate
+# without re-tokenizing — the Iceberg v3 / modern-lakehouse shape for
+# JSON-heavy event tables). Extracts a typed field, checks type
+# introspection (``schema_of_variant``), and aggregates — the oracle
+# replays the same extraction with DuckDB's JSON operators.
+#
+# Scale: parse-once amortizes across N extractions per row (here 2 +
+# a typeof); variant values are binary and never round-trip through
+# strings between expressions, and the aggregate itself is an ordinary
+# partial-aggregated hash agg. 100 TB guidance: parse at ingest, store
+# VARIANT, extract at query time.
+# --------------------------------------------------------------------------
+@_register(
+    "variant_props_battery",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS max_k,
+           COUNT(CASE WHEN json_extract(props, '$.k') IS NOT NULL
+                      THEN 1 END) AS n_with_k,
+           COUNT(CASE WHEN json_extract(props, '$.missing') IS NOT NULL
+                      THEN 1 END) AS n_with_missing
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def variant_props_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "bigint")
+    missing = F.try_variant_get(v, "$.missing", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"), missing.alias("m"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+            F.count("k").alias("n_with_k"),
+            F.count("m").alias("n_with_missing"),
+        )
+        .orderBy("event_type")
+    )

@@ -217,3 +217,70 @@ def pandas_udaf_value_midrange(
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# B24 — Python UDTF (Spark 4's fourth UDF mode: a user-defined TABLE
+# function — one input row fans out to N output rows, used via LATERAL
+# join in SQL). Splits each document into segments on the literal
+# ' the ' separator (the corpus is synthetic word-soup with no
+# punctuation, so a frequent stopword is the deterministic segment
+# boundary) and emits (sent_idx, n_words) per segment; the oracle
+# replays the same split with DuckDB list functions. The semantics
+# (non-regex split, whitespace word count) are pinned to be engine-
+# reproducible.
+#
+# Scale: a UDTF evaluates per input row in the Python worker — the
+# per-row cost is the documented price of the fan-out escape hatch, so
+# it belongs on bounded/mid-size inputs; an explode(split()) built-in
+# spelling (used by the token queries elsewhere) is the hot-path form
+# of the same shape. The lateral join itself stays a narrow map-side
+# op: no shuffle, parallel per input partition.
+# --------------------------------------------------------------------------
+def _sentence_split_udtf():
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx int, n_words int")
+    class SentenceSplit:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, sent in enumerate(text.split(" the ")):
+                n_words = sum(1 for w in sent.split(" ") if w)
+                yield i, n_words
+
+    return SentenceSplit
+
+
+@_register(
+    "udtf_sentence_stats",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(parts) + 1),
+               i -> struct_pack(
+                 idx := i - 1,
+                 nw := len(list_filter(string_split(parts[i], ' '),
+                                       w -> w <> ''))))) AS u
+      FROM (SELECT doc_id, string_split(text, ' the ') AS parts
+            FROM documents WHERE doc_id < 200)
+    )
+    SELECT doc_id, CAST(u.idx AS INTEGER) AS sent_idx,
+           CAST(u.nw AS INTEGER) AS n_words
+    FROM s
+    ORDER BY doc_id, sent_idx
+    """,
+)
+def udtf_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_loader_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    spark.udtf.register("sentence_split", _sentence_split_udtf())
+    return spark.sql(
+        """
+        SELECT doc_id, s.sent_idx, s.n_words
+        FROM documents, LATERAL sentence_split(text) s
+        WHERE doc_id < 200
+        ORDER BY doc_id, sent_idx
+        """
+    )
