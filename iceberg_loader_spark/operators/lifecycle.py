@@ -950,3 +950,64 @@ def lifecycle_tag_retention_counts(
         .unionByName(maint)
         .orderBy("ref", "lang")
     )
+
+
+# --------------------------------------------------------------------------
+# A28 under the external oracle gate — schema evolution mid-table: the
+# first append writes (doc_id, lang, n_chars:int); the column is then
+# PROMOTED int→long (metadata-only — old files keep the narrow physical
+# type, the reader up-casts at scan) and a new nullable n_tokens column
+# is ADDED; the second append writes the evolved schema. The final scan
+# must read both file generations through ONE schema: promoted ints
+# up-cast, pre-evolution rows surface NULL n_tokens. The oracle replays
+# the arithmetic and the NULL accounting from the source parquet — a
+# reader that drops old files, misses the up-cast, or fills wrong
+# defaults flips a count.
+# --------------------------------------------------------------------------
+@_register(
+    "lifecycle_schema_evolution_counts",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           COUNT(CASE WHEN doc_id % 2 = 0 THEN 1 END) AS n_null_tokens,
+           CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars % 97 END)
+                AS BIGINT) AS sum_tokens
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def lifecycle_schema_evolution_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import types as T
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    wh = _fresh_warehouse()
+    narrow = docs.withColumn("n_chars", F.col("n_chars").cast("int"))
+    t = Table.create(wh, "db.docs", narrow.schema)
+    t.append(narrow.filter(F.col("doc_id") % 2 == 0))
+    t = wh.load_table("db.docs")
+    t.promote_column_type("n_chars", T.LongType())
+    t = wh.load_table("db.docs")
+    t.add_columns([T.StructField("n_tokens", T.LongType())])
+    t = wh.load_table("db.docs")
+    evolved = docs.filter(F.col("doc_id") % 2 == 1).withColumn(
+        "n_tokens", F.col("n_chars") % 97
+    )
+    t.append(evolved)
+    t = wh.load_table("db.docs")
+    return (
+        t.scan(spark)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            (F.count("*") - F.count("n_tokens")).alias("n_null_tokens"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        )
+        .orderBy("lang")
+    )
