@@ -1547,11 +1547,16 @@ _BUCKETS = 8
 def _write_bucketed(
     spark: SparkSession, df: DataFrame, name: str, key: str
 ) -> None:
-    """One-time bucketed managed-table write, idempotent across sessions.
+    """One-time bucketed managed-table write, idempotent per process.
 
-    A table the in-memory catalog doesn't know about may still have a
-    directory in the warehouse from a previous process — managed-table
-    creation refuses to reuse the location, so clear it first."""
+    The table name is process-unique (see caller): a shared name raced
+    when two processes used one warehouse dir — one process's
+    clear-stale-dir step could delete files the other was mid-writing,
+    silently dropping rows. A table the in-memory catalog doesn't know
+    about may still have a directory from a dead process with the same
+    pid — managed-table creation refuses to reuse the location, so
+    clear it first; the dir is removed again at process exit."""
+    import atexit
     import shutil
     from urllib.parse import urlparse
 
@@ -1565,6 +1570,7 @@ def _write_bucketed(
         .format("parquet")
         .saveAsTable(name)
     )
+    atexit.register(shutil.rmtree, f"{wh}/{name}", ignore_errors=True)
 
 
 
@@ -1583,8 +1589,9 @@ def _write_bucketed(
 )
 def bucketed_join_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
+    import os
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
     t_orders = f"ils_bucketed_orders_{tag}"
     t_cust = f"ils_bucketed_customer_{tag}"
     _write_bucketed(
