@@ -947,3 +947,181 @@ def attribution_left_outer_streaming(
     q.processAllAvailable()
     q.stop()
     return spark.table("attribution_left_outer_streaming")
+
+
+# --------------------------------------------------------------------------
+# B23++ — transformWithStateInPandas (Spark 4's successor to
+# applyInPandasWithState: named state variables on a processor handle —
+# value/list/map state, timers, TTL — instead of one opaque state
+# tuple). Per-user extremes (count, max cents, min cents) maintained in
+# a ValueState across forced micro-batches; the last emission per user
+# must equal the batch aggregate. The registered batch twin
+# (stream_user_extremes) pins those semantics against the oracle; the
+# runner's test asserts stream==batch and that state crossed batches.
+#
+# The extremes are ORDER-INSENSITIVE on purpose: rows within a
+# micro-batch arrive partition-interleaved, so only commutative state
+# merges yield deterministic emissions.
+#
+# Scale: state is one fixed-width row per user in RocksDB; the Arrow
+# boundary carries (user_id, value) only. Same shuffle shape as a
+# streaming hash aggregate.
+# --------------------------------------------------------------------------
+@_register(
+    "stream_user_extremes",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           MAX(CAST(ROUND(value * 100, 0) AS BIGINT)) AS max_cents,
+           MIN(CAST(ROUND(value * 100, 0) AS BIGINT)) AS min_cents
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def stream_user_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max(_cents()).alias("max_cents"),
+            F.min(_cents()).alias("min_cents"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def user_extremes_transform_with_state(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 3
+) -> DataFrame:
+    """transformWithStateInPandas runner: per-user extremes across
+    ``n_chunks`` forced micro-batches (maxFilesPerTrigger=1); memory
+    sink in update mode, so each user emits once per batch that touched
+    it and the LAST emission must equal the batch aggregate.
+
+    Requires ``protobuf`` (the TWS state-server wire protocol is
+    protobuf-based; Spark's driver-side TWS worker imports
+    ``google.protobuf`` at query start). The dependency is gated here
+    with a clear error — the test skips when it is absent — and the
+    registered batch twin keeps the semantics under the oracle gate
+    either way.
+    """
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as e:
+        raise RuntimeError(
+            "transformWithStateInPandas needs the protobuf package "
+            "(google.protobuf) for its state-server protocol; install "
+            "protobuf to run this operator"
+        ) from e
+    import hashlib
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from iceberg_loader_spark.sources.tables import ensure_compat
+
+    ensure_compat(spark)
+    # transformWithState requires the RocksDB state store provider
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    src = f"{sf_dir}/events.parquet"
+    stage = (
+        f"/tmp/ils_tws_{hashlib.md5(src.encode()).hexdigest()[:8]}"
+        f"_{os.getpid()}"
+    )
+    if not os.path.isdir(stage):
+        os.makedirs(stage, exist_ok=True)
+        tab = pq.read_table(src, columns=["event_id", "user_id", "value"])
+        pdf = tab.to_pandas()
+        for i in range(n_chunks):
+            pdf[pdf["event_id"] % n_chunks == i].to_parquet(
+                f"{stage}/chunk{i}.parquet", index=False
+            )
+
+    class ExtremesProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "extremes", "n BIGINT, mx BIGINT, mn BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                n, mx, mn = self._state.get()
+            else:
+                n, mx, mn = 0, None, None
+            for pdf in rows:
+                x = pdf["value"].to_numpy() * 100
+                cents = np.copysign(np.floor(np.abs(x) + 0.5), x).astype(
+                    "int64"
+                )
+                n += len(cents)
+                if len(cents):
+                    bmax, bmin = int(cents.max()), int(cents.min())
+                    mx = bmax if mx is None else max(mx, bmax)
+                    mn = bmin if mn is None else min(mn, bmin)
+            self._state.update((n, mx, mn))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "max_cents": [mx],
+                    "min_cents": [mn],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("max_cents", LongType()),
+            StructField("min_cents", LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    result = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=ExtremesProcessor(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+    q = (
+        result.writeStream.format("memory")
+        .queryName("user_extremes_tws")
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table("user_extremes_tws")

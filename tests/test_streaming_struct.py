@@ -5,6 +5,7 @@ stateful dedup must keep exactly one row per key."""
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 
 from iceberg_loader_spark.streaming import windows as w
 from tests.conftest import SF_SMOKE
@@ -295,3 +296,22 @@ def test_streaming_left_outer_interval_join_matches_batch(spark):
     )
     assert old_nulls <= got_nulls
     assert len(got_nulls) > 0
+
+
+def test_transform_with_state_user_extremes_matches_batch(spark):
+    """transformWithStateInPandas (Spark 4 named-state API): last
+    emission per user across 3 forced micro-batches equals the batch
+    groupBy extremes, and at least one user emitted more than once
+    (i.e. ValueState actually crossed a micro-batch boundary)."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="TWS state-server protocol needs protobuf (not in container)",
+    )
+    out = w.user_extremes_transform_with_state(spark, SF_SMOKE).toPandas()
+    assert out.groupby("user_id").size().max() > 1
+    final = out.sort_values("n_events").groupby("user_id").tail(1)
+    expected = w.stream_user_extremes(spark, SF_SMOKE).toPandas()
+    merged = final.merge(expected, on="user_id", suffixes=("_s", "_b"))
+    assert len(merged) == len(expected)
+    for c in ("n_events", "max_cents", "min_cents"):
+        assert (merged[f"{c}_s"] == merged[f"{c}_b"]).all()
