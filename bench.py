@@ -44,11 +44,21 @@ def main() -> None:
         "sum(octet_length(text)) AS s"
     ).collect()
 
+    import gc
+
     timings: dict[str, float] = {}
     for name, fn in qs.items():
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # UNTIMED inter-query cleanup: drop dead py4j refs so the
+        # ContextCleaner can release the localCheckpoint / broadcast
+        # blocks earlier queries pinned — without this, executor-memory
+        # pressure and GC churn grow over the ~150-query run and
+        # late-position queries read 2-5x slower than solo (measured;
+        # the skew is run-order, not query, dependent).
+        gc.collect()
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
