@@ -1876,3 +1876,62 @@ def variant_props_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# A36 at the query layer — the Observation API (``df.observe`` →
+# CollectMetrics): pipeline metrics computed ON THE SAME PASS as the
+# scan, not by a second job. The reference logs per-load row counts and
+# timings (services/logging.py); the Spark-native form attaches named
+# aggregate metrics to the plan, the action populates them, and here the
+# observed values themselves are the query result the oracle recomputes
+# — so the metrics channel is hash-verified end-to-end.
+#
+# Scale: CollectMetrics is a zero-shuffle piggyback — partial aggregates
+# ride the existing scan tasks and merge on the driver; the pattern is
+# free row-count/invariant auditing on 100 TB ingest scans (vs a second
+# full scan for a separate audit query).
+# --------------------------------------------------------------------------
+@_register(
+    "observed_scan_metrics",
+    """
+    SELECT 'lineitem' AS table_name,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(ROUND(CAST(l_quantity AS DECIMAL(18,2)) * 100, 0)
+                    AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+           COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS n_returned,
+           CAST(MAX(l_orderkey) AS BIGINT) AS max_orderkey
+    FROM lineitem
+    """,
+)
+def observed_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("scan_metrics")
+    qty_cents = F.round(_dec("l_quantity") * 100, 0).cast("bigint")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(qty_cents).alias("sum_qty_cents"),
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("n_returned"),
+        # DISTINCT aggregates are rejected in CollectMetrics
+        # (INVALID_OBSERVED_METRICS) — observed metrics must be
+        # single-pass mergeable; max() is, count(distinct) is not.
+        F.max("l_orderkey").alias("max_orderkey"),
+    )
+    observed.count()  # any row-processing action populates the metrics
+    vals = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                "lineitem",
+                vals["n_rows"],
+                vals["sum_qty_cents"],
+                vals["n_returned"],
+                vals["max_orderkey"],
+            )
+        ],
+        "table_name string, n_rows long, sum_qty_cents long, "
+        "n_returned long, max_orderkey long",
+    )
