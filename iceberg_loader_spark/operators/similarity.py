@@ -1060,3 +1060,113 @@ def hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .orderBy("q_id", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# B26 quality gate — measured recall of the IVF index against exact
+# brute-force, per query: top-3 by exact cosine over the WHOLE corpus
+# vs top-3 within the query's nprobe=1 cell, intersected on neighbor
+# id. "Measure, don't guess" for ANN: the accuracy cost of probing one
+# cell becomes a hash-verified number instead of a claim. (Identical
+# tie-breaks — cosine DESC, n_id ASC — on both engines make the top-k
+# sets deterministic.)
+#
+# Scale: the exact side is 20 broadcast queries streamed past the
+# corpus map-side (the recall AUDIT is sampled — fixed query budget —
+# while the ANN path itself stays cell-local); the intersection is a
+# join on (q_id, n_id) between two ≤3-row-per-query frames.
+# --------------------------------------------------------------------------
+@_register(
+    "ann_recall_ivf",
+    f"""
+    WITH {_DUCK_IVF},
+    exact_pairs AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             CAST({_DUCK_DOT.format(a='q.e', b='c.e')} AS DOUBLE)
+               / (SQRT(CAST(q.nsq AS DOUBLE)) * SQRT(CAST(c.nsq AS DOUBLE)))
+               AS cosine
+      FROM norms q JOIN norms c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 20
+    ),
+    exact3 AS (
+      SELECT q_id, n_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                    ORDER BY cosine DESC, n_id) AS rnk
+        FROM exact_pairs)
+      WHERE rnk <= 3
+    ),
+    ivf_pairs AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             CAST({_DUCK_DOT.format(a='q.e', b='c.e')} AS DOUBLE)
+               / (SQRT(CAST(q.nsq AS DOUBLE)) * SQRT(CAST(c.nsq AS DOUBLE)))
+               AS cosine
+      FROM assigned q JOIN assigned c
+        ON q.c_id = c.c_id AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < 20
+    ),
+    ivf3 AS (
+      SELECT q_id, n_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                    ORDER BY cosine DESC, n_id) AS rnk
+        FROM ivf_pairs)
+      WHERE rnk <= 3
+    )
+    SELECT e.q_id,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           3 AS k
+    FROM (SELECT DISTINCT q_id FROM exact3) e
+    LEFT JOIN (
+      SELECT x.q_id, COUNT(*) AS n_hits
+      FROM exact3 x JOIN ivf3 i ON x.q_id = i.q_id AND x.n_id = i.n_id
+      GROUP BY x.q_id) h
+    ON e.q_id = h.q_id
+    ORDER BY e.q_id
+    """,
+)
+def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assigned = _ivf_assigned(spark, sf_dir)
+    q = assigned.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("e").alias("q_e"),
+        F.col("nsq").alias("q_nsq"),
+        F.col("c_id").alias("cell"),
+    )
+    cosine = _dot(F.col("q_e"), F.col("e")).cast("double") / (
+        F.sqrt(F.col("q_nsq").cast("double"))
+        * F.sqrt(F.col("nsq").cast("double"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+
+    def _top3(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3)
+            .select("q_id", "n_id")
+        )
+
+    exact3 = _top3(
+        assigned.join(
+            F.broadcast(q), F.col("vec_id") != F.col("q_id")
+        ).select("q_id", F.col("vec_id").alias("n_id"), cosine.alias("cosine"))
+    )
+    ivf3 = _top3(
+        assigned.join(
+            F.broadcast(q),
+            (F.col("c_id") == F.col("cell"))
+            & (F.col("vec_id") != F.col("q_id")),
+        ).select("q_id", F.col("vec_id").alias("n_id"), cosine.alias("cosine"))
+    )
+    hits = exact3.join(ivf3, ["q_id", "n_id"]).groupBy("q_id").agg(
+        F.count("*").alias("n_hits")
+    )
+    return (
+        exact3.select("q_id")
+        .distinct()
+        .join(F.broadcast(hits), "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            F.lit(3).alias("k"),
+        )
+        .orderBy("q_id")
+    )
