@@ -1011,3 +1011,56 @@ def lifecycle_schema_evolution_counts(
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# A37-adjacent — the commit-lineage audit (Iceberg's `history` metadata
+# table): after a deterministic create → append → MoR delete → merge
+# sequence, the table's snapshot log must read back as exactly that
+# operation sequence with the expected row count at each version. The
+# oracle pins the lineage as literal rows and recomputes the per-version
+# row counts from the source parquet — a mislabeled operation, a skipped
+# version, or a time-travel scan reading the wrong snapshot flips a row.
+# --------------------------------------------------------------------------
+@_register(
+    "lifecycle_history_audit",
+    """
+    WITH v(version, operation) AS (
+      VALUES (1, 'create'), (2, 'append'), (3, 'delete'), (4, 'merge')
+    ),
+    n AS (
+      SELECT
+        (SELECT COUNT(*) FROM documents) AS n_all,
+        (SELECT COUNT(*) FROM documents WHERE lang <> 'de') AS n_nodel
+    )
+    SELECT version, operation,
+           CASE version
+             WHEN 1 THEN 0
+             WHEN 2 THEN n_all
+             WHEN 3 THEN n_nodel
+             WHEN 4 THEN n_nodel + 1
+           END AS n_rows
+    FROM v, n
+    ORDER BY version
+    """,
+)
+def lifecycle_history_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    wh = _fresh_warehouse()
+    t = Table.create(wh, "db.docs", docs.schema)
+    t.append(docs.coalesce(4))
+    t = wh.load_table("db.docs")
+    t.delete_where(spark, "lang == 'de'", mode="mor")
+    t = wh.load_table("db.docs")
+    new_row = spark.createDataFrame([(-1, "xx", 7)], docs.schema)
+    t.merge(spark, new_row, ["doc_id"])
+    t = wh.load_table("db.docs")
+    rows = [
+        (s.version, s.operation, t.scan(spark, version=s.version).count())
+        for s in sorted(t.history(), key=lambda s: s.version)
+    ]
+    return spark.createDataFrame(
+        rows, "version int, operation string, n_rows long"
+    ).orderBy("version")
