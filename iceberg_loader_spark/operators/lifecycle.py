@@ -1064,3 +1064,70 @@ def lifecycle_history_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "version int, operation string, n_rows long"
     ).orderBy("version")
+
+
+# --------------------------------------------------------------------------
+# Rollback (Iceberg's rollback_to_snapshot) under the oracle gate: a
+# "bad" batch lands, the table is rolled back (a NEW snapshot restoring
+# the old file set — history stays append-only), and writes continue on
+# top. Verified by content on three refs at once: the current scan
+# (good rows + post-rollback append, zero bad rows), time travel INTO
+# the bad snapshot (the bad batch must still be visible until expiry),
+# and the rollback snapshot's operation label.
+# --------------------------------------------------------------------------
+@_register(
+    "lifecycle_rollback_counts",
+    """
+    SELECT 'current' AS ref, lang, COUNT(*) AS n_docs
+    FROM (
+      SELECT lang FROM documents
+      UNION ALL
+      SELECT 'xx' AS lang
+    )
+    GROUP BY lang
+    UNION ALL
+    SELECT 'v_bad' AS ref, 'bad' AS lang, 5 AS n_docs
+    UNION ALL
+    SELECT 'op' AS ref, 'rollback' AS lang, 1 AS n_docs
+    ORDER BY ref, lang
+    """,
+)
+def lifecycle_rollback_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    wh = _fresh_warehouse()
+    t = Table.create(wh, "db.docs", docs.schema)
+    t.append(docs)
+    t = wh.load_table("db.docs")
+    v_good = t.meta.current_version()
+    bad = spark.createDataFrame(
+        [(10_000_000 + i, "bad", 1) for i in range(5)], docs.schema
+    )
+    t.append(bad)
+    t = wh.load_table("db.docs")
+    v_bad = t.meta.current_version()
+    t.rollback(v_good)
+    t = wh.load_table("db.docs")
+    op = t.snapshot().operation
+    t.append(spark.createDataFrame([(-1, "xx", 7)], docs.schema))
+    t = wh.load_table("db.docs")
+    current = (
+        t.scan(spark)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+        .select(F.lit("current").alias("ref"), "lang", "n_docs")
+    )
+    bad_tt = (
+        t.scan(spark, version=v_bad)
+        .filter(F.col("lang") == "bad")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+        .select(F.lit("v_bad").alias("ref"), "lang", "n_docs")
+    )
+    op_row = spark.createDataFrame(
+        [("op", op, 1)], "ref string, lang string, n_docs long"
+    )
+    return current.unionByName(bad_tt).unionByName(op_row).orderBy(
+        "ref", "lang"
+    )
