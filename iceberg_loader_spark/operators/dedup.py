@@ -838,3 +838,78 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# B25+ — exact-substring (repeated-span) dedup, the Lee et al. 2022 /
+# C4-style intra-corpus pass the shingle families above don't cover:
+# whole-document near-dup (MinHash/SimHash) misses boilerplate spans
+# repeated across otherwise-distinct pages. Spans = 16-token windows at
+# stride 8, hashed once (md5); a span hash seen in >= 2 distinct docs
+# is duplicated text, and a doc whose duplicated spans reach 25% of its
+# spans is flagged (the drop/trim candidate list).
+#
+# Scale: the shuffle carries (16-byte hash, doc_id) pairs only — stride
+# 8 bounds spans at ~len/8 per doc; the span-frequency frame is one
+# hash aggregate. At 100 TB, template/boilerplate mega-spans would get
+# the same document-frequency cap as ngram_jaccard (drop hashes with
+# df > corpus_fraction before the join) — noted, not needed at test SF.
+# --------------------------------------------------------------------------
+_SPAN_W = 16  # span width (tokens)
+_SPAN_S = 8  # stride
+
+
+@_register(
+    "repeated_span_flags",
+    f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+    spans AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(
+               range(0, (len(t) - {_SPAN_W}) // {_SPAN_S} + 1),
+               p -> md5(array_to_string(
+                 t[p * {_SPAN_S} + 1 : p * {_SPAN_S} + {_SPAN_W}], ' '))))
+               AS h
+      FROM toks WHERE len(t) >= {_SPAN_W}
+    ),
+    freq AS (SELECT h, COUNT(*) AS nd FROM spans GROUP BY h)
+    SELECT s.doc_id,
+           COUNT(*) AS n_spans,
+           COUNT(CASE WHEN f.nd >= 2 THEN 1 END) AS n_dup_spans,
+           COUNT(CASE WHEN f.nd >= 2 THEN 1 END) * 4 >= COUNT(*)
+             AS heavy_dup
+    FROM spans s JOIN freq f ON s.h = f.h
+    GROUP BY s.doc_id
+    ORDER BY s.doc_id
+    """,
+)
+def repeated_span_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ts = _token_arrays(docs).filter(F.size("ts") >= _SPAN_W)
+    positions = F.sequence(
+        F.lit(0),
+        F.floor((F.size("ts") - _SPAN_W) / F.lit(_SPAN_S)).cast("int"),
+    )
+    span_arr = F.transform(
+        positions,
+        lambda p: F.md5(
+            F.array_join(
+                F.slice(F.col("ts"), p * _SPAN_S + 1, F.lit(_SPAN_W)), " "
+            )
+        ),
+    )
+    spans = _materialize(
+        ts.select("doc_id", F.explode(F.array_distinct(span_arr)).alias("h"))
+    )
+    freq = spans.groupBy("h").agg(F.count("*").alias("nd"))
+    dup = F.count(F.when(F.col("nd") >= 2, 1))
+    return (
+        spans.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            dup.alias("n_dup_spans"),
+            (dup * 4 >= F.count("*")).alias("heavy_dup"),
+        )
+        .orderBy("doc_id")
+    )
