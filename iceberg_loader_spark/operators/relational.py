@@ -1935,3 +1935,48 @@ def observed_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "table_name string, n_rows long, sum_qty_cents long, "
         "n_returned long, max_orderkey long",
     )
+
+
+# --------------------------------------------------------------------------
+# B12 — exact percentile as a WINDOW aggregate: trailing-16-event median
+# spend per user (the robust rolling baseline an anomaly detector
+# subtracts before thresholding — median shrugs off the spikes a rolling
+# mean chases). Exact interpolated percentile over integer cents: both
+# engines evaluate lower + frac*(higher-lower) on exactly-representable
+# ints, so the doubles are bit-identical.
+#
+# Scale: partitioned by user — parallel across keys; the ROWS frame
+# bounds the per-row sort buffer at 16 values, so memory is O(frame),
+# not O(partition). The global aggregate twin is value_percentiles_by_
+# type; this is the windowed form.
+# --------------------------------------------------------------------------
+@_register(
+    "window_median_trailing",
+    """
+    SELECT user_id, event_id,
+           quantile_cont(CAST(ROUND(value * 100, 0) AS BIGINT), 0.5)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)
+             AS trailing_median_cents
+    FROM events
+    WHERE user_id < 20
+    ORDER BY user_id, event_id
+    """,
+)
+def window_median_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-15, W.currentRow)
+    )
+    return (
+        ev.select("user_id", "event_id", "ts", cents.alias("cents"))
+        .select(
+            "user_id",
+            "event_id",
+            F.percentile("cents", 0.5).over(w).alias("trailing_median_cents"),
+        )
+        .orderBy("user_id", "event_id")
+    )
