@@ -1980,3 +1980,87 @@ def window_median_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# B7+ — ordered string aggregation (LISTAGG / string_agg, the reporting
+# op): nation names per region, comma-joined in name order. Spark has
+# no ordered listagg aggregate; the deterministic spelling is
+# sort-the-collected-array-then-join — array_sort is a full ordering,
+# so the result is identical at any shuffle parallelism (a bare
+# collect_list would be nondeterministic).
+# Scale: group payloads must be bounded (they are: nations per region);
+# for unbounded groups, cap with slice() after the sort.
+# --------------------------------------------------------------------------
+@_register(
+    "listagg_nations_by_region",
+    """
+    SELECT r.r_name,
+           COUNT(*) AS n_nations,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY r.r_name
+    """,
+)
+def listagg_nations_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_nations"),
+            F.array_join(
+                F.array_sort(F.collect_list("n_name")), ","
+            ).alias("nations"),
+        )
+        .orderBy("r_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# B18+ — OUTER lateral fan-out (posexplode_outer): rows whose array is
+# EMPTY survive as one (NULL pos, NULL tok) row instead of vanishing —
+# the semantics corner that silently loses documents in a plain explode
+# (a tokenizer emitting zero long tokens must not drop the doc from a
+# per-doc join downstream). The oracle replays with a LEFT JOIN LATERAL
+# unnest. Position is 0-based on both sides.
+# Scale: Generate is a narrow map-side op; output volume is the array
+# payload itself, no shuffle.
+# --------------------------------------------------------------------------
+@_register(
+    "posexplode_outer_long_tokens",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '),
+                         t -> length(t) > 6) AS long_toks
+      FROM documents WHERE doc_id < 300
+    )
+    SELECT d.doc_id,
+           u.pos - 1 AS pos,
+           u.tok
+    FROM d LEFT JOIN LATERAL (
+      SELECT unnest(long_toks) AS tok,
+             generate_subscripts(long_toks, 1) AS pos
+    ) u ON TRUE
+    ORDER BY d.doc_id, pos
+    """,
+)
+def posexplode_outer_long_tokens(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 300
+    )
+    long_toks = F.filter(
+        F.split(F.lower(F.col("text")), " "), lambda t: F.length(t) > 6
+    )
+    return (
+        docs.select("doc_id", long_toks.alias("long_toks"))
+        .select(
+            "doc_id", F.posexplode_outer("long_toks").alias("pos", "tok")
+        )
+        .orderBy("doc_id", "pos")
+    )
