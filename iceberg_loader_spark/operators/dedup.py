@@ -913,3 +913,166 @@ def repeated_span_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# The end-to-end curation funnel — the composition a pre-training data
+# pipeline actually runs, as ONE oracle-gated query: quality gate →
+# language filter → exact dedup (md5 text, min-id keeper) → near-dup
+# collapse (identical SimHash, min-id keeper) → eval-split
+# decontamination (drop eval docs and any train doc sharing a 5-gram
+# with one) → 98/1/1 split assignment. Emits the survivor count at
+# every stage (the funnel report data engineers watch) — a single
+# wrong filter, keeper rule, or hash anywhere in the chain flips a
+# count against the DuckDB replay.
+#
+# Scale: each stage is a recipe proven individually above (map-only
+# gates, hash-keyed keeper windows, hashed-gram collision join, pure-
+# function split); survivor frames are materialized once per stage so
+# the funnel costs one pass per stage, not a prefix re-run per count.
+# --------------------------------------------------------------------------
+_FUNNEL_BUCKET = (
+    "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+    "AS BIGINT) % 100"
+)
+
+
+@_register(
+    "curation_funnel_counts",
+    f"""
+    WITH base AS (
+      SELECT doc_id, text, lang, n_chars, {_DUCK_TOKENS} AS toks
+      FROM documents
+    ),
+    q AS (SELECT * FROM base
+          WHERE n_chars BETWEEN 100 AND 10000 AND len(toks) >= 20),
+    l AS (SELECT * FROM q WHERE lang <> 'zh'),
+    e AS (SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+                        ORDER BY doc_id) AS rn FROM l)
+          WHERE rn = 1),
+    sh AS (SELECT doc_id, {_duck_simhash('toks')} AS simhash
+           FROM (SELECT doc_id, list_distinct(toks) AS toks FROM base
+                 WHERE doc_id IN (SELECT doc_id FROM e))),
+    nd AS (SELECT e.* FROM e JOIN (
+             SELECT doc_id FROM (
+               SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY simhash
+                         ORDER BY doc_id) AS rn FROM sh)
+             WHERE rn = 1) k ON e.doc_id = k.doc_id),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+                    i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                             || ' ' || toks[i+3] || ' ' || toks[i+4]))))
+               AS g
+      FROM base WHERE len(toks) >= 5
+    ),
+    contam AS (
+      SELECT DISTINCT tr.doc_id
+      FROM (SELECT * FROM grams WHERE doc_id % 10 <> 0) tr
+      JOIN (SELECT * FROM grams WHERE doc_id % 10 = 0) ev ON tr.g = ev.g
+    ),
+    d AS (SELECT * FROM nd
+          WHERE doc_id % 10 <> 0
+            AND doc_id NOT IN (SELECT doc_id FROM contam)),
+    split AS (SELECT doc_id, {_FUNNEL_BUCKET} AS bucket FROM d)
+    SELECT stage, n_docs FROM (
+      SELECT '1_all' AS stage, COUNT(*) AS n_docs FROM base
+      UNION ALL SELECT '2_quality', COUNT(*) FROM q
+      UNION ALL SELECT '3_lang', COUNT(*) FROM l
+      UNION ALL SELECT '4_exact_dedup', COUNT(*) FROM e
+      UNION ALL SELECT '5_neardup', COUNT(*) FROM nd
+      UNION ALL SELECT '6_decontam', COUNT(*) FROM d
+      UNION ALL SELECT '7_train', COUNT(*) FROM split WHERE bucket < 98
+      UNION ALL SELECT '8_val', COUNT(*) FROM split WHERE bucket = 98
+      UNION ALL SELECT '9_test', COUNT(*) FROM split WHERE bucket > 98
+    )
+    ORDER BY stage
+    """,
+)
+def curation_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as _W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks_n = F.size(
+        F.filter(
+            F.split(F.lower(F.col("text")), " "),
+            lambda t: F.length(t) > 0,
+        )
+    )
+    base = docs.select("doc_id", "text", "lang", "n_chars")
+    q = base.filter(
+        F.col("n_chars").between(100, 10000) & (toks_n >= 20)
+    )
+    l = q.filter(F.col("lang") != "zh")
+    e = _materialize(
+        l.withColumn(
+            "rn",
+            F.row_number().over(
+                _W.partitionBy(F.md5("text")).orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    sh = _simhash_df(docs.join(e.select("doc_id"), "doc_id"))
+    keepers = (
+        sh.withColumn(
+            "rn",
+            F.row_number().over(
+                _W.partitionBy("simhash").orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id")
+    )
+    nd = _materialize(e.join(keepers, "doc_id"))
+    grams = _materialize(
+        _token_arrays(docs)
+        .filter(F.size("ts") >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.transform(_gram_expr(5), F.md5))
+            ).alias("g"),
+        )
+    )
+    contam = (
+        grams.filter(F.col("doc_id") % 10 != 0)
+        .join(
+            grams.filter(F.col("doc_id") % 10 == 0).select("g").distinct(),
+            "g",
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    d = _materialize(
+        nd.filter(F.col("doc_id") % 10 != 0).join(
+            contam, "doc_id", "left_anti"
+        )
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+        % 100
+    )
+    split = d.select("doc_id", bucket.alias("bucket"))
+
+    def _stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count("*").alias("n_docs")).select(
+            F.lit(name).alias("stage"), "n_docs"
+        )
+
+    return (
+        _stage(base, "1_all")
+        .unionByName(_stage(q, "2_quality"))
+        .unionByName(_stage(l, "3_lang"))
+        .unionByName(_stage(e, "4_exact_dedup"))
+        .unionByName(_stage(nd, "5_neardup"))
+        .unionByName(_stage(d, "6_decontam"))
+        .unionByName(_stage(split.filter("bucket < 98"), "7_train"))
+        .unionByName(_stage(split.filter("bucket = 98"), "8_val"))
+        .unionByName(_stage(split.filter("bucket > 98"), "9_test"))
+        .orderBy("stage")
+    )
