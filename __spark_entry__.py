@@ -17,10 +17,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query (TPC-H Q1 shape) on /root/testdata/sf0.001."""
+    """Flagship: the end-to-end curation funnel (quality gate -> language
+    filter -> exact dedup -> SimHash near-dup collapse -> eval-split
+    decontamination -> train/val/test split) on /root/testdata/sf0.001 —
+    per-stage survivor counts, the report a pre-training data pipeline
+    watches."""
     from iceberg_loader_spark.operators import all_queries
 
-    return all_queries()["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
+    return all_queries()["curation_funnel_counts"](
+        spark, "/root/testdata/sf0.001"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
