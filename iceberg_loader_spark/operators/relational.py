@@ -2064,3 +2064,54 @@ def posexplode_outer_long_tokens(
         )
         .orderBy("doc_id", "pos")
     )
+
+
+# --------------------------------------------------------------------------
+# B17+ — error-safe arithmetic under ANSI mode (the try_* family):
+# Spark 4 defaults to ANSI SQL, where division by zero and overflowing
+# casts THROW mid-job instead of yielding NULL — on a 100 TB run, one
+# dirty row kills hour-long stages. try_divide / try_cast are the
+# per-expression opt-outs that keep the job alive and auditable (NULL
+# count = dirty-row count). The oracle replays with NULLIF-guarded
+# division and TRY_CAST.
+# --------------------------------------------------------------------------
+@_register(
+    "try_funcs_battery",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(CASE WHEN user_id % 7 = 0 THEN 1 END) AS n_divzero,
+           CAST(SUM(CAST(COALESCE(FLOOR(
+                 (CAST(ROUND(value * 100, 0) AS BIGINT) * 10000)
+                 / NULLIF(user_id % 7, 0)), 0) AS BIGINT))
+               AS BIGINT) AS sum_ratio_fp,
+           COUNT(TRY_CAST('x' || CAST(user_id AS VARCHAR) AS BIGINT))
+             AS n_castable
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def try_funcs_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    # exact across engines: scale to fixed-point BEFORE the division
+    # (the scaled numerator stays < 2^53, the IEEE quotient is then
+    # bit-identical in both engines, and floor() of the same double is
+    # the same integer — no decimal rounding ties)
+    ratio = F.try_divide(cents * 10000, F.col("user_id") % 7)
+    ratio_fp = F.coalesce(F.floor(ratio), F.lit(0)).cast("bigint")
+    uncastable = F.try_to_number(
+        F.concat(F.lit("x"), F.col("user_id").cast("string")),
+        F.lit("999999"),
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count(F.when(F.col("user_id") % 7 == 0, 1)).alias("n_divzero"),
+            F.sum(ratio_fp).cast("bigint").alias("sum_ratio_fp"),
+            F.count(uncastable).alias("n_castable"),
+        )
+        .orderBy("event_type")
+    )
