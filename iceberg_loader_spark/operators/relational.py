@@ -2115,3 +2115,54 @@ def try_funcs_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# B17++ — map HIGHER-ORDER functions (map_funcs_battery above covers
+# construction/lookup; this covers the transform pipeline): per-user
+# event-type counts built as a map (map_from_entries over a grouped
+# collect), values transformed (x2 — transform_values), low-count
+# entries dropped (map_filter), then exploded back to rows via
+# map_entries for the row-based oracle. The map stays inside one
+# task between the aggregate and the explode — HOFs are expression-
+# level, no extra shuffle.
+# --------------------------------------------------------------------------
+@_register(
+    "map_hof_battery",
+    """
+    SELECT user_id, event_type,
+           COUNT(*) * 2 AS doubled_n
+    FROM events
+    GROUP BY user_id, event_type
+    HAVING COUNT(*) >= 2
+    ORDER BY user_id, event_type
+    """,
+)
+def map_hof_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n")
+    )
+    as_map = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "n"))
+        ).alias("m")
+    )
+    piped = as_map.select(
+        "user_id",
+        F.map_filter(
+            F.transform_values(F.col("m"), lambda k, v: v * 2),
+            lambda k, v: v >= 4,
+        ).alias("m"),
+    )
+    return (
+        piped.select(
+            "user_id", F.explode(F.map_entries("m")).alias("entry")
+        )
+        .select(
+            "user_id",
+            F.col("entry.key").alias("event_type"),
+            F.col("entry.value").alias("doubled_n"),
+        )
+        .orderBy("user_id", "event_type")
+    )
