@@ -2166,3 +2166,52 @@ def map_hof_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# B15+ — regex + structured-string battery: regexp_extract (group
+# capture), split_part (delimiter field access), regexp_replace
+# (global — DuckDB needs the explicit 'g' flag to match Spark's
+# replace-all default), and rlike anchoring, all over the part
+# dimension. Map-only + one hash aggregate.
+# --------------------------------------------------------------------------
+@_register(
+    "regex_string_battery",
+    """
+    SELECT p_brand,
+           COUNT(*) AS n_parts,
+           CAST(MIN(CAST(regexp_extract(p_brand, '(\\d+)', 1) AS BIGINT))
+                AS BIGINT) AS brand_num_re,
+           CAST(MIN(CAST(split_part(p_brand, '#', 2) AS BIGINT))
+                AS BIGINT) AS brand_num_sp,
+           COUNT(CASE WHEN regexp_matches(p_name, 'widget$') THEN 1 END)
+             AS n_widget,
+           MIN(regexp_replace(p_name, '[aeiou]', '', 'g')) AS min_devoweled
+    FROM part
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def regex_string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.min(
+                F.regexp_extract("p_brand", r"(\d+)", 1).cast("bigint")
+            ).alias("brand_num_re"),
+            F.min(
+                F.split_part(F.col("p_brand"), F.lit("#"), F.lit(2)).cast(
+                    "bigint"
+                )
+            ).alias("brand_num_sp"),
+            F.count(
+                F.when(F.col("p_name").rlike("widget$"), 1)
+            ).alias("n_widget"),
+            F.min(F.regexp_replace("p_name", "[aeiou]", "")).alias(
+                "min_devoweled"
+            ),
+        )
+        .orderBy("p_brand")
+    )
