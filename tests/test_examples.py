@@ -76,3 +76,17 @@ def test_compare_complex_json_fail_example(tmp_path):
 def test_cdc_and_clustering_example(tmp_path):
     res = _load("cdc_and_clustering").main(str(tmp_path))
     assert res["changes"] == 4
+
+
+@pytest.mark.usefixtures("spark")
+def test_curation_pipeline_example(tmp_path):
+    mod = _load("curation_pipeline")
+    result = mod.run_example(str(tmp_path))
+    funnel = result["funnel"]
+    # monotone funnel + the landed train set is a subset of decontam
+    # survivors (train bucket < 98 of them)
+    assert funnel["1_all"] >= funnel["2_quality"] >= funnel["3_lang"]
+    assert funnel["3_lang"] >= funnel["4_exact_dedup"] >= funnel["5_neardup"]
+    assert funnel["5_neardup"] >= funnel["6_decontam"]
+    assert result["rows_landed"] == funnel["7_train"]
+    assert result["tag_version"] >= 2
