@@ -2215,3 +2215,54 @@ def regex_string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+# --------------------------------------------------------------------------
+# B14+ — schema-drift union (unionByName allowMissingColumns): the
+# append-two-generations-of-a-feed shape — an old extract without the
+# priority column unioned with a new extract that has it; missing
+# columns NULL-fill by NAME, never by position (a positional union
+# would silently misalign). Oracle = DuckDB's UNION ALL BY NAME.
+# Scale: union is plan-level concatenation — no shuffle; the NULL fill
+# is a projection.
+# --------------------------------------------------------------------------
+@_register(
+    "union_by_name_drift",
+    """
+    WITH unioned AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL BY NAME
+      SELECT o_orderkey, o_orderpriority, o_orderstatus,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           COUNT(o_orderpriority) AS n_with_priority,
+           CAST(SUM(price) AS DOUBLE) AS sum_price
+    FROM unioned
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def union_by_name_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)").alias("price")
+    old_feed = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus", price
+    )
+    new_feed = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderpriority", "o_orderstatus", price
+    )
+    return (
+        old_feed.unionByName(new_feed, allowMissingColumns=True)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.count("o_orderpriority").alias("n_with_priority"),
+            F.sum("price").cast("double").alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
