@@ -1170,3 +1170,98 @@ def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id")
     )
+
+
+# --------------------------------------------------------------------------
+# B26 — Product Quantization (PQ) encoding, the standard ANN
+# compression (Jégou et al., TPAMI 2011): the 64-dim vector splits into
+# 8 subspaces of 8 dims; each sub-vector is coded as its nearest of 16
+# sub-centroids (exact fixed-point squared-L2, ties to the lower id) —
+# 64 floats become 8 codes (8 bytes), a 32x payload shrink with the
+# per-vector reconstruction error emitted as the quality signal.
+# Codebooks are data-derived (the first 16 vectors' sub-slices — the
+# same deterministic stand-in for k-means training as the IVF
+# quantizer, noted there).
+#
+# Scale: the 16x8 codebook rides a broadcast; encoding is map-side with
+# a constant 128-row expansion per vector (8 subspaces x 16 centroids)
+# collapsed by an argmin window keyed (vec_id, subspace) — parallel in
+# vectors, no shuffle of raw embeddings beyond their own partition.
+# --------------------------------------------------------------------------
+_PQ_M = 8  # subspaces
+_PQ_D = 8  # dims per subspace
+_PQ_K = 16  # codes per subspace
+
+
+@_register(
+    "pq_encode_vectors",
+    f"""
+    WITH fp AS (
+      SELECT vec_id, {_DUCK_FP.format(col='embedding')} AS e FROM embeddings
+    ),
+    cb AS (SELECT vec_id AS c_id, e AS c_e FROM fp WHERE vec_id < {_PQ_K}),
+    pairs AS (
+      SELECT f.vec_id, s.s, c.c_id,
+             list_sum(list_transform(range(1, {_PQ_D} + 1),
+               j -> (f.e[s.s * {_PQ_D} + j] - c.c_e[s.s * {_PQ_D} + j])
+                    * (f.e[s.s * {_PQ_D} + j] - c.c_e[s.s * {_PQ_D} + j])))
+               AS d2
+      FROM fp f, (SELECT unnest(range(0, {_PQ_M})) AS s) s, cb c
+    ),
+    codes AS (
+      SELECT vec_id, s, c_id AS code, d2 FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                    ORDER BY d2, c_id) AS rn
+        FROM pairs)
+      WHERE rn = 1
+    )
+    SELECT vec_id,
+           string_agg(CAST(code AS VARCHAR), ',' ORDER BY s) AS codes,
+           CAST(SUM(d2) AS BIGINT) AS recon_err_sq
+    FROM codes
+    GROUP BY vec_id
+    ORDER BY vec_id
+    """,
+)
+def pq_encode_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    fp = emb.select("vec_id", _fixed_point(F.col("embedding")).alias("e"))
+    cb = fp.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("c_id"), F.col("e").alias("c_e")
+    )
+    sub = F.explode(
+        F.sequence(F.lit(0), F.lit(_PQ_M - 1))
+    ).alias("s")
+    expanded = fp.select("vec_id", "e", sub)
+    d2 = F.aggregate(
+        F.zip_with(
+            F.slice(F.col("e"), F.col("s") * _PQ_D + 1, F.lit(_PQ_D)),
+            F.slice(F.col("c_e"), F.col("s") * _PQ_D + 1, F.lit(_PQ_D)),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    pairs = expanded.join(F.broadcast(cb)).select(
+        "vec_id", "s", "c_id", d2.alias("d2")
+    )
+    w = W.partitionBy("vec_id", "s").orderBy("d2", "c_id")
+    codes = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "s", F.col("c_id").alias("code"), "d2")
+    )
+    return (
+        codes.groupBy("vec_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("s", "code"))),
+                    lambda st: st.getField("code").cast("string"),
+                ),
+                ",",
+            ).alias("codes"),
+            F.sum("d2").cast("bigint").alias("recon_err_sq"),
+        )
+        .orderBy("vec_id")
+    )
