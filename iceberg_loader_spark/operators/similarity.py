@@ -1193,14 +1193,12 @@ _PQ_D = 8  # dims per subspace
 _PQ_K = 16  # codes per subspace
 
 
-@_register(
-    "pq_encode_vectors",
-    f"""
-    WITH fp AS (
+_DUCK_PQ_CODES = f"""
+    fp AS (
       SELECT vec_id, {_DUCK_FP.format(col='embedding')} AS e FROM embeddings
     ),
     cb AS (SELECT vec_id AS c_id, e AS c_e FROM fp WHERE vec_id < {_PQ_K}),
-    pairs AS (
+    pq_pairs AS (
       SELECT f.vec_id, s.s, c.c_id,
              list_sum(list_transform(range(1, {_PQ_D} + 1),
                j -> (f.e[s.s * {_PQ_D} + j] - c.c_e[s.s * {_PQ_D} + j])
@@ -1212,9 +1210,54 @@ _PQ_K = 16  # codes per subspace
       SELECT vec_id, s, c_id AS code, d2 FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
                     ORDER BY d2, c_id) AS rn
-        FROM pairs)
+        FROM pq_pairs)
       WHERE rn = 1
     )
+"""
+
+
+def _pq_sub_d2() -> F.Column:
+    """Squared L2 between the ``s``-th sub-slices of fixed-point arrays
+    ``e`` and ``c_e`` — exact bigint."""
+    return F.aggregate(
+        F.zip_with(
+            F.slice(F.col("e"), F.col("s") * _PQ_D + 1, F.lit(_PQ_D)),
+            F.slice(F.col("c_e"), F.col("s") * _PQ_D + 1, F.lit(_PQ_D)),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, s, code, d2): every vector's nearest sub-centroid per
+    subspace — broadcast codebook, map-side expansion, argmin window.
+    Materialized once (pq_encode_vectors and pq_adc_topk both read it)."""
+    from iceberg_loader_spark.operators.dedup import _materialize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    fp = emb.select("vec_id", _fixed_point(F.col("embedding")).alias("e"))
+    cb = fp.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("c_id"), F.col("e").alias("c_e")
+    )
+    sub = F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("s")
+    pairs = fp.select("vec_id", "e", sub).join(F.broadcast(cb)).select(
+        "vec_id", "s", "c_id", _pq_sub_d2().alias("d2")
+    )
+    w = W.partitionBy("vec_id", "s").orderBy("d2", "c_id")
+    return _materialize(
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "s", F.col("c_id").alias("code"), "d2")
+    )
+
+
+
+@_register(
+    "pq_encode_vectors",
+    f"""
+    WITH {_DUCK_PQ_CODES}
     SELECT vec_id,
            string_agg(CAST(code AS VARCHAR), ',' ORDER BY s) AS codes,
            CAST(SUM(d2) AS BIGINT) AS recon_err_sq
@@ -1224,33 +1267,7 @@ _PQ_K = 16  # codes per subspace
     """,
 )
 def pq_encode_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    fp = emb.select("vec_id", _fixed_point(F.col("embedding")).alias("e"))
-    cb = fp.filter(F.col("vec_id") < _PQ_K).select(
-        F.col("vec_id").alias("c_id"), F.col("e").alias("c_e")
-    )
-    sub = F.explode(
-        F.sequence(F.lit(0), F.lit(_PQ_M - 1))
-    ).alias("s")
-    expanded = fp.select("vec_id", "e", sub)
-    d2 = F.aggregate(
-        F.zip_with(
-            F.slice(F.col("e"), F.col("s") * _PQ_D + 1, F.lit(_PQ_D)),
-            F.slice(F.col("c_e"), F.col("s") * _PQ_D + 1, F.lit(_PQ_D)),
-            lambda a, b: (a - b) * (a - b),
-        ),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    pairs = expanded.join(F.broadcast(cb)).select(
-        "vec_id", "s", "c_id", d2.alias("d2")
-    )
-    w = W.partitionBy("vec_id", "s").orderBy("d2", "c_id")
-    codes = (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "s", F.col("c_id").alias("code"), "d2")
-    )
+    codes = _pq_codes(spark, sf_dir)
     return (
         codes.groupBy("vec_id")
         .agg(
@@ -1264,4 +1281,85 @@ def pq_encode_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("d2").cast("bigint").alias("recon_err_sq"),
         )
         .orderBy("vec_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# B26 — PQ asymmetric-distance search (ADC): each query computes its
+# exact distance TABLE to all 16 sub-centroids per subspace (8x16 = 128
+# entries, broadcast); a candidate's approximate distance is then 8
+# table LOOKUPS summed over its stored codes — the uncompressed query /
+# compressed corpus search that makes billion-vector ANN affordable.
+# Top-3 per query by ADC distance (ties to the lower id), self excluded.
+#
+# Scale: the distance tables are query-side-only work (O(q x 128));
+# the corpus side touches just its 8 codes per vector — never the raw
+# embedding — so the scan payload is 8 bytes/vector regardless of
+# dimension.
+# --------------------------------------------------------------------------
+@_register(
+    "pq_adc_topk",
+    f"""
+    WITH {_DUCK_PQ_CODES},
+    dtab AS (
+      SELECT q.vec_id AS q_id, s.s, c.c_id,
+             list_sum(list_transform(range(1, {_PQ_D} + 1),
+               j -> (q.e[s.s * {_PQ_D} + j] - c.c_e[s.s * {_PQ_D} + j])
+                    * (q.e[s.s * {_PQ_D} + j] - c.c_e[s.s * {_PQ_D} + j])))
+               AS d2
+      FROM (SELECT * FROM fp WHERE vec_id < 10) q,
+           (SELECT unnest(range(0, {_PQ_M})) AS s) s, cb c
+    ),
+    adc AS (
+      SELECT d.q_id, n.vec_id AS n_id, SUM(d.d2) AS adc_d2
+      FROM codes n JOIN dtab d ON d.s = n.s AND d.c_id = n.code
+      WHERE n.vec_id <> d.q_id
+      GROUP BY d.q_id, n.vec_id
+    )
+    SELECT q_id, n_id, CAST(adc_d2 AS BIGINT) AS adc_d2, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                  ORDER BY adc_d2, n_id) AS rnk
+      FROM adc)
+    WHERE rnk <= 3
+    ORDER BY q_id, rnk
+    """,
+)
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    fp = emb.select("vec_id", _fixed_point(F.col("embedding")).alias("e"))
+    cb = fp.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("c_id"), F.col("e").alias("c_e")
+    )
+    sub = F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("s")
+    dtab = (
+        fp.filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("q_id"), "e", sub)
+        .join(F.broadcast(cb))
+        .select("q_id", "s", "c_id", _pq_sub_d2().alias("d2"))
+    )
+    dtab = dtab.select(
+        "q_id",
+        F.col("s").alias("qs"),
+        F.col("c_id").alias("qc"),
+        F.col("d2").alias("qd2"),
+    )
+    codes = _pq_codes(spark, sf_dir)
+    adc = (
+        codes.join(
+            F.broadcast(dtab),
+            (F.col("s") == F.col("qs"))
+            & (F.col("code") == F.col("qc"))
+            & (F.col("vec_id") != F.col("q_id")),
+        )
+        .groupBy("q_id", F.col("vec_id").alias("n_id"))
+        .agg(F.sum("qd2").alias("adc_d2"))
+    )
+    w = W.partitionBy("q_id").orderBy("adc_d2", "n_id")
+    return (
+        adc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "q_id", "n_id", F.col("adc_d2").cast("bigint").alias("adc_d2"), "rnk"
+        )
+        .orderBy("q_id", "rnk")
     )
