@@ -2266,3 +2266,85 @@ def union_by_name_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --------------------------------------------------------------------------
+# B16+ — calendar battery: last_day / add_months (month-end clamping),
+# ISO week number, day-of-week (Spark is 1=Sunday; DuckDB is 0=Sunday —
+# the oracle adds 1), quarter, day-of-year. Dates leave the engine as
+# formatted strings (DATE objects hash differently across drivers).
+# Map-only.
+# --------------------------------------------------------------------------
+@_register(
+    "calendar_funcs_battery",
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS d,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+             AS month_end,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH,
+                    '%Y-%m-%d') AS next_month,
+           CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+           CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+           CAST(quarter(o_orderdate) AS INTEGER) AS q,
+           CAST(dayofyear(o_orderdate) AS INTEGER) AS doy
+    FROM orders
+    WHERE o_orderkey < 500
+    ORDER BY o_orderkey
+    """,
+)
+def calendar_funcs_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    d = F.col("o_orderdate")
+    return (
+        o.select(
+            "o_orderkey",
+            F.date_format(d, "yyyy-MM-dd").alias("d"),
+            F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+            F.date_format(F.add_months(d, 1), "yyyy-MM-dd").alias(
+                "next_month"
+            ),
+            F.weekofyear(d).alias("iso_week"),
+            F.dayofweek(d).alias("dow"),
+            F.quarter(d).alias("q"),
+            F.dayofyear(d).alias("doy"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# B15++ — fuzzy entity matching by edit distance (levenshtein), the
+# record-linkage primitive: all nation-name pairs within distance 5,
+# lowest-id-first ordering.
+# Scale: here the dimension is tiny so the cross join is trivial; for
+# fact-scale linkage the recipe is block-then-match — group candidates
+# by a cheap key (first char, length band, phonetic code) and run the
+# O(mn) edit distance only within blocks, exactly like the LSH families
+# bound their pair spaces.
+# --------------------------------------------------------------------------
+@_register(
+    "fuzzy_match_nations",
+    """
+    SELECT a.n_name AS name_a, b.n_name AS name_b,
+           CAST(levenshtein(a.n_name, b.n_name) AS INTEGER) AS dist
+    FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+    WHERE levenshtein(a.n_name, b.n_name) <= 5
+    ORDER BY name_a, name_b
+    """,
+)
+def fuzzy_match_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    a = n.select(
+        F.col("n_nationkey").alias("ka"), F.col("n_name").alias("name_a")
+    )
+    b = n.select(
+        F.col("n_nationkey").alias("kb"), F.col("n_name").alias("name_b")
+    )
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        a.join(F.broadcast(b), F.col("ka") < F.col("kb"))
+        .filter(dist <= 5)
+        .select("name_a", "name_b", dist.alias("dist"))
+        .orderBy("name_a", "name_b")
+    )
