@@ -2315,8 +2315,9 @@ def calendar_funcs_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # B15++ — fuzzy entity matching by edit distance (levenshtein), the
-# record-linkage primitive: all nation-name pairs within distance 5,
-# lowest-id-first ordering.
+# record-linkage primitive: nation-name pairs within distance 1 (the
+# synthetic names are NATION_<k>, so distance 1 means the suffixes
+# differ by one digit edit — a selective match set), lowest-id-first.
 # Scale: here the dimension is tiny so the cross join is trivial; for
 # fact-scale linkage the recipe is block-then-match — group candidates
 # by a cheap key (first char, length band, phonetic code) and run the
@@ -2329,7 +2330,7 @@ def calendar_funcs_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.n_name AS name_a, b.n_name AS name_b,
            CAST(levenshtein(a.n_name, b.n_name) AS INTEGER) AS dist
     FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
-    WHERE levenshtein(a.n_name, b.n_name) <= 5
+    WHERE levenshtein(a.n_name, b.n_name) <= 1
     ORDER BY name_a, name_b
     """,
 )
@@ -2344,7 +2345,7 @@ def fuzzy_match_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
     return (
         a.join(F.broadcast(b), F.col("ka") < F.col("kb"))
-        .filter(dist <= 5)
+        .filter(dist <= 1)
         .select("name_a", "name_b", dist.alias("dist"))
         .orderBy("name_a", "name_b")
     )
