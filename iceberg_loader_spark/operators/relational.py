@@ -2349,3 +2349,75 @@ def fuzzy_match_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("name_a", "name_b", dist.alias("dist"))
         .orderBy("name_a", "name_b")
     )
+
+
+# --------------------------------------------------------------------------
+# B6 at scale — BINNED interval join: range_join_value_bands above is a
+# broadcast nested-loop (correct, and fine while the interval side is
+# tiny); this is the form that survives when it is not. Each non-
+# uniform interval EXPLODES into the fixed-width bins it overlaps, the
+# fact row computes its bin by arithmetic, and the join becomes an
+# EQUI-join on bin id refined by the exact predicate — hash joins (and
+# thus AQE, broadcast-vs-shuffle choice, skew splitting) replace the
+# O(rows x intervals) nested loop. The oracle replays the plain theta
+# join: binning is a physical strategy, the result set is identical.
+# --------------------------------------------------------------------------
+_BIN_W = 10_000  # bin width in price units
+
+
+@_register(
+    "range_join_binned",
+    """
+    SELECT b.band_id, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS band_price
+    FROM orders o
+    JOIN (VALUES (0, 0.0, 10000.0), (1, 10000.0, 30000.0),
+                 (2, 30000.0, 70000.0), (3, 70000.0, 150000.0),
+                 (4, 150000.0, 310000.0), (5, 310000.0, 630000.0))
+         b(band_id, lo, hi)
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.band_id
+    ORDER BY b.band_id
+    """,
+)
+def range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [
+            (0, 0.0, 10_000.0),
+            (1, 10_000.0, 30_000.0),
+            (2, 30_000.0, 70_000.0),
+            (3, 70_000.0, 150_000.0),
+            (4, 150_000.0, 310_000.0),
+            (5, 310_000.0, 630_000.0),
+        ],
+        "band_id int, lo double, hi double",
+    )
+    binned_bands = bands.select(
+        "band_id",
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(
+                (F.col("lo") / _BIN_W).cast("bigint"),
+                ((F.col("hi") - 1) / _BIN_W).cast("bigint"),
+            )
+        ).alias("bin"),
+    )
+    fact = orders.withColumn(
+        "bin", (F.col("o_totalprice") / _BIN_W).cast("bigint")
+    )
+    return (
+        fact.join(F.broadcast(binned_bands), "bin")
+        .filter(
+            (F.col("o_totalprice") >= F.col("lo"))
+            & (F.col("o_totalprice") < F.col("hi"))
+        )
+        .groupBy("band_id")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("band_price"),
+        )
+        .orderBy("band_id")
+    )
