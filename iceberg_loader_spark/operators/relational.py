@@ -2421,3 +2421,66 @@ def range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Skew diagnostics — the planning query you run BEFORE picking a join
+# strategy at 100 TB: per candidate join key, the distinct-key count,
+# the hottest key's row count, and the hot key's corpus share in ppm
+# (exact integer arithmetic). A share in the percents range says
+# "salt this key or let AQE split it"; distinct counts say whether the
+# build side can broadcast. One hash aggregate + a tiny argmax each.
+# --------------------------------------------------------------------------
+@_register(
+    "skew_diagnostics",
+    """
+    WITH ks AS (
+      SELECT 'orders.o_custkey' AS key_name, o_custkey AS k FROM orders
+      UNION ALL
+      SELECT 'lineitem.l_orderkey', l_orderkey FROM lineitem
+      UNION ALL
+      SELECT 'events.user_id', user_id FROM events
+    ),
+    per_key AS (
+      SELECT key_name, k, COUNT(*) AS n FROM ks GROUP BY key_name, k
+    )
+    SELECT key_name,
+           COUNT(*) AS n_distinct,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(MAX(n) AS BIGINT) AS hot_key_rows,
+           CAST(MAX(n) * 1000000 // SUM(n) AS BIGINT) AS hot_share_ppm
+    FROM per_key
+    GROUP BY key_name
+    ORDER BY key_name
+    """,
+)
+def skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frames = [
+        load_table(spark, sf_dir, "orders").select(
+            F.lit("orders.o_custkey").alias("key_name"),
+            F.col("o_custkey").alias("k"),
+        ),
+        load_table(spark, sf_dir, "lineitem").select(
+            F.lit("lineitem.l_orderkey").alias("key_name"),
+            F.col("l_orderkey").alias("k"),
+        ),
+        load_table(spark, sf_dir, "events").select(
+            F.lit("events.user_id").alias("key_name"),
+            F.col("user_id").alias("k"),
+        ),
+    ]
+    ks = frames[0].unionByName(frames[1]).unionByName(frames[2])
+    per_key = ks.groupBy("key_name", "k").agg(F.count("*").alias("n"))
+    return (
+        per_key.groupBy("key_name")
+        .agg(
+            F.count("*").alias("n_distinct"),
+            F.sum("n").cast("bigint").alias("n_rows"),
+            F.max("n").cast("bigint").alias("hot_key_rows"),
+        )
+        .withColumn(
+            "hot_share_ppm",
+            F.expr("hot_key_rows * 1000000 DIV n_rows").cast("bigint"),
+        )
+        .orderBy("key_name")
+    )
