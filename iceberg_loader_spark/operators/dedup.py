@@ -1076,3 +1076,205 @@ def curation_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_stage(split.filter("bucket > 98"), "9_test"))
         .orderBy("stage")
     )
+
+
+# --------------------------------------------------------------------------
+# Sketch-accuracy audit: for every MinHash/LSH candidate pair, compare the
+# signature-estimated Jaccard against the EXACT 3-gram Jaccard, all in
+# integer basis points — the eval a pipeline owner runs before trusting a
+# minhash dedup threshold (same self-verifying pattern as ann_recall_ivf).
+#
+# Scale: the exact side is computed ONLY for candidate pairs (LSH-bounded,
+# not all-pairs); the gram frame joins through the pair list, so the
+# shuffle carries (doc_id, gram-hash)-sized rows for candidate docs only.
+# All outputs are exact integers — bit-identical across engines.
+# --------------------------------------------------------------------------
+@_register(
+    "minhash_jaccard_accuracy",
+    f"""
+    WITH {_DUCK_MINHASH_SIGS},
+    bands AS (
+      SELECT doc_id, band_id, sig[2*band_id + 1] AS k1, sig[2*band_id + 2] AS k2
+      FROM sigs, (SELECT unnest(range({_N_BANDS})) AS band_id)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.k1 = b.k1 AND a.k2 = b.k2
+       AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT c.a_id, c.b_id,
+             CAST(list_sum(list_transform(range(1, {_N_HASHES + 1}),
+                      i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
+                  AS BIGINT) AS n_match
+      FROM cand c
+      JOIN sigs sa ON sa.doc_id = c.a_id
+      JOIN sigs sb ON sb.doc_id = c.b_id
+    ),
+    kept AS (SELECT * FROM scored WHERE n_match >= {_N_HASHES // 2}),
+    grams AS (
+      SELECT doc_id, unnest(shingles) AS gram
+      FROM (SELECT doc_id, {_DUCK_SHINGLES3} AS shingles
+            FROM (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents))
+    ),
+    gcnt AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT k.a_id, k.b_id, COUNT(*) AS n_inter
+      FROM kept k
+      JOIN grams ga ON ga.doc_id = k.a_id
+      JOIN grams gb ON gb.doc_id = k.b_id AND gb.gram = ga.gram
+      GROUP BY k.a_id, k.b_id
+    )
+    SELECT k.a_id, k.b_id, k.n_match,
+           COALESCE(i.n_inter, 0) AS n_inter,
+           ca.n + cb.n - COALESCE(i.n_inter, 0) AS n_union,
+           (10000 * COALESCE(i.n_inter, 0))
+             // (ca.n + cb.n - COALESCE(i.n_inter, 0)) AS exact_bps,
+           k.n_match * {10000 // _N_HASHES} AS est_bps,
+           abs(k.n_match * {10000 // _N_HASHES}
+               - (10000 * COALESCE(i.n_inter, 0))
+                 // (ca.n + cb.n - COALESCE(i.n_inter, 0))) AS err_bps
+    FROM kept k
+    LEFT JOIN inter i ON i.a_id = k.a_id AND i.b_id = k.b_id
+    JOIN gcnt ca ON ca.doc_id = k.a_id
+    JOIN gcnt cb ON cb.doc_id = k.b_id
+    ORDER BY k.a_id, k.b_id
+    """,
+)
+def minhash_jaccard_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimated-vs-exact Jaccard for every LSH candidate pair, in basis
+    points (integers — exact cross-engine). ``err_bps`` quantifies the
+    8-hash sketch's error; the oracle recomputes both sides from scratch,
+    so a drifting hash recipe or a broken band join turns the row red."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _materialize(
+        _minhash_scored_pairs(spark, sf_dir).select("a_id", "b_id", "n_match")
+    )
+    grams = _materialize(
+        _gram_rows(docs.join(
+            pairs.select(F.col("a_id").alias("doc_id"))
+            .unionByName(pairs.select(F.col("b_id").alias("doc_id")))
+            .distinct(),
+            "doc_id",
+            "left_semi",
+        ), 3)
+    )
+    gcnt = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ga = grams.select(F.col("doc_id").alias("a_id"), "gram")
+    gb = grams.select(F.col("doc_id").alias("b_id"), "gram")
+    inter = (
+        pairs.join(ga, "a_id")
+        .join(gb, ["b_id", "gram"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    n_union = F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    exact_bps = F.expr("(10000 * n_inter) div n_union")
+    est_bps = F.col("n_match") * (10000 // _N_HASHES)
+    return (
+        pairs.join(inter, ["a_id", "b_id"], "left")
+        .na.fill({"n_inter": 0})
+        .join(gcnt.select(F.col("doc_id").alias("a_id"),
+                          F.col("n").alias("n_a")), "a_id")
+        .join(gcnt.select(F.col("doc_id").alias("b_id"),
+                          F.col("n").alias("n_b")), "b_id")
+        .select(
+            "a_id", "b_id", "n_match", "n_inter",
+            n_union.alias("n_union"),
+        )
+        .select(
+            "a_id", "b_id", "n_match", "n_inter", "n_union",
+            exact_bps.alias("exact_bps"),
+            est_bps.alias("est_bps"),
+            F.abs(est_bps - exact_bps).alias("err_bps"),
+        )
+        .orderBy("a_id", "b_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Canonical-document selection per near-dup cluster — the step after
+# cluster assignment in a curation pipeline: each cluster (singletons
+# included) keeps its longest member (tie: lowest doc_id) as the
+# representative that survives into the training set.
+#
+# Scale: reuses the LSH/label-propagation cluster assignment (bounded,
+# not all-pairs), then ONE per-cluster row_number window + ONE
+# per-cluster aggregate — both partitioned by cluster_id, fully parallel.
+# --------------------------------------------------------------------------
+@_register(
+    "dedup_canonical_per_cluster",
+    f"""
+    WITH RECURSIVE {_DUCK_MINHASH_SIGS},
+    bands AS (
+      SELECT doc_id, band_id, sig[2*band_id + 1] AS k1, sig[2*band_id + 2] AS k2
+      FROM sigs, (SELECT unnest(range({_N_BANDS})) AS band_id)
+    ),
+    {_DUCK_MINHASH_PAIRS},
+    edges AS (
+      SELECT a_id AS src, b_id AS dst FROM good
+      UNION ALL
+      SELECT b_id, a_id FROM good
+    ),
+    reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r
+    ),
+    comp AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
+    assigned AS (
+      SELECT d.doc_id, d.lang, d.n_chars,
+             COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    ),
+    canon AS (
+      SELECT cluster_id, doc_id AS canonical_doc_id,
+             n_chars AS canonical_chars, lang AS canonical_lang
+      FROM assigned
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                 ORDER BY n_chars DESC, doc_id) = 1
+    ),
+    sizes AS (
+      SELECT cluster_id, COUNT(*) AS n_members,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM assigned GROUP BY cluster_id
+    )
+    SELECT c.cluster_id, c.canonical_doc_id, c.canonical_chars,
+           c.canonical_lang, s.n_members, s.sum_chars
+    FROM canon c JOIN sizes s USING (cluster_id)
+    ORDER BY c.cluster_id
+    """,
+)
+def dedup_canonical_per_cluster(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One row per near-dup cluster: the kept (canonical) member — longest
+    text, lowest doc_id on ties — plus cluster size and total chars.
+    Oracle replays cluster assignment via a recursive CTE and the same
+    QUALIFY window."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    assign = dedup_cluster_assign(spark, sf_dir).select(
+        "doc_id", "cluster_id"
+    )
+    j = _materialize(assign.join(docs, "doc_id"))
+    w = W.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    canon = (
+        j.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("canonical_doc_id"),
+            F.col("n_chars").alias("canonical_chars"),
+            F.col("lang").alias("canonical_lang"),
+        )
+    )
+    sizes = j.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+    return canon.join(sizes, "cluster_id").orderBy("cluster_id")

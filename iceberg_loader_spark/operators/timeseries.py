@@ -388,3 +388,144 @@ def ewma_hourly_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cents").cast("bigint").alias("cents"),
         ewma.alias("ewma_cents_m"),
     ).orderBy("event_type", "hour")
+
+
+# --------------------------------------------------------------------------
+# Gap-filled hourly resample + LINEAR interpolation — the numeric twin of
+# gapfill_hourly_locf (TimescaleDB's time_bucket_gapfill + interpolate
+# shape). Empty hours get prev + (next - prev) * dt / DT in exact integer
+# cents (truncating div — identical in Spark `div` and DuckDB `//`,
+# both toward zero, verified on negatives); hours before the first / after
+# the last observation stay NULL.
+#
+# Physical shape: same as the LOCF query — one hour×type aggregate, a
+# metadata-sized spine cross-join, then TWO ignorenulls windows per type
+# (carry-forward and carry-backward). Partitioned by event_type, |hours|
+# rows per partition — dashboard-scale regardless of event volume.
+# --------------------------------------------------------------------------
+@_register(
+    "gapfill_hourly_interp",
+    f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             COUNT(*) AS n_events, SUM({_CENTS}) AS sum_cents
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hourly),
+    spine AS (
+      SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds
+    ),
+    grid AS (
+      SELECT t.event_type, s.h
+      FROM (SELECT DISTINCT event_type FROM hourly) t CROSS JOIN spine s
+    ),
+    joined AS (
+      SELECT g.event_type, g.h,
+             COALESCE(hh.n_events, 0) AS n_events,
+             hh.sum_cents
+      FROM grid g LEFT JOIN hourly hh
+        ON hh.event_type = g.event_type AND hh.h = g.h
+    ),
+    ctx AS (
+      SELECT event_type, h, n_events, sum_cents,
+             last_value(sum_cents IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY h
+               ROWS UNBOUNDED PRECEDING) AS prev_c,
+             last_value(CASE WHEN sum_cents IS NOT NULL THEN h END
+                        IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY h
+               ROWS UNBOUNDED PRECEDING) AS prev_h,
+             first_value(sum_cents IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_c,
+             first_value(CASE WHEN sum_cents IS NOT NULL THEN h END
+                         IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_h
+      FROM joined
+    )
+    SELECT event_type,
+           strftime(h, '{_DUCK_FMT}') AS hour,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(CASE
+             WHEN sum_cents IS NOT NULL THEN sum_cents
+             WHEN prev_c IS NOT NULL AND next_c IS NOT NULL THEN
+               prev_c + ((next_c - prev_c) * date_diff('hour', prev_h, h))
+                        // date_diff('hour', prev_h, next_h)
+           END AS BIGINT) AS interp_cents
+    FROM ctx
+    ORDER BY event_type, hour
+    """,
+)
+def gapfill_hourly_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-grid gap fill with exact-integer linear interpolation between
+    the nearest observed hours per event_type (NULL outside the observed
+    range). Oracle replays the identical grid + window + truncating-div
+    math in DuckDB."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("n_events"), F.sum(cents).alias("sum_cents"))
+    from iceberg_loader_spark.operators.dedup import _materialize
+
+    hourly = _materialize(hourly)
+    spine = (
+        hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h")
+        )
+    )
+    types = hourly.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(spine))
+    joined = grid.join(hourly, ["event_type", "h"], "left").select(
+        "event_type",
+        "h",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "sum_cents",
+    )
+    back = (
+        W.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    fwd = (
+        W.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    known_h = F.when(F.col("sum_cents").isNotNull(), F.col("h"))
+    ctx = joined.select(
+        "event_type",
+        "h",
+        "n_events",
+        "sum_cents",
+        F.last("sum_cents", ignorenulls=True).over(back).alias("prev_c"),
+        F.last(known_h, ignorenulls=True).over(back).alias("prev_h"),
+        F.first("sum_cents", ignorenulls=True).over(fwd).alias("next_c"),
+        F.first(known_h, ignorenulls=True).over(fwd).alias("next_h"),
+    )
+    hours = lambda a, b: (  # noqa: E731 — exact: hour-aligned timestamps
+        F.unix_timestamp(b) - F.unix_timestamp(a)
+    ) / 3600
+    ctx = ctx.withColumn(
+        "dt", hours(F.col("prev_h"), F.col("h")).cast("bigint")
+    ).withColumn(
+        "span", hours(F.col("prev_h"), F.col("next_h")).cast("bigint")
+    )
+    interp = F.when(F.col("sum_cents").isNotNull(), F.col("sum_cents")).when(
+        F.col("prev_c").isNotNull() & F.col("next_c").isNotNull(),
+        F.col("prev_c")
+        + F.expr("((next_c - prev_c) * dt) div span"),
+    )
+    return (
+        ctx.select(
+            "event_type",
+            F.date_format("h", _FMT).alias("hour"),
+            "n_events",
+            interp.cast("bigint").alias("interp_cents"),
+        )
+        .orderBy("event_type", "hour")
+    )
