@@ -304,3 +304,71 @@ def triangle_count_nation_trade(
     return tri.agg(
         F.count("*").cast("bigint").alias("n_triangles")
     ).withColumn("n_edges", F.lit(n_edges).cast("bigint"))
+
+
+# --------------------------------------------------------------------------
+# Top event-path trigrams — sequence/funnel mining lite: the 20 most
+# common 3-step event_type paths across all user journeys (the "what do
+# users do next" query behind funnel design).
+#
+# Physical shape: ONE groupBy(user_id) with an ordered collect (map-side
+# partial agg; per-user sequences are bounded by per-user activity), the
+# trigram expansion as linear zip_with array work, then a hash aggregate
+# on the trigram string and a global top-20 (TakeOrderedAndProject — no
+# full sort). Shuffles carry (user_id, type-array) then (trigram, count)
+# — never raw events twice.
+# --------------------------------------------------------------------------
+@_register(
+    "event_path_trigrams",
+    """
+    WITH seqs AS (
+      SELECT user_id,
+             list(event_type ORDER BY ts, event_id) AS types
+      FROM events GROUP BY user_id
+    ),
+    tris AS (
+      SELECT unnest(list_transform(
+               range(1, greatest(len(types) - 1, 1)),
+               i -> types[i] || '>' || types[i+1] || '>' || types[i+2]
+             )) AS path
+      FROM seqs WHERE len(types) >= 3
+    )
+    SELECT path, COUNT(*) AS n_paths
+    FROM tris GROUP BY path
+    ORDER BY n_paths DESC, path
+    LIMIT 20
+    """,
+)
+def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 three-step event_type paths over per-user ordered journeys.
+    Oracle rebuilds the same ordered sequences + trigram expansion in
+    DuckDB."""
+    ev = load_table(spark, sf_dir, "events")
+    seqs = (
+        ev.select(
+            "user_id", F.struct("ts", "event_id", "event_type").alias("s")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_sort(F.collect_list("s")).getField("event_type")
+            .alias("types")
+        )
+        .filter(F.size("types") >= 3)
+    )
+    m = F.greatest(F.size("types") - F.lit(2), F.lit(0))
+    tri = F.zip_with(
+        F.zip_with(
+            F.slice("types", 1, m),
+            F.slice("types", 2, m),
+            lambda a, b: F.concat(a, F.lit(">"), b),
+        ),
+        F.slice("types", 3, m),
+        lambda ab, c: F.concat(ab, F.lit(">"), c),
+    )
+    return (
+        seqs.select(F.explode(tri).alias("path"))
+        .groupBy("path")
+        .agg(F.count("*").alias("n_paths"))
+        .orderBy(F.desc("n_paths"), "path")
+        .limit(20)
+    )

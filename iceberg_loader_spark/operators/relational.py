@@ -2484,3 +2484,81 @@ def skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key_name")
     )
+
+
+# --------------------------------------------------------------------------
+# Null-safe equality join battery — `<=>` / IS NOT DISTINCT FROM vs
+# plain `=` on a nullable key. ETL merges on nullable business keys hit
+# this constantly: standard equality silently drops NULL-keyed rows,
+# null-safe equality pairs them. The battery outputs both match counts
+# plus the NULL-key row counts per side so the delta is attributable.
+#
+# Key: c_nationkey with every 5th nation NULLed (NULLIF(k % 5, 4) —
+# deterministic), joined against the nation dimension under both
+# semantics. Scale: the dimension side broadcasts; null-safe equality
+# hashes NULL as an ordinary key value (one bucket — bounded here by the
+# dimension, and at fact-fact scale NULL keys are exactly the skew bucket
+# the diagnostics query flags).
+# --------------------------------------------------------------------------
+@_register(
+    "null_safe_join_battery",
+    """
+    WITH c AS (
+      SELECT c_custkey,
+             CASE WHEN c_nationkey % 5 = 4 THEN NULL
+                  ELSE c_nationkey END AS k
+      FROM customer
+    ),
+    n AS (
+      SELECT CASE WHEN n_nationkey % 5 = 4 THEN NULL
+                  ELSE n_nationkey END AS k,
+             n_name
+      FROM nation
+    )
+    SELECT 'customers_total' AS metric, COUNT(*) AS n FROM c
+    UNION ALL
+    SELECT 'customers_null_key', COUNT(*) FROM c WHERE k IS NULL
+    UNION ALL
+    SELECT 'nations_null_key', COUNT(*) FROM n WHERE k IS NULL
+    UNION ALL
+    SELECT 'eq_matches', COUNT(*) FROM c JOIN n ON c.k = n.k
+    UNION ALL
+    SELECT 'null_safe_matches', COUNT(*)
+    FROM c JOIN n ON c.k IS NOT DISTINCT FROM n.k
+    ORDER BY metric
+    """,
+)
+def null_safe_join_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Match counts under `=` vs null-safe `<=>` on a nullable key, plus
+    the per-side NULL-key counts that explain the difference. Oracle uses
+    IS NOT DISTINCT FROM."""
+    null_key = lambda col: F.when(  # noqa: E731
+        col % 5 == 4, F.lit(None).cast("bigint")
+    ).otherwise(col.cast("bigint"))
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", null_key(F.col("c_nationkey")).alias("k")
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        null_key(F.col("n_nationkey")).alias("k"), "n_name"
+    )
+
+    def _metric(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").alias("n")).select(
+            F.lit(name).alias("metric"), "n"
+        )
+
+    return (
+        _metric("customers_total", cust)
+        .unionByName(_metric("customers_null_key", cust.filter(F.col("k").isNull())))
+        .unionByName(_metric("nations_null_key", nat.filter(F.col("k").isNull())))
+        .unionByName(
+            _metric("eq_matches", cust.join(F.broadcast(nat), cust["k"] == nat["k"]))
+        )
+        .unionByName(
+            _metric(
+                "null_safe_matches",
+                cust.join(F.broadcast(nat), cust["k"].eqNullSafe(nat["k"])),
+            )
+        )
+        .orderBy("metric")
+    )

@@ -529,3 +529,53 @@ def gapfill_hourly_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour")
     )
+
+
+# --------------------------------------------------------------------------
+# SCD2 (slowly-changing-dimension type 2) history build — the ELT staple:
+# fold an append-only event stream into validity intervals per user, each
+# event opening a version that closes when the next one arrives (half-open
+# [valid_from, valid_to) ranges; the latest version stays open,
+# is_current = 1).
+#
+# Physical shape: ONE lead() window partitioned by user_id — a single
+# shuffle on the natural key, no self-join (the naive spelling joins the
+# stream to itself on "next change"). Microsecond-string timestamps keep
+# the comparison engine-exact.
+# --------------------------------------------------------------------------
+@_register(
+    "scd2_user_value_history",
+    """
+    SELECT user_id, event_id,
+           STRFTIME(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+           STRFTIME(LEAD(ts) OVER w, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+           event_type AS state,
+           CAST(ROUND(value * 100, 0) AS BIGINT) AS value_cents,
+           CASE WHEN LEAD(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, valid_from, event_id
+    """,
+)
+def scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each user's event stream folded into SCD2 validity intervals via one
+    lead() window (valid_to = next event's ts; NULL keeps the row current).
+    Oracle replays the identical window in DuckDB."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    nxt = F.lead("ts").over(w)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", fmt).alias("valid_from"),
+            F.date_format(nxt, fmt).alias("valid_to"),
+            F.col("event_type").alias("state"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias(
+                "value_cents"
+            ),
+            F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from", "event_id")
+    )
