@@ -579,3 +579,82 @@ def scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "valid_from", "event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Rolling 7-day distinct users (trailing DAU-7) — EXACT distinct over a
+# sliding window, the metric COUNT(DISTINCT) OVER (RANGE 6 PRECEDING)
+# cannot partial-aggregate. Scalable spelling: per (user, active-day),
+# the user contributes to the rolling count of days
+# [d, min(d+6, next_active_day-1)] — disjoint intervals per user, so an
+# explode + ONE hash aggregate on day replaces the quadratic
+# day×user range join. Days with no contribution (or no activity) come
+# back via a metadata-sized day spine with count 0.
+#
+# Scale: shuffles carry (user_id, day) distinct rows and (day, count)
+# partials only; interval explode is ≤7 rows per user-day. The oracle
+# recomputes the window brute-force (spine × 7-day range join + exact
+# COUNT DISTINCT) — correct by construction, quadratic, and fine at
+# oracle scale.
+# --------------------------------------------------------------------------
+@_register(
+    "rolling_7d_distinct_users",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d
+      FROM events
+    ),
+    bounds AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM ud),
+    spine AS (SELECT unnest(range(d0, d1 + 1)) AS day_idx FROM bounds)
+    SELECT CAST(s.day_idx AS BIGINT) AS day_idx,
+           COUNT(DISTINCT u.user_id) AS dau7
+    FROM spine s LEFT JOIN ud u ON u.d BETWEEN s.day_idx - 6 AND s.day_idx
+    GROUP BY s.day_idx
+    ORDER BY day_idx
+    """,
+)
+def rolling_7d_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact trailing-7-day distinct user count per day, via disjoint
+    per-user contribution intervals (no day×user range join). The DuckDB
+    oracle recomputes it brute-force with COUNT(DISTINCT) per day."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = (
+        ev.select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+            .cast("bigint")
+            .alias("d"),
+        )
+        .distinct()
+    )
+    from iceberg_loader_spark.operators.dedup import _materialize
+
+    ud = _materialize(ud)  # read by bounds and the interval explode
+    w = W.partitionBy("user_id").orderBy("d")
+    iv = ud.select(
+        "d",
+        F.least(
+            F.col("d") + 6,
+            F.coalesce(F.lead("d").over(w) - 1, F.col("d") + 6),
+        ).alias("d_end"),
+    )
+    bounds = ud.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("day_idx")
+    )
+    contrib = (
+        iv.select(F.explode(F.sequence("d", "d_end")).alias("day_idx"))
+        .groupBy("day_idx")
+        .agg(F.count("*").alias("dau7"))
+    )
+    return (
+        spine.join(contrib, "day_idx", "left")
+        .select(
+            "day_idx",
+            F.coalesce("dau7", F.lit(0)).cast("bigint").alias("dau7"),
+        )
+        .orderBy("day_idx")
+    )
