@@ -1278,3 +1278,103 @@ def dedup_canonical_per_cluster(
         F.sum("n_chars").cast("bigint").alias("sum_chars"),
     )
     return canon.join(sizes, "cluster_id").orderBy("cluster_id")
+
+
+# --------------------------------------------------------------------------
+# N-gram CONTAINMENT pairs — the asymmetric twin of ngram_jaccard_pairs:
+# C(S,L) = |S∩L| / |S| with S the smaller gram set. Catches excerpts and
+# quotes (a short doc living inside a long one) that symmetric Jaccard
+# scores near zero, so a Jaccard-only dedup pass ships the duplicate.
+# Blocking is language-only — length bands would veto exactly the
+# small-inside-big pairs this op exists to find; the document-frequency
+# cap (same integer-exact df*10 <= n_docs rule) still kills stopword-gram
+# skew before the self-join. Threshold and score are pure integer math
+# (100*i >= 80*min(|A|,|B|); bps via truncating div) — bit-exact across
+# engines.
+# --------------------------------------------------------------------------
+@_register(
+    "ngram_containment_pairs",
+    f"""
+    WITH g AS (
+      SELECT doc_id, lang, unnest(grams) AS gram FROM (
+        SELECT doc_id, lang,
+               list_distinct(CASE WHEN len(toks) >= 2 THEN
+                 list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+                 ELSE toks END) AS grams
+        FROM (SELECT doc_id, lang, {_DUCK_TOKENS} AS toks FROM documents))
+    ),
+    df AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY gram),
+    kept AS (
+      SELECT g.doc_id, g.lang, g.gram
+      FROM g JOIN df USING (gram)
+      WHERE df.df * {100 // _NGRAM_DF_CAP_PCT} <= (SELECT COUNT(*) FROM documents)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM kept GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i_cnt
+      FROM kept a JOIN kept b
+        ON a.lang = b.lang AND a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT a_id, b_id,
+           CAST(i_cnt AS BIGINT) AS i_cnt,
+           CAST(least(sa.n_grams, sb.n_grams) AS BIGINT) AS n_small,
+           (10000 * i_cnt) // least(sa.n_grams, sb.n_grams)
+             AS containment_bps
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = a_id
+    JOIN sizes sb ON sb.doc_id = b_id
+    WHERE 100 * i_cnt >= 80 * least(sa.n_grams, sb.n_grams)
+    ORDER BY a_id, b_id
+    """,
+)
+def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs where ≥80% of the smaller document's (DF-capped) bigram set
+    appears in the larger one — excerpt/quote duplicates that symmetric
+    Jaccard misses. Integer-exact threshold and basis-point score."""
+    docs = load_table(spark, sf_dir, "documents")
+    langs = docs.select("doc_id", "lang")
+    flat = _materialize(
+        _gram_rows(docs, 2).join(F.broadcast(langs), "doc_id")
+    )
+    n_docs = docs.groupBy().agg(F.count("*").alias("n_docs"))
+    hot = (
+        flat.groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") * (100 // _NGRAM_DF_CAP_PCT) > F.col("n_docs"))
+        .select("gram")
+    )
+    kept = _materialize(flat.join(F.broadcast(hot), "gram", "left_anti"))
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    inter = (
+        kept.alias("a")
+        .join(
+            kept.alias("b"),
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .agg(F.count("*").alias("i_cnt"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_grams").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_grams").alias("n_b"))
+    n_small = F.least(F.col("n_a"), F.col("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "a_id")
+        .join(F.broadcast(sb), "b_id")
+        .filter(F.lit(100) * F.col("i_cnt") >= F.lit(80) * n_small)
+        .select(
+            "a_id",
+            "b_id",
+            F.col("i_cnt").cast("bigint").alias("i_cnt"),
+            n_small.cast("bigint").alias("n_small"),
+            F.expr("(10000 * i_cnt) div least(n_a, n_b)").alias(
+                "containment_bps"
+            ),
+        )
+        .orderBy("a_id", "b_id")
+    )
