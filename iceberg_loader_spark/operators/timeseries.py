@@ -658,3 +658,133 @@ def rolling_7d_distinct_users(
         )
         .orderBy("day_idx")
     )
+
+
+# --------------------------------------------------------------------------
+# CUSUM mean-shift detection over hourly value per event_type. The
+# textbook recursion S+_t = max(0, S+_{t-1} + dev_t) looks inherently
+# sequential, but it equals P_t - min_{i<=t} P_i where P is the running
+# sum of deviations — so the whole detector is TWO stacked window
+# functions (running sum, then running min) per series key, fully
+# parallel across keys and linear within them. Reference mean and slack
+# are integer-derived (mu = sum div n, k = mu div 20, h = mu div 2), so
+# every value is engine-exact.
+#
+# Scale: one hourly aggregate (map-side partial), one broadcast of the
+# per-type reference means, two windows partitioned by event_type over
+# |hours| rows per key — dashboard-scale state regardless of raw volume.
+# --------------------------------------------------------------------------
+@_register(
+    "cusum_shift_detect",
+    f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             SUM({_CENTS}) AS s, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    x AS (SELECT event_type, h, s // n AS x_cents FROM hourly),
+    ref AS (
+      SELECT event_type, SUM(s) // SUM(n) AS mu
+      FROM hourly GROUP BY event_type
+    ),
+    dev AS (
+      SELECT x.event_type, x.h, x.x_cents, ref.mu,
+             x.x_cents - ref.mu - ref.mu // 20 AS d_pos,
+             x.x_cents - ref.mu + ref.mu // 20 AS d_neg
+      FROM x JOIN ref USING (event_type)
+    ),
+    pref AS (
+      SELECT event_type, h, x_cents, mu,
+             SUM(d_pos) OVER w AS p_pos,
+             SUM(d_neg) OVER w AS p_neg
+      FROM dev
+      WINDOW w AS (PARTITION BY event_type ORDER BY h
+                   ROWS UNBOUNDED PRECEDING)
+    ),
+    cusum AS (
+      SELECT event_type, h, x_cents, mu,
+             p_pos - LEAST(MIN(p_pos) OVER w, 0) AS s_pos,
+             -(p_neg - GREATEST(MAX(p_neg) OVER w, 0)) AS s_neg
+      FROM pref
+      WINDOW w AS (PARTITION BY event_type ORDER BY h
+                   ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT event_type, strftime(h, '{_DUCK_FMT}') AS hour,
+           CAST(x_cents AS BIGINT) AS x_cents,
+           CAST(s_pos AS BIGINT) AS s_pos,
+           CAST(s_neg AS BIGINT) AS s_neg,
+           CASE WHEN s_pos > mu // 2 OR s_neg > mu // 2
+                THEN 1 ELSE 0 END AS shift_flag
+    FROM cusum
+    ORDER BY event_type, hour
+    """,
+)
+def cusum_shift_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour CUSUM statistics (upward s_pos / downward s_neg) against
+    each event_type's integer reference mean, with a shift flag at
+    h = mu/2 — the sequential recursion respelled as running-sum minus
+    running-min prefix scans. Oracle replays the identical windows."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.sum(cents).alias("s"), F.count("*").alias("n"))
+    from iceberg_loader_spark.operators.dedup import _materialize
+
+    hourly = _materialize(hourly)  # read by both x and ref
+    x = hourly.select(
+        "event_type", "h", F.expr("s div n").alias("x_cents")
+    )
+    ref = hourly.groupBy("event_type").agg(
+        F.expr("sum(s) div sum(n)").alias("mu")
+    )
+    dev = x.join(F.broadcast(ref), "event_type").select(
+        "event_type",
+        "h",
+        "x_cents",
+        "mu",
+        (F.col("x_cents") - F.col("mu") - F.expr("mu div 20")).alias("d_pos"),
+        (F.col("x_cents") - F.col("mu") + F.expr("mu div 20")).alias("d_neg"),
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    pref = dev.select(
+        "event_type",
+        "h",
+        "x_cents",
+        "mu",
+        F.sum("d_pos").over(w).alias("p_pos"),
+        F.sum("d_neg").over(w).alias("p_neg"),
+    )
+    cusum = pref.select(
+        "event_type",
+        "h",
+        "x_cents",
+        "mu",
+        (F.col("p_pos") - F.least(F.min("p_pos").over(w), F.lit(0))).alias(
+            "s_pos"
+        ),
+        (
+            -(F.col("p_neg") - F.greatest(F.max("p_neg").over(w), F.lit(0)))
+        ).alias("s_neg"),
+    )
+    return (
+        cusum.select(
+            "event_type",
+            F.date_format("h", _FMT).alias("hour"),
+            F.col("x_cents").cast("bigint").alias("x_cents"),
+            F.col("s_pos").cast("bigint").alias("s_pos"),
+            F.col("s_neg").cast("bigint").alias("s_neg"),
+            F.when(
+                (F.col("s_pos") > F.expr("mu div 2"))
+                | (F.col("s_neg") > F.expr("mu div 2")),
+                1,
+            )
+            .otherwise(0)
+            .alias("shift_flag"),
+        )
+        .orderBy("event_type", "hour")
+    )
