@@ -788,3 +788,126 @@ def cusum_shift_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour")
     )
+
+
+# --------------------------------------------------------------------------
+# U-shaped (position-based) multi-touch attribution — each purchase
+# splits its value across the user's preceding touches (view/click)
+# within a 24 h lookback: 40% first touch, 40% last touch, 20% spread
+# over the middles (100% / 50-50 for 1- and 2-touch paths). Credit is
+# integer ppm of the purchase's cents, so allocations are engine-exact.
+#
+# Physical shape: purchases equi-join touches on user_id with the
+# lookback as a post-join range filter (per-user volume is bounded by
+# user activity — the same key the skew diagnostics watch), then ONE
+# window per conversion (row_number + count) and a final hash aggregate
+# by touch channel. At 100 TB the join pre-partitions both sides by
+# user_id; nothing here is all-pairs.
+# --------------------------------------------------------------------------
+@_register(
+    "attribution_u_shape",
+    f"""
+    WITH touches AS (
+      SELECT user_id, event_id AS touch_id, event_type AS channel, ts
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    conv AS (
+      SELECT user_id, event_id AS conv_id, ts AS conv_ts,
+             {_CENTS} AS conv_cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    path AS (
+      SELECT c.conv_id, c.conv_cents, t.touch_id, t.channel,
+             ROW_NUMBER() OVER (PARTITION BY c.conv_id
+                                ORDER BY t.ts, t.touch_id) AS pos,
+             COUNT(*) OVER (PARTITION BY c.conv_id) AS k
+      FROM conv c JOIN touches t
+        ON t.user_id = c.user_id
+       AND t.ts < c.conv_ts
+       AND t.ts >= c.conv_ts - INTERVAL 24 HOURS
+    ),
+    credited AS (
+      SELECT channel, conv_cents,
+             CASE
+               WHEN k = 1 THEN 1000000
+               WHEN k = 2 THEN 500000
+               WHEN pos = 1 OR pos = k THEN 400000
+               ELSE 200000 // (k - 2)
+             END AS ppm
+      FROM path
+    )
+    SELECT channel,
+           COUNT(*) AS n_touches,
+           CAST(SUM(ppm) AS BIGINT) AS sum_ppm,
+           CAST(SUM((conv_cents * ppm) // 1000000) AS BIGINT)
+             AS credit_cents
+    FROM credited
+    GROUP BY channel
+    ORDER BY channel
+    """,
+)
+def attribution_u_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based attribution: per touch channel, the ppm credit and
+    integer cents attributed from purchases' 24 h lookback windows
+    (40/20/40 U-shape; 100% / 50-50 for short paths). Oracle replays the
+    identical join + window + integer allocation."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    touches = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("channel"),
+        "ts",
+    )
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("conv_id"),
+        F.col("ts").alias("conv_ts"),
+        cents.alias("conv_cents"),
+    )
+    path = (
+        conv.join(touches, "user_id")
+        .filter(
+            (F.col("ts") < F.col("conv_ts"))
+            & (
+                F.col("ts")
+                >= F.col("conv_ts") - F.expr("INTERVAL 24 HOURS")
+            )
+        )
+        .select(
+            "conv_id",
+            "conv_cents",
+            "touch_id",
+            "channel",
+            "ts",
+        )
+    )
+    w_pos = W.partitionBy("conv_id").orderBy("ts", "touch_id")
+    w_all = W.partitionBy("conv_id")
+    scored = path.select(
+        "channel",
+        "conv_cents",
+        F.row_number().over(w_pos).alias("pos"),
+        F.count("*").over(w_all).alias("k"),
+    )
+    ppm = (
+        F.when(F.col("k") == 1, F.lit(1000000))
+        .when(F.col("k") == 2, F.lit(500000))
+        .when(
+            (F.col("pos") == 1) | (F.col("pos") == F.col("k")),
+            F.lit(400000),
+        )
+        .otherwise(F.expr("200000 div (k - 2)"))
+    )
+    return (
+        scored.select("channel", "conv_cents", ppm.alias("ppm"))
+        .groupBy("channel")
+        .agg(
+            F.count("*").alias("n_touches"),
+            F.sum("ppm").cast("bigint").alias("sum_ppm"),
+            F.sum(F.expr("(conv_cents * ppm) div 1000000"))
+            .cast("bigint")
+            .alias("credit_cents"),
+        )
+        .orderBy("channel")
+    )
