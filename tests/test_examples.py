@@ -90,3 +90,14 @@ def test_curation_pipeline_example(tmp_path):
     assert funnel["5_neardup"] >= funnel["6_decontam"]
     assert result["rows_landed"] == funnel["7_train"]
     assert result["tag_version"] >= 2
+
+
+def test_event_analytics_example(tmp_path):
+    mod = _load("event_analytics")
+    result = mod.run_example(str(tmp_path))
+    # one current-state row per distinct user in the log
+    assert result["current_state_rows"] > 0
+    assert result["latest_dau7"] > 0
+    # both touch channels (view, click) earn credit on this corpus
+    assert result["channels_credited"] == 2
+    assert result["top_paths"] == 3
