@@ -1000,16 +1000,29 @@ def curation_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda t: F.length(t) > 0,
         )
     )
-    base = docs.select("doc_id", "text", "lang", "n_chars")
+    # ONE text scan computes every per-doc derivation the counting stages
+    # need (tokenize gate + content digest); the funnel stages then run
+    # over this narrow materialized frame — text is touched again only by
+    # the simhash and 5-gram pipelines, which genuinely need it.
+    flags = _materialize(
+        docs.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.md5("text").alias("h"),
+            toks_n.alias("ntok"),
+        )
+    )
+    base = flags
     q = base.filter(
-        F.col("n_chars").between(100, 10000) & (toks_n >= 20)
+        F.col("n_chars").between(100, 10000) & (F.col("ntok") >= 20)
     )
     l = q.filter(F.col("lang") != "zh")
     e = _materialize(
         l.withColumn(
             "rn",
             F.row_number().over(
-                _W.partitionBy(F.md5("text")).orderBy("doc_id")
+                _W.partitionBy("h").orderBy("doc_id")
             ),
         )
         .filter(F.col("rn") == 1)
