@@ -911,3 +911,176 @@ def attribution_u_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# --------------------------------------------------------------------------
+# Per-type OLS trend slope over hourly value — the "is this metric
+# drifting" number next to CUSUM's "did it jump". The closed form
+# slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) is FOUR integer sums per
+# group (x = hour index, y = integer cents), so the whole regression is
+# one map-side-partial hash aggregate; the slope ships in ppm-per-hour
+# via truncating div — engine-exact, no floating point anywhere.
+# --------------------------------------------------------------------------
+@_register(
+    "trend_slope_by_type",
+    f"""
+    WITH hourly AS (
+      SELECT event_type,
+             date_diff('hour', TIMESTAMP '2024-01-01 00:00:00',
+                       date_trunc('hour', ts)) AS x,
+             SUM({_CENTS}) // COUNT(*) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM hourly GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+           CAST((1000000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx)
+                AS BIGINT) AS slope_ppm_per_hour,
+           CAST(sy // n AS BIGINT) AS mean_cents
+    FROM s
+    ORDER BY event_type
+    """,
+)
+def trend_slope_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer OLS slope (ppm of a cent per hour) of each event
+    type's hourly mean value — one hash aggregate, closed-form sums, no
+    floats. Oracle replays the identical arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    x = (
+        F.unix_timestamp(F.date_trunc("hour", "ts"))
+        - F.unix_timestamp(F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    ) / 3600
+    hourly = (
+        ev.groupBy("event_type", x.cast("bigint").alias("x"))
+        .agg(F.expr(f"sum({_CENTS}) div count(*)").alias("y"))
+    )
+    s = hourly.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return (
+        s.select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_hours"),
+            F.expr(
+                "(1000000 * (n * sxy - sx * sy)) div (n * sxx - sx * sx)"
+            ).alias("slope_ppm_per_hour"),
+            F.expr("sy div n").alias("mean_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Winsorized robust aggregate per event_type — clip values to the
+# discrete [p1, p99] band before summing, the standard outlier guard on
+# money-ish metrics. Discrete percentiles are defined positionally
+# (value at row ceil(q·n) of the ascending sort — integer formula
+# (q·n + 99) div 100), so both engines pick the identical element; ties
+# in the sort cannot change the value at a position.
+#
+# Scale: one row_number window per type (parallel across types), the
+# two cut rows reduce to a one-row-per-type frame that broadcasts back,
+# then one clamped hash aggregate. No global sort.
+# --------------------------------------------------------------------------
+@_register(
+    "winsorize_value_by_type",
+    f"""
+    WITH x AS (
+      SELECT event_type, {_CENTS} AS c FROM events
+    ),
+    ranked AS (
+      SELECT event_type, c,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM x
+    ),
+    cuts AS (
+      SELECT event_type,
+             MAX(CASE WHEN rn = (n + 99) // 100 THEN c END) AS p01,
+             MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN c END) AS p99
+      FROM ranked GROUP BY event_type
+    )
+    SELECT x.event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN x.c < cuts.p01 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_lo,
+           CAST(SUM(CASE WHEN x.c > cuts.p99 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_hi,
+           CAST(SUM(x.c) AS BIGINT) AS sum_cents_raw,
+           CAST(SUM(LEAST(GREATEST(x.c, cuts.p01), cuts.p99)) AS BIGINT)
+             AS sum_cents_winsorized,
+           CAST(cuts.p01 AS BIGINT) AS p01_cents,
+           CAST(cuts.p99 AS BIGINT) AS p99_cents
+    FROM x JOIN cuts USING (event_type)
+    GROUP BY x.event_type, cuts.p01, cuts.p99
+    ORDER BY x.event_type
+    """,
+)
+def winsorize_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type sums before/after clipping to the discrete [p1, p99]
+    band, plus the cut values and clip counts. Positional percentile
+    formula is pure integer, so the engines agree exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+    )
+    from iceberg_loader_spark.operators.dedup import _materialize
+
+    x = _materialize(x)  # read by the ranking and the final aggregate
+    wr = W.partitionBy("event_type").orderBy("c")
+    wn = W.partitionBy("event_type")
+    ranked = x.select(
+        "event_type",
+        "c",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    cuts = ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 99) div 100"), F.col("c"))
+        ).alias("p01"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(99 * n + 99) div 100"), F.col("c")
+            )
+        ).alias("p99"),
+    )
+    clipped = F.least(
+        F.greatest(F.col("c"), F.col("p01")), F.col("p99")
+    )
+    return (
+        x.join(F.broadcast(cuts), "event_type")
+        .groupBy("event_type", "p01", "p99")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("c") < F.col("p01"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped_lo"),
+            F.sum(F.when(F.col("c") > F.col("p99"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped_hi"),
+            F.sum("c").cast("bigint").alias("sum_cents_raw"),
+            F.sum(clipped).cast("bigint").alias("sum_cents_winsorized"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "n_clipped_lo",
+            "n_clipped_hi",
+            "sum_cents_raw",
+            "sum_cents_winsorized",
+            F.col("p01").cast("bigint").alias("p01_cents"),
+            F.col("p99").cast("bigint").alias("p99_cents"),
+        )
+        .orderBy("event_type")
+    )
