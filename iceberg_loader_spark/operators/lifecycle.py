@@ -1131,3 +1131,76 @@ def lifecycle_rollback_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return current.unionByName(bad_tt).unionByName(op_row).orderBy(
         "ref", "lang"
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming micro-batch MERGE — the foreachBatch-upsert pattern: the
+# event log replays as four time-ordered micro-batches, each batch
+# collapses to one row per user (latest ts wins) and MERGE-upserts into
+# a user-state table. After the replay the table must hold exactly each
+# user's final state — a duplicate insert, a lost update, or a batch
+# applied out of order flips rows the oracle computes with one window
+# over the raw log. Exercises A10 (file-granular CoW merge) under
+# repeated small-source merges, the exact shape a streaming sink
+# produces.
+#
+# Scale: per batch the merge source is one row per active user; CoW
+# rewrites only files containing matched keys. At real scale the state
+# table clusters by user_id so each micro-batch touches O(active-user
+# files), not the whole table.
+# --------------------------------------------------------------------------
+@_register(
+    "stream_merge_user_state",
+    """
+    SELECT user_id,
+           event_type AS state,
+           CAST(ROUND(value * 100, 0) AS BIGINT) AS value_cents,
+           STRFTIME(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+    FROM (
+      SELECT user_id, event_type, value, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def stream_merge_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the event log as 4 time-ordered micro-batches, each
+    MERGE-upserting per-user latest state; the final table must equal
+    one last-event-per-user window over the whole log."""
+    from pyspark.sql import Window as _W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias(
+            "value_cents"
+        ),
+        "ts",
+        "event_id",
+    )
+    # deterministic time-ordered micro-batches (calendar weeks of Jan)
+    day = F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+    ev = ev.withColumn("batch", F.least(F.floor(day / 8), F.lit(3)))
+    wh = _fresh_warehouse()
+    state_schema = ev.drop("batch", "event_id").schema
+    t = Table.create(wh, "db.user_state", state_schema)
+    w = _W.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    for b in range(4):
+        src = (
+            ev.filter(F.col("batch") == b)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn", "batch", "event_id")
+        )
+        t.merge(spark, src, ["user_id"])
+    final = wh.load_table("db.user_state").scan(spark)
+    return final.select(
+        "user_id",
+        "state",
+        "value_cents",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
+    ).orderBy("user_id")
