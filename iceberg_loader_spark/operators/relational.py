@@ -2562,3 +2562,87 @@ def null_safe_join_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("metric")
     )
+
+
+# --------------------------------------------------------------------------
+# Exact weighted median — per return flag, the l_extendedprice value at
+# which cumulative l_quantity crosses half the total: the
+# quantity-weighted "typical price" robust to both price and volume
+# outliers. Ties in price cannot change the answer (the crossing lands
+# inside a tie group, whose value is fixed regardless of intra-group
+# order), so the row-frame cumulative sum is deterministic.
+#
+# Scale: one cumulative-sum window per group + a broadcast of the
+# per-group totals. Grouping is low-cardinality (3 flags), so each
+# window partition is a per-key sort — at 100 TB the two-pass
+# histogram-bin respelling (coarse value bins, then an exact pass over
+# the crossing bin only) replaces the full per-key sort; the declared
+# semantics are unchanged.
+# --------------------------------------------------------------------------
+@_register(
+    "weighted_median_price_by_flag",
+    """
+    WITH x AS (
+      SELECT l_returnflag AS flag,
+             CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+             CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem
+    ),
+    tot AS (SELECT flag, SUM(w) AS tw, COUNT(*) AS n FROM x GROUP BY flag),
+    ranked AS (
+      SELECT flag, cents, w,
+             SUM(w) OVER (PARTITION BY flag ORDER BY cents
+                          ROWS UNBOUNDED PRECEDING) AS cw
+      FROM x
+    )
+    SELECT r.flag,
+           MIN(r.cents) AS wmedian_cents,
+           CAST(t.tw AS BIGINT) AS total_weight,
+           CAST(t.n AS BIGINT) AS n_rows
+    FROM ranked r JOIN tot t USING (flag)
+    WHERE 2 * r.cw >= t.tw
+    GROUP BY r.flag, t.tw, t.n
+    ORDER BY r.flag
+    """,
+)
+def weighted_median_price_by_flag(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantity-weighted exact median price per return flag via the
+    cumulative-weight crossing point — deterministic under price ties.
+    Oracle replays the identical window + threshold."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("bigint")
+        .alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+    from iceberg_loader_spark.operators.dedup import _materialize
+
+    x = _materialize(x)  # read by totals and the ranking window
+    tot = x.groupBy("flag").agg(
+        F.sum("w").alias("tw"), F.count("*").alias("n")
+    )
+    w_cum = (
+        W.partitionBy("flag")
+        .orderBy("cents")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ranked = x.select(
+        "flag", "cents", F.sum("w").over(w_cum).alias("cw")
+    )
+    return (
+        ranked.join(F.broadcast(tot), "flag")
+        .filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("flag", "tw", "n")
+        .agg(F.min("cents").alias("wmedian_cents"))
+        .select(
+            "flag",
+            "wmedian_cents",
+            F.col("tw").cast("bigint").alias("total_weight"),
+            F.col("n").cast("bigint").alias("n_rows"),
+        )
+        .orderBy("flag")
+    )
