@@ -1195,6 +1195,10 @@ def stream_merge_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .drop("rn", "batch", "event_id")
+            # one row per active user — a single file per micro-batch
+            # keeps the CoW rewrite set O(1) files instead of O(shuffle
+            # partitions) tiny files that every later merge must rewrite
+            .coalesce(1)
         )
         t.merge(spark, src, ["user_id"])
     final = wh.load_table("db.user_state").scan(spark)
