@@ -2646,3 +2646,181 @@ def weighted_median_price_by_flag(
         )
         .orderBy("flag")
     )
+
+
+# --------------------------------------------------------------------------
+# Column profiling report — per column of lineitem: row/null/distinct
+# counts and min/max rendered through type-pinned formatting (bigints as
+# decimal strings, doubles as integer cents, dates as yyyy-MM-dd), the
+# data-profiling pass every ingestion pipeline runs before trusting a
+# new feed. ONE aggregate pass computes all 11 columns' stats (44
+# aggregate expressions share the scan); the 11-row report is projected
+# from the single result row — no per-column scans.
+#
+# Scale: exact COUNT(DISTINCT) per column is the honest spelling here;
+# at 100 TB you swap the distinct counts to approx_count_distinct (the
+# approx battery shows the self-verifying pattern) and keep the rest.
+# --------------------------------------------------------------------------
+_PROFILE_COLS = [
+    ("l_orderkey", "int"),
+    ("l_partkey", "int"),
+    ("l_suppkey", "int"),
+    ("l_linenumber", "int"),
+    ("l_quantity", "dbl"),
+    ("l_extendedprice", "dbl"),
+    ("l_discount", "dbl"),
+    ("l_tax", "dbl"),
+    ("l_returnflag", "str"),
+    ("l_linestatus", "str"),
+    ("l_shipdate", "date"),
+]
+
+
+def _duck_profile_minmax(c: str, kind: str, agg: str) -> str:
+    if kind == "int":
+        return f"CAST({agg}({c}) AS VARCHAR)"
+    if kind == "dbl":
+        return f"CAST(CAST(ROUND({agg}({c}) * 100, 0) AS BIGINT) AS VARCHAR)"
+    if kind == "date":
+        return f"STRFTIME({agg}({c}), '%Y-%m-%d')"
+    return f"{agg}({c})"
+
+
+@_register(
+    "profile_columns_lineitem",
+    "\nUNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nulls,
+           COUNT(DISTINCT {c}) AS n_distinct,
+           {_duck_profile_minmax(c, k, 'MIN')} AS min_repr,
+           {_duck_profile_minmax(c, k, 'MAX')} AS max_repr
+    FROM lineitem"""
+        for c, k in _PROFILE_COLS
+    )
+    + "\nORDER BY col_name",
+)
+def profile_columns_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of lineitem (rows, nulls, exact distincts,
+    type-pinned min/max strings) computed in ONE aggregate pass over the
+    scan. Oracle recomputes each column's stats independently."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def _minmax(c: str, kind: str, agg) -> F.Column:
+        col = agg(F.col(c))
+        if kind == "int":
+            return col.cast("bigint").cast("string")
+        if kind == "dbl":
+            return (
+                F.round(col * 100, 0).cast("bigint").cast("string")
+            )
+        if kind == "date":
+            return F.date_format(col, "yyyy-MM-dd")
+        return col
+
+    aggs = [F.count("*").alias("n_rows")]
+    for c, k in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            _minmax(c, k, F.min).alias(f"{c}__min"),
+            _minmax(c, k, F.max).alias(f"{c}__max"),
+        ]
+    from iceberg_loader_spark.operators.dedup import _materialize
+
+    row = _materialize(li.agg(*aggs))  # one pass; 11 projections read it
+    parts = [
+        row.select(
+            F.lit(c).alias("col_name"),
+            F.col("n_rows"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_repr"),
+            F.col(f"{c}__max").alias("max_repr"),
+        )
+        for c, _k in _PROFILE_COLS
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("col_name")
+
+
+# --------------------------------------------------------------------------
+# Forward as-of join with tolerance — for each purchase, the user's
+# FIRST error at-or-after it, kept only within a 1 h tolerance (did the
+# purchase precede a failure?). Same union + ordered-window pattern as
+# the backward as-of (no native as-of in Spark): ONE shuffle on user_id,
+# one ordered pass, first_value(ignore nulls) over the FOLLOWING frame —
+# the per-row range join it replaces is O(n·m) per user.
+# --------------------------------------------------------------------------
+@_register(
+    "asof_join_next_error",
+    """
+    WITH u AS (
+      SELECT user_id, ts, event_id, NULL::TIMESTAMP AS e_ts, 0 AS kind
+      FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT user_id, ts, NULL, ts, 1 FROM events WHERE event_type = 'error'
+    ),
+    j AS (
+      SELECT user_id, ts, event_id, kind,
+             FIRST_VALUE(e_ts IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, kind
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS next_e
+      FROM u)
+    SELECT event_id, user_id,
+           STRFTIME(ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           STRFTIME(CASE WHEN next_e <= ts + INTERVAL 1 HOUR THEN next_e END,
+                    '%Y-%m-%d %H:%M:%S.%f') AS next_error_ts,
+           CASE WHEN next_e <= ts + INTERVAL 1 HOUR THEN 1 ELSE 0 END
+             AS error_within_1h
+    FROM j WHERE kind = 0
+    ORDER BY user_id, event_id
+    """,
+)
+def asof_join_next_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase paired with the user's first error at-or-after it,
+    NULL beyond the 1 h tolerance — the forward as-of twin of
+    asof_join_last_purchase, same single-shuffle union+window shape."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None).cast("timestamp_ntz").alias("e_ts"),
+        F.lit(0).alias("kind"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.col("ts").alias("e_ts"),
+        F.lit(1).alias("kind"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    in_tol = F.col("next_e") <= F.col("ts") + F.expr("INTERVAL 1 HOUR")
+    return (
+        purchases.unionByName(errors)
+        .withColumn("next_e", F.first("e_ts", ignorenulls=True).over(w))
+        .filter(F.col("kind") == 0)
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", fmt).alias("purchase_ts"),
+            F.date_format(F.when(in_tol, F.col("next_e")), fmt).alias(
+                "next_error_ts"
+            ),
+            F.when(in_tol, 1).otherwise(0).alias("error_within_1h"),
+        )
+        .orderBy("user_id", "event_id")
+    )
