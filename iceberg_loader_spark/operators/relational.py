@@ -2719,25 +2719,38 @@ def profile_columns_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             return F.date_format(col, "yyyy-MM-dd")
         return col
 
+    # One pass for everything EXCEPT the distinct counts: putting 11
+    # COUNT(DISTINCT) into one aggregate triggers Spark's Expand rewrite
+    # (every row replicated once per distinct column, grouped on a
+    # 12-wide key) — measured 30-44 s at sf0.1 vs ~2 s for this split.
+    # Each distinct count instead runs as its own column-pruned
+    # two-stage aggregate (partial distinct per partition, tiny final).
     aggs = [F.count("*").alias("n_rows")]
     for c, k in _PROFILE_COLS:
         aggs += [
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
             .cast("bigint")
             .alias(f"{c}__nulls"),
-            F.countDistinct(c).alias(f"{c}__distinct"),
             _minmax(c, k, F.min).alias(f"{c}__min"),
             _minmax(c, k, F.max).alias(f"{c}__max"),
         ]
     from iceberg_loader_spark.operators.dedup import _materialize
 
     row = _materialize(li.agg(*aggs))  # one pass; 11 projections read it
+    dists = [
+        li.select(c)
+        .agg(F.countDistinct(c).alias("n_distinct"))
+        .select(F.lit(c).alias("col_name"), "n_distinct")
+        for c, _k in _PROFILE_COLS
+    ]
+    dist = dists[0]
+    for d in dists[1:]:
+        dist = dist.unionByName(d)
     parts = [
         row.select(
             F.lit(c).alias("col_name"),
             F.col("n_rows"),
             F.col(f"{c}__nulls").alias("n_nulls"),
-            F.col(f"{c}__distinct").alias("n_distinct"),
             F.col(f"{c}__min").alias("min_repr"),
             F.col(f"{c}__max").alias("max_repr"),
         )
@@ -2746,7 +2759,18 @@ def profile_columns_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out.orderBy("col_name")
+    return (
+        out.join(F.broadcast(dist), "col_name")
+        .select(
+            "col_name",
+            "n_rows",
+            "n_nulls",
+            "n_distinct",
+            "min_repr",
+            "max_repr",
+        )
+        .orderBy("col_name")
+    )
 
 
 # --------------------------------------------------------------------------
