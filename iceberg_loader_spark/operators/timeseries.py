@@ -1084,3 +1084,64 @@ def winsorize_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# New-vs-returning users per day — the growth-accounting split every
+# product dashboard leads with: a user's first-ever active day counts
+# them "new", every later active day "returning". One per-user min
+# aggregate (first_day) joined back to the distinct (user, day) activity
+# frame, then a day-grain count — shuffles carry per-user and per-day
+# rows only, never raw events.
+# --------------------------------------------------------------------------
+@_register(
+    "new_vs_returning_daily",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d
+      FROM events
+    ),
+    first_day AS (SELECT user_id, MIN(d) AS d0 FROM ud GROUP BY user_id)
+    SELECT CAST(ud.d AS BIGINT) AS day_idx,
+           CAST(SUM(CASE WHEN ud.d = f.d0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_new,
+           CAST(SUM(CASE WHEN ud.d > f.d0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_returning
+    FROM ud JOIN first_day f USING (user_id)
+    GROUP BY ud.d
+    ORDER BY day_idx
+    """,
+)
+def new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day split of active users into first-ever-day ("new") vs
+    seen-before ("returning"). Oracle replays the same min-join."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = (
+        ev.select(
+            "user_id",
+            F.datediff(
+                F.to_date("ts"), F.lit("2024-01-01").cast("date")
+            )
+            .cast("bigint")
+            .alias("d"),
+        )
+        .distinct()
+    )
+    from iceberg_loader_spark.operators.dedup import _materialize
+
+    ud = _materialize(ud)  # read by first_day and the join
+    first_day = ud.groupBy("user_id").agg(F.min("d").alias("d0"))
+    return (
+        ud.join(first_day, "user_id")
+        .groupBy(F.col("d").alias("day_idx"))
+        .agg(
+            F.sum(F.when(F.col("d") == F.col("d0"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_new"),
+            F.sum(F.when(F.col("d") > F.col("d0"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_returning"),
+        )
+        .orderBy("day_idx")
+    )
