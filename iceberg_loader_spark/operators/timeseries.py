@@ -1145,3 +1145,86 @@ def new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_idx")
     )
+
+
+# --------------------------------------------------------------------------
+# Batch sessionization via gaps-and-islands — the lag + cumulative-sum
+# respelling of session assignment (a new session starts where the gap
+# from the previous event exceeds 30 min), then per-user session stats.
+# The batch twin of the streaming session_window queries: same 30-min
+# gap rule, but spelled as pure windows so it runs on any历史 log.
+#
+# Scale: two stacked windows partitioned by user_id (lag, then running
+# sum of session-start flags) and one (user, session) aggregate — a
+# single shuffle on user_id end-to-end; per-user state is the user's
+# own event count, the same bound the streaming sessionizer keys on.
+# --------------------------------------------------------------------------
+@_register(
+    "sessionize_gaps_islands",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR date_diff('second', LAG(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    ),
+    per_session AS (
+      SELECT user_id, session_id, COUNT(*) AS n_events,
+             date_diff('second', MIN(ts), MAX(ts)) AS span_s
+      FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS total_events,
+           CAST(MAX(n_events) AS BIGINT) AS max_session_events,
+           CAST(SUM(span_s) AS BIGINT) AS total_span_s,
+           CAST(MAX(span_s) AS BIGINT) AS max_span_s
+    FROM per_session
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def sessionize_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session stats from 30-min-gap islands (lag flag +
+    running sum), the batch twin of the streaming session window.
+    Oracle replays the identical two-window spelling."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    marked = ev.withColumn(
+        "is_start",
+        F.when(
+            F.lag("ts").over(w).isNull() | (gap > 30 * 60), 1
+        ).otherwise(0),
+    )
+    wc = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sessions = marked.withColumn(
+        "session_id", F.sum("is_start").over(wc)
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        (F.max(F.unix_timestamp("ts")) - F.min(F.unix_timestamp("ts")))
+        .cast("bigint")
+        .alias("span_s"),
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").cast("bigint").alias("total_events"),
+            F.max("n_events").cast("bigint").alias("max_session_events"),
+            F.sum("span_s").cast("bigint").alias("total_span_s"),
+            F.max("span_s").cast("bigint").alias("max_span_s"),
+        )
+        .orderBy("user_id")
+    )
