@@ -1248,3 +1248,271 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_w_m",
         (F.col("mean_w_m") >= 10000).alias("selected"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Collocation extraction: top-20 adjacent bigrams ranked by lift
+# (PMI without the log — same ordering, but exact integer math instead
+# of cross-engine libm). lift = P(xy) / (P(x)P(y)) rendered in staged
+# fixed-point: ((c_xy * 1e6) div c_x) * n_uni div (c_y * n_bi). Both
+# engines evaluate the IDENTICAL staging order, so the floor divisions
+# agree bit-for-bit; every intermediate fits in int64 at any realistic
+# corpus scale (c_xy*1e6 <= 1e6*c_x keeps stage one <= 1e6^2).
+#
+# Scale: bigrams are a map-only array transform per document (no
+# pos-self-join); unigram and bigram counts are hash aggregates whose
+# shuffles carry (token, count) pairs; the two count frames join on the
+# bigram's words — the unigram model is vocabulary-sized and broadcast.
+# Min-support c_xy >= 5 bounds the ranked set; top-20 is one ORDER BY
+# over the model-sized frame, never over raw tokens.
+# --------------------------------------------------------------------------
+@_register(
+    "pmi_bigram_collocations",
+    """
+    WITH toks AS (
+      SELECT doc_id, LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                                 t -> t <> '') AS ts
+      FROM documents
+    ),
+    uni AS (
+      SELECT unnest(ts) AS tok FROM toks
+    ),
+    ucnt AS (SELECT tok, COUNT(*) AS c FROM uni GROUP BY tok),
+    utot AS (SELECT SUM(c) AS n_uni FROM ucnt),
+    bi AS (
+      SELECT unnest(list_transform(range(1, len(ts)),
+                    i -> ts[i] || ' ' || ts[i + 1])) AS bg
+      FROM toks
+    ),
+    bcnt AS (SELECT bg, COUNT(*) AS c_xy FROM bi GROUP BY bg
+             HAVING COUNT(*) >= 5),
+    btot AS (SELECT COUNT(*) AS n_bi FROM bi),
+    scored AS (
+      SELECT string_split(b.bg, ' ')[1] AS w1,
+             string_split(b.bg, ' ')[2] AS w2,
+             b.c_xy, u1.c AS c_x, u2.c AS c_y,
+             CAST(((b.c_xy * 1000000) // u1.c) * t.n_uni
+                  // (u2.c * bt.n_bi) AS BIGINT) AS lift_ppm
+      FROM bcnt b
+      JOIN ucnt u1 ON u1.tok = string_split(b.bg, ' ')[1]
+      JOIN ucnt u2 ON u2.tok = string_split(b.bg, ' ')[2]
+      CROSS JOIN utot t CROSS JOIN btot bt
+    )
+    SELECT w1, w2, c_xy, c_x, c_y, lift_ppm
+    FROM scored
+    ORDER BY lift_ppm DESC, w1, w2 LIMIT 20
+    """,
+)
+def pmi_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent-bigram collocations by integer-exact lift
+    (monotone in PMI). Reference has no text analytics; this extends the
+    B27 family with the classic collocation-mining shape."""
+    from iceberg_loader_spark.operators.dedup import _materialize
+
+    docs = load_table(spark, sf_dir, "documents")
+    ts = F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+    toks = _materialize(docs.select(ts.alias("ts")))  # uni + bi read it
+    uni = toks.select(F.explode("ts").alias("tok"))
+    ucnt = _materialize(uni.groupBy("tok").agg(F.count("*").alias("c")))
+    utot = ucnt.agg(F.sum("c").alias("n_uni"))
+    bi = _materialize(
+        toks.filter(F.size("ts") >= 2).select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ts") - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("ts"), i),
+                        F.element_at(F.col("ts"), i + F.lit(1)),
+                    ),
+                )
+            ).alias("bg")
+        )
+    )
+    bcnt = (
+        bi.groupBy("bg")
+        .agg(F.count("*").alias("c_xy"))
+        .filter(F.col("c_xy") >= 5)
+        .select(
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("w2"),
+            "c_xy",
+        )
+    )
+    btot = bi.agg(F.count("*").alias("n_bi"))
+    scored = (
+        bcnt.join(
+            F.broadcast(ucnt.select(F.col("tok").alias("w1"),
+                                    F.col("c").alias("c_x"))), "w1")
+        .join(
+            F.broadcast(ucnt.select(F.col("tok").alias("w2"),
+                                    F.col("c").alias("c_y"))), "w2")
+        .join(F.broadcast(utot))
+        .join(F.broadcast(btot))
+        .select(
+            "w1", "w2", "c_xy", "c_x", "c_y",
+            F.expr(
+                "CAST(((c_xy * 1000000) div c_x) * n_uni"
+                " div (c_y * n_bi) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("lift_ppm"), F.asc("w1"), F.asc("w2")
+    ).limit(20)
+
+
+# --------------------------------------------------------------------------
+# Lexical diversity: type-token ratio per source — distinct token types
+# over total tokens, in exact ppm. A low-TTR source is boilerplate-heavy
+# and a prime down-weighting candidate in a data-mixture.
+#
+# Scale: one (source, token) hash aggregate (map-side partial collapses
+# repeats before the shuffle), then a source-grain count — shuffles carry
+# distinct pairs, never raw tokens.
+# --------------------------------------------------------------------------
+@_register(
+    "ttr_by_source",
+    """
+    WITH toks AS (
+      SELECT source, unnest(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                                        t -> t <> '')) AS tok
+      FROM documents
+    ),
+    pairs AS (SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2)
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS total_tokens,
+           CAST(COUNT(*) AS BIGINT) AS distinct_tokens,
+           CAST(COUNT(*) * 1000000 // SUM(c) AS BIGINT) AS ttr_ppm
+    FROM pairs
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def ttr_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio per document source in exact ppm."""
+    docs = load_table(spark, sf_dir, "documents")
+    ts = F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+    pairs = (
+        docs.select("source", F.explode(ts).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        pairs.groupBy("source")
+        .agg(
+            F.sum("c").alias("total_tokens"),
+            F.count("*").alias("distinct_tokens"),
+            F.expr(
+                "CAST(COUNT(*) * 1000000 div SUM(c) AS BIGINT)"
+            ).alias("ttr_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Duplicate-rate report per source: share of documents whose exact text
+# hash occurs more than once ANYWHERE in the corpus — the per-source
+# health metric a curation dashboard tracks over time.
+#
+# Scale: fp counts are a hash aggregate on md5 (16 bytes/row on the
+# shuffle); the docs-side join carries (fp, source) only. The fp-count
+# frame is corpus-sized, so it stays a shuffle join (correct: both sides
+# partition on fp); the final aggregate is source-grain.
+# --------------------------------------------------------------------------
+@_register(
+    "dup_rate_by_source",
+    """
+    WITH fps AS (SELECT source, MD5(text) AS fp FROM documents),
+    cnt AS (SELECT fp, COUNT(*) AS n FROM fps GROUP BY fp)
+    SELECT f.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE c.n > 1) AS BIGINT) AS n_dup_docs,
+           CAST(COUNT(*) FILTER (WHERE c.n > 1) * 1000000
+                // COUNT(*) AS BIGINT) AS dup_ppm
+    FROM fps f JOIN cnt c ON c.fp = f.fp
+    GROUP BY f.source
+    ORDER BY f.source
+    """,
+)
+def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate share per source (corpus-wide hash collisions)."""
+    from iceberg_loader_spark.operators.dedup import _materialize
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = _materialize(
+        docs.select("source", F.md5("text").alias("fp"))
+    )  # read by both the count model and the join probe
+    cnt = fps.groupBy("fp").agg(F.count("*").alias("n"))
+    return (
+        fps.join(cnt, "fp")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_if(F.col("n") > 1).alias("n_dup_docs"),
+            F.expr(
+                "CAST(COUNT_IF(n > 1) * 1000000 div COUNT(*) AS BIGINT)"
+            ).alias("dup_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Inverted-index build: posting lists (sorted doc_ids) for the 5 rarest
+# tokens by document frequency — the retrieval-side artifact a BM25
+# engine serves for its long-tail terms. On a real corpus the rare band
+# is an absolute df cap (posting lists O(cap)); the driver's synthetic
+# vocabulary is closed (~31 tokens, min df scales with the corpus), so
+# the query takes the bottom-5 by (df, token) instead — still a bounded,
+# deterministic slice at every scale factor.
+#
+# Scale: (token, doc_id)-distinct aggregate (map-side partial collapses
+# within-doc repeats), then a token-grain sorted collect. The rank step
+# runs over the vocabulary-sized df frame, not raw tokens; only the 5
+# surviving groups ever materialize a list.
+# --------------------------------------------------------------------------
+@_register(
+    "inverted_index_postings",
+    """
+    WITH toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                                t -> t <> '')) AS tok
+      FROM documents
+    ),
+    dfs AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS df,
+             string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
+      FROM toks GROUP BY tok
+    )
+    SELECT tok, df, postings
+    FROM (SELECT * FROM dfs ORDER BY df, tok LIMIT 5)
+    ORDER BY tok
+    """,
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting lists for the 5 rarest tokens by document frequency."""
+    docs = load_table(spark, sf_dir, "documents")
+    ts = F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+    toks = (
+        docs.select("doc_id", F.explode(ts).alias("tok"))
+        .distinct()
+    )
+    dfs = toks.groupBy("tok").agg(
+        F.count("*").alias("df"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("doc_id")),
+                lambda d: d.cast("string"),
+            ),
+            ",",
+        ).alias("postings"),
+    )
+    return (
+        dfs.orderBy(F.asc("df"), F.asc("tok"))
+        .limit(5)
+        .select("tok", "df", "postings")
+        .orderBy("tok")
+    )

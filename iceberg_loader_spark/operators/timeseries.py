@@ -1152,7 +1152,7 @@ def new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 # respelling of session assignment (a new session starts where the gap
 # from the previous event exceeds 30 min), then per-user session stats.
 # The batch twin of the streaming session_window queries: same 30-min
-# gap rule, but spelled as pure windows so it runs on any历史 log.
+# gap rule, but spelled as pure windows so it runs on any historical log.
 #
 # Scale: two stacked windows partitioned by user_id (lag, then running
 # sum of session-start flags) and one (user, session) aggregate — a
@@ -1227,4 +1227,304 @@ def sessionize_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("span_s").cast("bigint").alias("max_span_s"),
         )
         .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Two-sample Kolmogorov–Smirnov drift statistic between the 'view' and
+# 'purchase' value distributions — the distribution-shift gate a data
+# pipeline runs before trusting a new batch. D = max |F1(v) - F2(v)|,
+# computed entirely in integers: the numerator |cum1*n2 - cum2*n1| is
+# exact, and ks_ppm renders D with staged floor divisions both engines
+# evaluate identically.
+#
+# Scale: the ECDF needs a global prefix sum — respelled as the two-level
+# binned scan (per-value counts → per-bin totals → bin offsets via a
+# bounded triangular broadcast join → within-bin windows PARTITIONED BY
+# bin). No unpartitioned window anywhere; the bin count is fixed (value
+# range / 5000 cents), so the offset frame is O(1) and broadcast.
+# --------------------------------------------------------------------------
+@_register(
+    "ks_value_drift",
+    f"""
+    WITH vals AS (
+      SELECT {_CENTS} AS cents,
+             COUNT(*) FILTER (WHERE event_type = 'view') AS c1,
+             COUNT(*) FILTER (WHERE event_type = 'purchase') AS c2
+      FROM events
+      WHERE event_type IN ('view', 'purchase')
+      GROUP BY 1
+    ),
+    cum AS (
+      SELECT cents,
+             SUM(c1) OVER w AS cum1, SUM(c2) OVER w AS cum2
+      FROM vals
+      WINDOW w AS (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+    ),
+    tot AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM vals),
+    d AS (
+      SELECT MAX(ABS(cum1 * t.n2 - cum2 * t.n1)) AS d_num
+      FROM cum CROSS JOIN tot t
+    )
+    SELECT CAST(t.n1 AS BIGINT) AS n1, CAST(t.n2 AS BIGINT) AS n2,
+           CAST(d.d_num AS BIGINT) AS d_num,
+           CAST(((d.d_num * 1000) // t.n1) * 1000 // t.n2 AS BIGINT)
+             AS ks_ppm
+    FROM d CROSS JOIN tot t
+    """,
+)
+def ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS statistic (view vs purchase values) via a
+    binned two-level prefix scan — no unpartitioned window. The oracle
+    replays the ECDF with a plain global window (same rows; DuckDB is
+    single-node so the physical shape doesn't matter there)."""
+    from iceberg_loader_spark.operators.dedup import _materialize
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    vals = _materialize(
+        ev.groupBy(cents.alias("cents")).agg(
+            F.count_if(F.col("event_type") == "view").alias("c1"),
+            F.count_if(F.col("event_type") == "purchase").alias("c2"),
+        )
+        .withColumn("bin", F.expr("cents div 5000"))
+    )  # read by bin totals, offsets, and the within-bin scan
+    bins = vals.groupBy("bin").agg(
+        F.sum("c1").alias("s1"), F.sum("c2").alias("s2")
+    )
+    # offsets: totals of all STRICTLY EARLIER bins — triangular join on
+    # the O(1) bin frame (both sides broadcast-sized), not a window.
+    b2 = bins.select(
+        F.col("bin").alias("pbin"),
+        F.col("s1").alias("p1"),
+        F.col("s2").alias("p2"),
+    )
+    offs = (
+        bins.join(F.broadcast(b2), F.col("pbin") < F.col("bin"), "left")
+        .groupBy("bin")
+        .agg(
+            F.coalesce(F.sum("p1"), F.lit(0)).alias("off1"),
+            F.coalesce(F.sum("p2"), F.lit(0)).alias("off2"),
+        )
+    )
+    w = (
+        W.partitionBy("bin")
+        .orderBy("cents")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = (
+        vals.join(F.broadcast(offs), "bin")
+        .select(
+            "cents",
+            (F.col("off1") + F.sum("c1").over(w)).alias("cum1"),
+            (F.col("off2") + F.sum("c2").over(w)).alias("cum2"),
+        )
+    )
+    tot = vals.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    d = (
+        cum.join(F.broadcast(tot))
+        .agg(
+            F.max(
+                F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+            ).alias("d_num")
+        )
+    )
+    return d.join(F.broadcast(tot)).select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.col("d_num").cast("bigint").alias("d_num"),
+        F.expr(
+            "CAST(((d_num * 1000) div n1) * 1000 div n2 AS BIGINT)"
+        ).alias("ks_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Benford first-significant-digit audit over event values — the classic
+# fabricated-data screen. The digit comes from the STRING rendering of
+# integer cents (never floating log10, whose boundary cells differ by
+# ulps across engines); expected Benford shares are fixed ppm literals.
+#
+# Scale: map-only digit extraction + one 9-group hash aggregate.
+# --------------------------------------------------------------------------
+_BENFORD_PPM = [301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757]
+
+
+@_register(
+    "benford_first_digit",
+    f"""
+    WITH digits AS (
+      SELECT CAST(SUBSTRING(CAST({_CENTS} AS VARCHAR), 1, 1) AS BIGINT)
+               AS digit
+      FROM events WHERE {_CENTS} >= 1
+    ),
+    cnt AS (SELECT digit, COUNT(*) AS observed FROM digits GROUP BY digit),
+    tot AS (SELECT SUM(observed) AS total FROM cnt)
+    SELECT c.digit, CAST(c.observed AS BIGINT) AS observed,
+           CAST(t.total AS BIGINT) AS total,
+           CAST(c.observed * 1000000 // t.total AS BIGINT) AS obs_ppm,
+           CAST(([{','.join(str(x) for x in _BENFORD_PPM)}])[c.digit]
+                AS BIGINT) AS benford_ppm,
+           CAST(c.observed * 1000000 // t.total
+                - ([{','.join(str(x) for x in _BENFORD_PPM)}])[c.digit]
+                AS BIGINT) AS dev_ppm
+    FROM cnt c CROSS JOIN tot t
+    ORDER BY c.digit
+    """,
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of value cents vs the
+    Benford expectation, deviations in exact ppm."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    digits = ev.select(
+        F.substring(cents.cast("string"), 1, 1).cast("bigint").alias("digit")
+    ).filter(cents >= 1)
+    cnt = digits.groupBy("digit").agg(F.count("*").alias("observed"))
+    tot = cnt.agg(F.sum("observed").alias("total"))
+    benford = F.array(*[F.lit(x) for x in _BENFORD_PPM])
+    return (
+        cnt.join(F.broadcast(tot))
+        .select(
+            "digit",
+            F.col("observed").cast("bigint").alias("observed"),
+            F.col("total").cast("bigint").alias("total"),
+            F.expr("CAST(observed * 1000000 div total AS BIGINT)").alias(
+                "obs_ppm"
+            ),
+            F.element_at(benford, F.col("digit").cast("int"))
+            .cast("bigint")
+            .alias("benford_ppm"),
+            (
+                F.expr("observed * 1000000 div total")
+                - F.element_at(benford, F.col("digit").cast("int"))
+            )
+            .cast("bigint")
+            .alias("dev_ppm"),
+        )
+        .orderBy("digit")
+    )
+
+
+# --------------------------------------------------------------------------
+# Audience-overlap matrix: exact Jaccard between the user sets of every
+# event-type pair — "do people who error also purchase?" The input is
+# the (type, user)-distinct frame, so the self-join carries one row per
+# active user per type and the pair space is |types|².
+#
+# Scale: distinct aggregate (map-side partial), self-join partitioned on
+# user_id, 10-group final aggregate; per-type set sizes ride in via a
+# broadcast of the |types|-sized count frame.
+# --------------------------------------------------------------------------
+@_register(
+    "event_type_user_overlap",
+    """
+    WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+    sizes AS (SELECT event_type, COUNT(*) AS n FROM tu GROUP BY event_type),
+    inter AS (
+      SELECT a.event_type AS t1, b.event_type AS t2, COUNT(*) AS n_inter
+      FROM tu a JOIN tu b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT i.t1, i.t2,
+           CAST(s1.n AS BIGINT) AS n1, CAST(s2.n AS BIGINT) AS n2,
+           CAST(i.n_inter AS BIGINT) AS n_inter,
+           CAST(i.n_inter * 1000000 // (s1.n + s2.n - i.n_inter) AS BIGINT)
+             AS jaccard_ppm
+    FROM inter i
+    JOIN sizes s1 ON s1.event_type = i.t1
+    JOIN sizes s2 ON s2.event_type = i.t2
+    ORDER BY i.t1, i.t2
+    """,
+)
+def event_type_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise exact Jaccard overlap of per-event-type user sets."""
+    from iceberg_loader_spark.operators.dedup import _materialize
+
+    ev = load_table(spark, sf_dir, "events")
+    tu = _materialize(
+        ev.select("event_type", "user_id").distinct()
+    )  # read by sizes and both join legs
+    sizes = tu.groupBy("event_type").agg(F.count("*").alias("n"))
+    a = tu.select(F.col("event_type").alias("t1"), "user_id")
+    b = tu.select(F.col("event_type").alias("t2"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    s1 = sizes.select(F.col("event_type").alias("t1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("event_type").alias("t2"), F.col("n").alias("n2"))
+    return (
+        inter.join(F.broadcast(s1), "t1")
+        .join(F.broadcast(s2), "t2")
+        .select(
+            "t1",
+            "t2",
+            F.col("n1").cast("bigint").alias("n1"),
+            F.col("n2").cast("bigint").alias("n2"),
+            F.col("n_inter").cast("bigint").alias("n_inter"),
+            F.expr(
+                "CAST(n_inter * 1000000 div (n1 + n2 - n_inter) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+        .orderBy("t1", "t2")
+    )
+
+
+# --------------------------------------------------------------------------
+# Inter-arrival-time histogram: per event_type, the distribution of
+# minutes since the same user's previous event (any type), capped at 10+
+# — the latency fingerprint behind session-gap tuning. Gap seconds are
+# boundary-exact (second-truncated timestamps on both engines).
+#
+# Scale: one lag window PARTITIONED BY user_id over raw events, then a
+# (type × 12-bucket) hash aggregate — shuffle on user_id, then on the
+# bounded histogram key.
+# --------------------------------------------------------------------------
+@_register(
+    "interarrival_histogram",
+    """
+    WITH gaps AS (
+      SELECT event_type,
+             date_diff('second', LAG(ts) OVER w, ts) AS gap_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type,
+           CAST(LEAST(gap_s // 60, 10) AS BIGINT) AS minute_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(gap_s) AS BIGINT) AS min_gap_s,
+           CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
+    FROM gaps
+    WHERE gap_s IS NOT NULL
+    GROUP BY 1, 2
+    ORDER BY event_type, minute_bucket
+    """,
+)
+def interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type histogram of same-user inter-arrival minutes (capped)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (
+        F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    ).alias("gap_s")
+    gaps = ev.select("event_type", gap).filter(F.col("gap_s").isNotNull())
+    return (
+        gaps.groupBy(
+            "event_type",
+            F.least(F.expr("gap_s div 60"), F.lit(10))
+            .cast("bigint")
+            .alias("minute_bucket"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min("gap_s").cast("bigint").alias("min_gap_s"),
+            F.max("gap_s").cast("bigint").alias("max_gap_s"),
+        )
+        .orderBy("event_type", "minute_bucket")
     )
