@@ -27,6 +27,7 @@ from iceberg_loader_spark.loader import (
 )
 from iceberg_loader_spark.quality import Check
 from iceberg_loader_spark.session import get_spark
+from iceberg_loader_spark.sources import SparkbergDataSource, register_data_source
 from iceberg_loader_spark.tables import Warehouse
 
 __version__ = "0.1.0"
@@ -35,10 +36,12 @@ __all__ = [
     "Check",
     "LoaderConfig",
     "SparkLoader",
+    "SparkbergDataSource",
     "Warehouse",
     "get_spark",
     "load_batches_to_table",
     "load_data_to_table",
     "load_ipc_stream_to_table",
+    "register_data_source",
     "__version__",
 ]

@@ -65,6 +65,9 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # -- python exchange is Arrow-batched everywhere
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # -- let the sparkberg Python DataSource push filters for
+        #    manifest-stat file pruning (sources/spark_datasource.py)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # -- local-mode memory (driver == only JVM in local mode)
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")

@@ -1,0 +1,406 @@
+"""``spark.read.format("sparkberg")`` — the table format as a Spark
+Python Data Source (SPARK-44076, Spark 4.x API).
+
+The reference library exposes its tables to Spark only through an
+external Trino/Hive/MinIO stack (``/root/reference/examples/
+docker-compose.yml:1-61``); in-process it is a pure PyArrow API. This
+module closes that interop gap natively: the engine's snapshot-versioned
+table format registers as a first-class Spark data source, so ANY Spark
+job — not just code importing :class:`~iceberg_loader_spark.tables.table
+.Table` — can read and append with the ordinary reader/writer API::
+
+    spark.dataSource.register(SparkbergDataSource)
+    df = (spark.read.format("sparkberg")
+          .option("version", 3)          # or tag=..., as_of_ms=...
+          .load("/warehouse/db/events"))
+    df2.write.format("sparkberg").mode("append").save("/warehouse/db/events")
+
+Read path
+---------
+* snapshot resolution: ``version`` / ``tag`` / ``as_of_ms`` options —
+  the same time-travel surface as :meth:`Table.scan`.
+* filter pushdown (``pushFilters``): supported comparisons are turned
+  into the engine's :class:`~iceberg_loader_spark.tables.filters.Term`
+  form and prune manifest entries by partition values + column min/max
+  BEFORE any file is opened. Every filter is also handed back to Spark
+  unhandled, so row-level semantics never depend on pruning quality —
+  the same conservative contract ``Table.scan`` keeps.
+* one :class:`InputPartition` per data file; executors read the file
+  with PyArrow and emit Arrow record batches cast to the snapshot
+  schema (schema-evolution NULL fill for late-added columns, like the
+  DataFrame scan path).
+* v1 boundary: snapshots with PENDING merge-on-read deletes
+  (``delete_predicates`` / ``delete_files`` / positional deletes) are
+  refused with a clear error — read those through ``Table.scan`` (which
+  applies them) or compact first. A connector silently disagreeing with
+  the engine about MoR semantics would be worse than the error.
+
+Write path
+----------
+* ``mode("append")`` / ``mode("overwrite")`` on UNPARTITIONED tables
+  (partitioned writes need the engine's transform evaluation — use
+  ``Table.append``); auto-creates the table when the root has none.
+* executors stream Arrow batches straight to parquet files in a
+  per-write staging directory under the table root (zstd by default,
+  honoring ``write.parquet.compression-codec``); the driver commit
+  reads ONLY the files named in successful task commit messages (so
+  speculative/failed task leftovers are ignored and swept), builds
+  manifest entries with footer min/max stats, and commits through the
+  table's optimistic CAS retry loop — a concurrent engine-side append
+  and a connector write serialize cleanly.
+
+Scale: planning is O(manifest) on the driver — identical to the
+DataFrame scan path; data never moves through the driver. The
+per-file-per-task read fans out across executors exactly like a native
+parquet scan (minus whole-stage codegen: this is the interop surface,
+not the fast path — ``Table.scan`` remains the performance read path).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from dataclasses import dataclass
+from typing import Iterator
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    WriterCommitMessage,
+)
+
+from iceberg_loader_spark.tables.catalog import Warehouse
+from iceberg_loader_spark.tables.filters import Term, file_may_match
+from iceberg_loader_spark.tables.format import (
+    DEFAULT_TABLE_PROPERTIES,
+    DataFile,
+    new_snapshot,
+)
+from iceberg_loader_spark.tables.partitioning import PartitionField
+
+FORMAT_NAME = "sparkberg"
+
+
+def _open_table(root: str):
+    """Open the table at ``root`` via a single-table Warehouse view."""
+    from iceberg_loader_spark.tables.table import Table
+
+    root = os.path.abspath(root)
+    wh = Warehouse(os.path.dirname(root))
+    return Table(wh, os.path.basename(root))
+
+
+def _resolve_snapshot(root: str, options):
+    table = _open_table(root)
+    version = options.get("version")
+    tag = options.get("tag")
+    as_of = options.get("as_of_ms")
+    if sum(x is not None for x in (version, tag, as_of)) > 1:
+        raise ValueError("version, tag and as_of_ms are mutually exclusive")
+    if tag is not None:
+        return table, table.snapshot(table.resolve_tag(tag))
+    if as_of is not None:
+        return table, table.meta.snapshot_as_of(int(as_of))
+    return table, table.snapshot(None if version is None else int(version))
+
+
+_FILTER_OPS = {
+    EqualTo: "==",
+    GreaterThan: ">",
+    GreaterThanOrEqual: ">=",
+    LessThan: "<",
+    LessThanOrEqual: "<=",
+    In: "in",
+}
+
+
+def _filter_to_term(f) -> Term | None:
+    """Supported pushed filter -> pruning Term; None = no pruning info."""
+    op = _FILTER_OPS.get(type(f))
+    if op is None or len(f.attribute) != 1:
+        return None
+    value = tuple(f.value) if op == "in" else f.value
+    scalars = value if op == "in" else (value,)
+    if not all(isinstance(v, (str, int, float, bool)) for v in scalars):
+        return None  # dates/decimals arrive as objects; stats are JSON scalars
+    return Term(col=f.attribute[0], op=op, value=value)
+
+
+@dataclass
+class _FilePartition(InputPartition):
+    path: str  # absolute parquet path
+
+
+class _SparkbergReaderBase(DataSourceReader):
+    def __init__(self, schema: T.StructType, options):
+        root = options.get("path")
+        if not root:
+            raise ValueError("sparkberg: .load(<table root path>) required")
+        table, snap = _resolve_snapshot(root, options)
+        pending = list(snap.delete_predicates) + list(snap.delete_files)
+        if pending:
+            raise ValueError(
+                "sparkberg: snapshot has pending merge-on-read deletes; "
+                "read via Table.scan (applies them) or run "
+                "rewrite_data_files() to materialize, then retry"
+            )
+        self._root = table.root
+        self._schema = schema
+        self._files = snap.files
+        self._spec = [PartitionField.from_json(d) for d in snap.partition_spec]
+        self._terms: list[Term] = []
+
+    def partitions(self):
+        files = [
+            f
+            for f in self._files
+            if file_may_match(self._terms, f, self._spec)
+        ]
+        return [
+            _FilePartition(os.path.join(self._root, f.path)) for f in files
+        ]
+
+    def read(self, partition: _FilePartition) -> Iterator:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(self._schema)
+        tbl = pq.read_table(partition.path)
+        cols = []
+        for field in target:
+            if field.name in tbl.column_names:
+                cols.append(tbl.column(field.name).cast(field.type))
+            else:  # schema evolution: column added after this file was written
+                cols.append(pa.nulls(tbl.num_rows, field.type))
+        yield from pa.table(cols, schema=target).to_batches()
+
+
+class SparkbergReader(_SparkbergReaderBase):
+    """Reader WITH filter pushdown. Spark refuses any reader overriding
+    ``pushFilters`` unless ``spark.sql.python.filterPushdown.enabled``
+    is true (the engine's :func:`get_spark` sets it; :func:`register`
+    sets it too), so the no-pushdown variant below exists for vanilla
+    sessions via ``.option("pushdown", "false")``."""
+
+    def pushFilters(self, filters):
+        for f in filters:
+            term = _filter_to_term(f)
+            if term is not None:
+                self._terms.append(term)
+            # hand every filter back: pruning is metadata-only, Spark
+            # keeps the row-level evaluation (Table.scan's contract)
+            yield f
+
+
+class SparkbergReaderNoPushdown(_SparkbergReaderBase):
+    """No ``pushFilters`` override — works under any session conf; file
+    pruning simply has no filter information (full-manifest scan)."""
+
+
+@dataclass
+class _WriteMessage(WriterCommitMessage):
+    rel_paths: tuple  # files THIS successful task wrote (root-relative)
+
+
+def _entry_for_file(root: str, rel_path: str) -> DataFile:
+    """Footer-read one written file into a manifest entry (the same
+    min/max extraction Table._collect_entries performs)."""
+    import pyarrow.parquet as pq
+
+    from iceberg_loader_spark.tables.table import _stat_value
+
+    abs_path = os.path.join(root, rel_path)
+    md = pq.ParquetFile(abs_path).metadata
+    stats: dict[str, list] = {}
+    for rg_i in range(md.num_row_groups):
+        rg = md.row_group(rg_i)
+        for c_i in range(rg.num_columns):
+            col = rg.column(c_i)
+            name = col.path_in_schema
+            if "." in name:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                stats[name] = None
+                continue
+            lo, hi = _stat_value(st.min), _stat_value(st.max)
+            if lo is None or hi is None:
+                stats[name] = None
+                continue
+            prev = stats.get(name)
+            if prev is None and name in stats:
+                continue
+            if prev is None:
+                stats[name] = [lo, hi]
+            else:
+                stats[name] = [min(prev[0], lo), max(prev[1], hi)]
+    return DataFile(
+        path=rel_path.replace(os.sep, "/"),
+        rows=md.num_rows,
+        bytes=os.path.getsize(abs_path),
+        partition={},
+        stats={k: v for k, v in stats.items() if v is not None},
+    )
+
+
+class SparkbergWriter(DataSourceArrowWriter):
+    def __init__(self, schema: T.StructType, options, overwrite: bool):
+        root = options.get("path")
+        if not root:
+            raise ValueError("sparkberg: .save(<table root path>) required")
+        self._overwrite = overwrite
+        table = self._ensure_table(os.path.abspath(root), schema)
+        self._root = table.root
+        spec = table.partition_spec()
+        if spec:
+            raise NotImplementedError(
+                "sparkberg writer supports unpartitioned tables; use "
+                "Table.append for partition-transform writes"
+            )
+        table_cols = [f.name for f in table.schema().fields]
+        if [f.name for f in schema.fields] != table_cols:
+            raise ValueError(
+                f"sparkberg: dataframe columns {[f.name for f in schema.fields]} "
+                f"!= table columns {table_cols}"
+            )
+        self._codec = table.properties().get(
+            "write.parquet.compression-codec",
+            DEFAULT_TABLE_PROPERTIES["write.parquet.compression-codec"],
+        )
+        self._staging_rel = f"data/ds-{uuid.uuid4().hex}"
+
+    @staticmethod
+    def _ensure_table(root: str, schema: T.StructType):
+        from iceberg_loader_spark.tables.table import Table
+
+        wh = Warehouse(os.path.dirname(root))
+        identifier = os.path.basename(root)
+        if not wh.table_exists(identifier):
+            return Table.create(wh, identifier, schema)
+        return Table(wh, identifier)
+
+    def write(self, iterator) -> _WriteMessage:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        batches = list(iterator)
+        if not batches or sum(b.num_rows for b in batches) == 0:
+            return _WriteMessage(rel_paths=())
+        staging_abs = os.path.join(self._root, self._staging_rel)
+        os.makedirs(staging_abs, exist_ok=True)
+        rel = f"{self._staging_rel}/task-{uuid.uuid4().hex}.parquet"
+        pq.write_table(
+            pa.Table.from_batches(batches),
+            os.path.join(self._root, rel),
+            compression=self._codec,
+        )
+        return _WriteMessage(rel_paths=(rel,))
+
+    def commit(self, messages) -> None:
+        from iceberg_loader_spark.tables.table import _stamp_sequence
+
+        committed = [
+            p for m in messages if m is not None for p in m.rel_paths
+        ]
+        entries = [_entry_for_file(self._root, p) for p in committed]
+        added_rows = sum(e.rows for e in entries)
+        table = _open_table(self._root)
+        overwrite = self._overwrite
+
+        def build(parent):
+            _stamp_sequence(entries, parent.version + 1)
+            if overwrite:
+                return new_snapshot(
+                    parent,
+                    "overwrite",
+                    parent.schema_json,
+                    parent.partition_spec,
+                    entries,
+                    parent.properties,
+                    {
+                        "added-files": len(entries),
+                        "added-records": added_rows,
+                        "removed-files": len(parent.files),
+                        "total-records": added_rows,
+                    },
+                    delete_predicates=[],
+                    delete_files=[],
+                )
+            return new_snapshot(
+                parent,
+                "append",
+                parent.schema_json,
+                parent.partition_spec,
+                parent.files + entries,
+                parent.properties,
+                {
+                    "added-files": len(entries),
+                    "added-records": added_rows,
+                    "total-records": parent.total_rows + added_rows,
+                },
+            )
+
+        table._commit_with_retry(build)
+        self._sweep_staging(keep={p for p in committed})
+
+    def abort(self, messages) -> None:
+        shutil.rmtree(
+            os.path.join(self._root, self._staging_rel), ignore_errors=True
+        )
+
+    def _sweep_staging(self, keep: set) -> None:
+        """Remove speculative/failed-task leftovers not in any commit
+        message (best-effort — they are orphans, never referenced)."""
+        staging_abs = os.path.join(self._root, self._staging_rel)
+        try:
+            for fn in os.listdir(staging_abs):
+                rel = f"{self._staging_rel}/{fn}"
+                if rel not in keep:
+                    os.unlink(os.path.join(staging_abs, fn))
+            if not keep:
+                os.rmdir(staging_abs)
+        except OSError:
+            pass
+
+
+class SparkbergDataSource(DataSource):
+    """Register with ``spark.dataSource.register(SparkbergDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self) -> T.StructType:
+        root = self.options.get("path")
+        if not root:
+            raise ValueError("sparkberg: .load(<table root path>) required")
+        _table, snap = _resolve_snapshot(root, self.options)
+        return T.StructType.fromJson(snap.schema_json)
+
+    def reader(self, schema: T.StructType) -> _SparkbergReaderBase:
+        if str(self.options.get("pushdown", "true")).lower() == "false":
+            return SparkbergReaderNoPushdown(schema, self.options)
+        return SparkbergReader(schema, self.options)
+
+    def writer(self, schema: T.StructType, overwrite: bool) -> SparkbergWriter:
+        return SparkbergWriter(schema, self.options, overwrite)
+
+
+def register(spark, pushdown: bool = True) -> None:
+    """Register the ``sparkberg`` format on ``spark``, enabling the
+    Python-data-source filter-pushdown conf when requested (it is a
+    runtime conf; vanilla sessions default it to false)."""
+    if pushdown:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(SparkbergDataSource)

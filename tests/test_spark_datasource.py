@@ -1,0 +1,201 @@
+"""The `sparkberg` Spark Python Data Source: read/write the table format
+through the ordinary `spark.read.format(...)` / `df.write.format(...)`
+API (SPARK-44076), including snapshot time travel, manifest-stat file
+pruning via pushFilters, schema-evolution NULL fill, commit-protocol
+appends, and the declared MoR read boundary."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+from pyspark.sql import types as T
+from pyspark.sql.datasource import EqualTo, GreaterThan
+
+from iceberg_loader_spark.sources.spark_datasource import (
+    SparkbergReader,
+    register,
+)
+from iceberg_loader_spark.tables.catalog import Warehouse
+from iceberg_loader_spark.tables.table import Table
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    register(spark)
+
+
+@pytest.fixture()
+def wh(tmp_path):
+    return Warehouse(str(tmp_path / "wh"))
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_write_autocreate_and_read_roundtrip(spark, wh):
+    root = wh.table_root("db.ds_roundtrip")
+    df = spark.createDataFrame(
+        [Row(k=i, v=f"s{i}") for i in range(10)]
+    )
+    df.write.format("sparkberg").mode("append").save(root)
+    back = spark.read.format("sparkberg").load(root)
+    assert _rows(back) == _rows(df)
+    # the engine-side API sees the same table (shared commit protocol)
+    t = wh.load_table("db.ds_roundtrip")
+    assert t.snapshot().total_rows == 10
+    assert _rows(t.scan(spark)) == _rows(df)
+
+
+def test_append_then_overwrite_modes(spark, wh):
+    root = wh.table_root("db.ds_modes")
+    one = spark.range(5).select(F.col("id").alias("k"))
+    one.write.format("sparkberg").mode("append").save(root)
+    one.write.format("sparkberg").mode("append").save(root)
+    assert spark.read.format("sparkberg").load(root).count() == 10
+    two = spark.range(3).select(F.col("id").alias("k"))
+    two.write.format("sparkberg").mode("overwrite").save(root)
+    assert spark.read.format("sparkberg").load(root).count() == 3
+    t = wh.load_table("db.ds_modes")
+    assert [s.operation for s in t.history()][-1] == "overwrite"
+
+
+def test_version_time_travel_option(spark, wh):
+    root = wh.table_root("db.ds_tt")
+    spark.range(4).write.format("sparkberg").mode("append").save(root)
+    spark.range(6).write.format("sparkberg").mode("append").save(root)
+    t = wh.load_table("db.ds_tt")
+    first_append = next(s for s in t.history() if s.operation == "append")
+    old = (
+        spark.read.format("sparkberg")
+        .option("version", first_append.version)
+        .load(root)
+    )
+    assert old.count() == 4
+    assert spark.read.format("sparkberg").load(root).count() == 10
+
+
+def test_tag_option(spark, wh):
+    root = wh.table_root("db.ds_tag")
+    spark.range(2).write.format("sparkberg").mode("append").save(root)
+    t = wh.load_table("db.ds_tag")
+    t.set_tag("rel")
+    spark.range(9).write.format("sparkberg").mode("append").save(root)
+    tagged = (
+        spark.read.format("sparkberg").option("tag", "rel").load(root)
+    )
+    assert tagged.count() == 2
+
+
+def test_filter_pushdown_prunes_files(spark, wh):
+    root = wh.table_root("db.ds_prune")
+    # two appends -> two files with disjoint k ranges in manifest stats
+    spark.createDataFrame([(i,) for i in range(0, 50)], "k int").coalesce(
+        1
+    ).write.format("sparkberg").mode("append").save(root)
+    spark.createDataFrame([(i,) for i in range(100, 150)], "k int").coalesce(
+        1
+    ).write.format("sparkberg").mode("append").save(root)
+
+    reader = SparkbergReader(
+        T.StructType([T.StructField("k", T.IntegerType())]),
+        {"path": root},
+    )
+    assert len(reader.partitions()) == 2
+    # pushFilters must hand every filter back (Spark re-applies rows)
+    handed_back = list(reader.pushFilters([EqualTo(("k",), 120)]))
+    assert len(handed_back) == 1
+    assert len(reader.partitions()) == 1  # min/max stats prune file 1
+
+    reader2 = SparkbergReader(
+        T.StructType([T.StructField("k", T.IntegerType())]),
+        {"path": root},
+    )
+    list(reader2.pushFilters([GreaterThan(("k",), 500)]))
+    assert len(reader2.partitions()) == 0
+
+    # end-to-end rows are right regardless of pruning
+    got = (
+        spark.read.format("sparkberg")
+        .load(root)
+        .filter(F.col("k") == 120)
+        .collect()
+    )
+    assert [r.k for r in got] == [120]
+
+
+def test_schema_evolution_null_fill(spark, wh):
+    root = wh.table_root("db.ds_evolve")
+    spark.createDataFrame([(1, "a")], "k int, s string").write.format(
+        "sparkberg"
+    ).mode("append").save(root)
+    t = wh.load_table("db.ds_evolve")
+    t.add_columns([T.StructField("extra", T.LongType())])
+    back = spark.read.format("sparkberg").load(root)
+    assert back.columns == ["k", "s", "extra"]
+    assert back.collect()[0].extra is None
+    # and new writes carry the evolved schema
+    spark.createDataFrame([(2, "b", 7)], "k int, s string, extra long").write.format(
+        "sparkberg"
+    ).mode("append").save(root)
+    assert _rows(spark.read.format("sparkberg").load(root)) == [
+        (1, "a", None),
+        (2, "b", 7),
+    ]
+
+
+def test_mor_pending_deletes_refused(spark, wh):
+    root = wh.table_root("db.ds_mor")
+    spark.createDataFrame([(i,) for i in range(10)], "k int").write.format(
+        "sparkberg"
+    ).mode("append").save(root)
+    t = wh.load_table("db.ds_mor")
+    t.delete_where(spark, "k == 3", mode="mor")
+    with pytest.raises(Exception, match="merge-on-read"):
+        spark.read.format("sparkberg").load(root).collect()
+    # engine scan still serves the correct rows
+    assert t.scan(spark).count() == 9
+    # compaction materializes the delete; connector read works again
+    from iceberg_loader_spark.tables.maintenance import rewrite_data_files
+
+    rewrite_data_files(t, spark)
+    assert spark.read.format("sparkberg").load(root).count() == 9
+
+
+def test_partitioned_write_refused(spark, wh):
+    from iceberg_loader_spark.tables.partitioning import PartitionField
+
+    schema = T.StructType([T.StructField("k", T.IntegerType())])
+    Table.create(
+        wh,
+        "db.ds_part",
+        schema,
+        partition_spec=[PartitionField("identity", "k", "k")],
+    )
+    df = spark.createDataFrame([(1,)], "k int")
+    with pytest.raises(Exception, match="unpartitioned"):
+        df.write.format("sparkberg").mode("append").save(
+            wh.table_root("db.ds_part")
+        )
+
+
+def test_column_mismatch_refused(spark, wh):
+    root = wh.table_root("db.ds_cols")
+    spark.createDataFrame([(1, "a")], "k int, s string").write.format(
+        "sparkberg"
+    ).mode("append").save(root)
+    bad = spark.createDataFrame([("a", 1)], "s string, k int")
+    with pytest.raises(Exception, match="columns"):
+        bad.write.format("sparkberg").mode("append").save(root)
+
+
+def test_stats_recorded_in_manifest(spark, wh):
+    root = wh.table_root("db.ds_stats")
+    spark.createDataFrame([(5,), (9,)], "k int").coalesce(1).write.format(
+        "sparkberg"
+    ).mode("append").save(root)
+    t = wh.load_table("db.ds_stats")
+    [f] = t.snapshot().files
+    assert f.stats["k"] == [5, 9]
+    assert f.rows == 2
+    assert f.sequence == t.snapshot().version
