@@ -92,6 +92,12 @@ def test_curation_pipeline_example(tmp_path):
     assert result["tag_version"] >= 2
 
 
+def test_spark_format_roundtrip_example(tmp_path):
+    res = _load("spark_format_roundtrip").main(str(tmp_path))
+    assert res["rows"] == 150
+    assert res["tagged_rows"] == 100
+
+
 def test_event_analytics_example(tmp_path):
     mod = _load("event_analytics")
     result = mod.run_example(str(tmp_path))
