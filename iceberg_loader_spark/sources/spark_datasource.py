@@ -69,6 +69,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -141,6 +142,24 @@ class _FilePartition(InputPartition):
     path: str  # absolute parquet path
 
 
+def _read_file_as_batches(path: str, schema: T.StructType):
+    """One parquet file -> Arrow batches cast to the snapshot schema
+    (schema-evolution NULL fill for columns added after the file)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    target = to_arrow_schema(schema)
+    tbl = pq.read_table(path)
+    cols = []
+    for field in target:
+        if field.name in tbl.column_names:
+            cols.append(tbl.column(field.name).cast(field.type))
+        else:
+            cols.append(pa.nulls(tbl.num_rows, field.type))
+    yield from pa.table(cols, schema=target).to_batches()
+
+
 class _SparkbergReaderBase(DataSourceReader):
     def __init__(self, schema: T.StructType, options):
         root = options.get("path")
@@ -171,19 +190,7 @@ class _SparkbergReaderBase(DataSourceReader):
         ]
 
     def read(self, partition: _FilePartition) -> Iterator:
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-        from pyspark.sql.pandas.types import to_arrow_schema
-
-        target = to_arrow_schema(self._schema)
-        tbl = pq.read_table(partition.path)
-        cols = []
-        for field in target:
-            if field.name in tbl.column_names:
-                cols.append(tbl.column(field.name).cast(field.type))
-            else:  # schema evolution: column added after this file was written
-                cols.append(pa.nulls(tbl.num_rows, field.type))
-        yield from pa.table(cols, schema=target).to_batches()
+        yield from _read_file_as_batches(partition.path, self._schema)
 
 
 class SparkbergReader(_SparkbergReaderBase):
@@ -206,6 +213,97 @@ class SparkbergReader(_SparkbergReaderBase):
 class SparkbergReaderNoPushdown(_SparkbergReaderBase):
     """No ``pushFilters`` override — works under any session conf; file
     pruning simply has no filter information (full-manifest scan)."""
+
+
+# ---- streaming tail --------------------------------------------------------
+
+# snapshots that change bytes/metadata but never rows — safe to skip in
+# an append-tail walk (same set Table.scan_incremental skips)
+_ROW_PRESERVING_OPS = {
+    "create",
+    "replace",
+    "evolve-schema",
+    "evolve-partition",
+    "set-ref",
+}
+
+
+def _appended_files(table, from_v: int, to_v: int) -> list:
+    """Data files ADDED by append snapshots in (from_v, to_v] — the
+    file-diff walk of Table.scan_incremental, metadata-only."""
+    out = []
+    versions = sorted(
+        v for v in table.meta.list_versions() if from_v < v <= to_v
+    )
+    for v in versions:
+        snap = table.snapshot(v)
+        if snap.operation in _ROW_PRESERVING_OPS:
+            continue
+        if snap.operation != "append":
+            raise ValueError(
+                f"sparkberg stream reads an append-only tail; snapshot "
+                f"{v} is '{snap.operation}' — consume row-level changes "
+                f"via Table.changes (CDC) instead"
+            )
+        if snap.parent_version is None:
+            parent_paths: set[str] = set()
+        else:
+            parent_paths = {
+                f.path for f in table.snapshot(snap.parent_version).files
+            }
+        out.extend(f for f in snap.files if f.path not in parent_paths)
+    return out
+
+
+class SparkbergStreamReader(DataSourceStreamReader):
+    """``spark.readStream.format("sparkberg")`` — the table's append log
+    as a Structured Streaming source. Offsets are SNAPSHOT VERSIONS:
+    each micro-batch reads exactly the files appended in
+    (start.version, end.version], so replayed batches
+    (``partitions(start, end)`` after recovery) are deterministic and
+    the stream is exactly-once end-to-end when the sink is.
+
+    ``starting_version`` option: ``0`` (default — full backfill: the
+    existing table is batch one) or ``"latest"`` (only appends after
+    stream start) or any snapshot version.
+
+    Scale: offset discovery is O(manifest) driver-side metadata (same
+    as any table-format streaming source); file reads fan out across
+    executors via one InputPartition per appended file. Non-append
+    snapshots in the tail (overwrite/delete/merge) fail the stream with
+    a pointer to the CDC reader — a silent skip would drop or
+    double-count rows.
+    """
+
+    def __init__(self, schema: T.StructType, options):
+        root = options.get("path")
+        if not root:
+            raise ValueError("sparkberg: .load(<table root path>) required")
+        table = _open_table(root)
+        self._root = table.root
+        self._schema = schema
+        sv = str(options.get("starting_version", "0"))
+        cur = table.snapshot().version
+        self._initial = cur if sv == "latest" else int(sv)
+
+    def initialOffset(self) -> dict:
+        return {"version": self._initial}
+
+    def latestOffset(self) -> dict:
+        return {"version": _open_table(self._root).snapshot().version}
+
+    def partitions(self, start: dict, end: dict):
+        table = _open_table(self._root)
+        files = _appended_files(table, start["version"], end["version"])
+        return [
+            _FilePartition(os.path.join(self._root, f.path)) for f in files
+        ]
+
+    def read(self, partition: _FilePartition) -> Iterator:
+        yield from _read_file_as_batches(partition.path, self._schema)
+
+    def commit(self, end: dict) -> None:
+        pass  # retention is the table's expire_snapshots policy
 
 
 @dataclass
@@ -395,6 +493,9 @@ class SparkbergDataSource(DataSource):
 
     def writer(self, schema: T.StructType, overwrite: bool) -> SparkbergWriter:
         return SparkbergWriter(schema, self.options, overwrite)
+
+    def streamReader(self, schema: T.StructType) -> SparkbergStreamReader:
+        return SparkbergStreamReader(schema, self.options)
 
 
 def register(spark, pushdown: bool = True) -> None:

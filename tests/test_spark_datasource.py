@@ -199,3 +199,80 @@ def test_stats_recorded_in_manifest(spark, wh):
     assert f.stats["k"] == [5, 9]
     assert f.rows == 2
     assert f.sequence == t.snapshot().version
+
+
+def test_stream_tail_backfill_and_increment(spark, wh, tmp_path):
+    root = wh.table_root("db.ds_stream")
+    spark.range(5).select(F.col("id").alias("k")).write.format(
+        "sparkberg"
+    ).mode("append").save(root)
+
+    q = (
+        spark.readStream.format("sparkberg")
+        .load(root)
+        .writeStream.format("memory")
+        .queryName("ds_tail")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT count(*) c FROM ds_tail").first().c == 5
+        # two more appends arrive; the stream picks up exactly the delta
+        spark.range(5, 8).select(F.col("id").alias("k")).write.format(
+            "sparkberg"
+        ).mode("append").save(root)
+        spark.range(8, 10).select(F.col("id").alias("k")).write.format(
+            "sparkberg"
+        ).mode("append").save(root)
+        q.processAllAvailable()
+        got = sorted(
+            r.k for r in spark.sql("SELECT k FROM ds_tail").collect()
+        )
+        assert got == list(range(10))
+    finally:
+        q.stop()
+
+
+def test_stream_tail_starting_latest(spark, wh, tmp_path):
+    root = wh.table_root("db.ds_stream_latest")
+    spark.range(100).select(F.col("id").alias("k")).write.format(
+        "sparkberg"
+    ).mode("append").save(root)
+    q = (
+        spark.readStream.format("sparkberg")
+        .option("starting_version", "latest")
+        .load(root)
+        .writeStream.format("memory")
+        .queryName("ds_tail_latest")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert (
+            spark.sql("SELECT count(*) c FROM ds_tail_latest").first().c == 0
+        )
+        spark.range(100, 103).select(F.col("id").alias("k")).write.format(
+            "sparkberg"
+        ).mode("append").save(root)
+        q.processAllAvailable()
+        got = sorted(
+            r.k for r in spark.sql("SELECT k FROM ds_tail_latest").collect()
+        )
+        assert got == [100, 101, 102]
+    finally:
+        q.stop()
+
+
+def test_stream_appended_files_rejects_row_changing_ops(spark, wh):
+    from iceberg_loader_spark.sources.spark_datasource import _appended_files
+
+    root = wh.table_root("db.ds_stream_mix")
+    spark.createDataFrame([(i,) for i in range(6)], "k int").write.format(
+        "sparkberg"
+    ).mode("append").save(root)
+    t = wh.load_table("db.ds_stream_mix")
+    t.delete_where(spark, "k == 2")
+    with pytest.raises(ValueError, match="append-only"):
+        _appended_files(t, 0, t.snapshot().version)
