@@ -1528,3 +1528,123 @@ def interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "minute_bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# Timezone conversion battery — naive UTC event times rendered as wall
+# clocks in three IANA zones (incl. a DST-observing one), plus a
+# business-hours classification on the New-York wall clock. Both engines
+# resolve zone rules from the same IANA tzdata, so formatted strings are
+# engine-exact; everything aggregates to the (type × 24-hour) grain.
+#
+# Scale: map-only conversions + one bounded hash aggregate.
+# --------------------------------------------------------------------------
+@_register(
+    "tz_convert_battery",
+    """
+    WITH conv AS (
+      SELECT event_type,
+             timezone('America/New_York', timezone('UTC', ts)) AS ny,
+             timezone('Asia/Tokyo',       timezone('UTC', ts)) AS tokyo
+      FROM events
+    )
+    SELECT event_type,
+           CAST(EXTRACT(hour FROM ny) AS BIGINT) AS ny_hour,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) FILTER (
+               WHERE EXTRACT(hour FROM ny) BETWEEN 9 AND 16) AS BIGINT)
+             AS n_ny_business,
+           strftime(MIN(tokyo), '%Y-%m-%d %H:%M:%S') AS min_tokyo,
+           strftime(MAX(tokyo), '%Y-%m-%d %H:%M:%S') AS max_tokyo
+    FROM conv
+    GROUP BY 1, 2
+    ORDER BY event_type, ny_hour
+    """,
+)
+def tz_convert_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wall-clock rendering of UTC event times in New York and Tokyo
+    (IANA rules, DST-aware) with a business-hours split per NY hour."""
+    ev = load_table(spark, sf_dir, "events")
+    ny = F.convert_timezone(F.lit("UTC"), F.lit("America/New_York"), "ts")
+    tokyo = F.convert_timezone(F.lit("UTC"), F.lit("Asia/Tokyo"), "ts")
+    conv = ev.select(
+        "event_type", ny.alias("ny"), tokyo.alias("tokyo")
+    )
+    return (
+        conv.groupBy(
+            "event_type",
+            F.hour("ny").cast("bigint").alias("ny_hour"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.count_if(F.hour("ny").between(9, 16)).alias("n_ny_business"),
+            F.date_format(F.min("tokyo"), _FMT).alias("min_tokyo"),
+            F.date_format(F.max("tokyo"), _FMT).alias("max_tokyo"),
+        )
+        .orderBy("event_type", "ny_hour")
+    )
+
+
+# --------------------------------------------------------------------------
+# Ingestion-order audit: certifies that event_id is monotone within each
+# user's time-ordered stream (an inversion = a row whose event_id is
+# below the running max of its predecessors — late or re-sequenced
+# ingestion). On clean data the counts are zero, and the oracle proves
+# the engine derives the SAME zero — the point of a certifying audit
+# (the referential-integrity audit plays the same role).
+#
+# Scale: one running-max window PARTITIONED BY user_id, one user-grain
+# aggregate — a single shuffle on the natural key.
+# --------------------------------------------------------------------------
+@_register(
+    "event_order_audit",
+    """
+    WITH x AS (
+      SELECT user_id, event_id,
+             MAX(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(event_id) AS BIGINT) AS min_event_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_event_id,
+           CAST(COUNT(*) FILTER (WHERE event_id < prev_max) AS BIGINT)
+             AS n_inversions,
+           CAST(COALESCE(MAX(prev_max - event_id)
+                         FILTER (WHERE event_id < prev_max), 0) AS BIGINT)
+             AS max_inversion_gap
+    FROM x
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def event_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user monotonicity certificate for event_id along event time."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    x = ev.select(
+        "user_id", "event_id", F.max("event_id").over(w).alias("prev_max")
+    )
+    inv = F.col("event_id") < F.col("prev_max")
+    return (
+        x.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+            F.count_if(inv).alias("n_inversions"),
+            F.coalesce(
+                F.max(F.when(inv, F.col("prev_max") - F.col("event_id"))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("max_inversion_gap"),
+        )
+        .orderBy("user_id")
+    )
