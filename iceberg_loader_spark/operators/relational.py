@@ -2848,3 +2848,39 @@ def asof_join_next_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# SQL pipe syntax (Spark 4's |> operator chain, SPARK-49555): the same
+# daily rollup a dashboard runs, spelled as a linear FROM → EXTEND →
+# AGGREGATE → ORDER BY pipeline. Semantically identical to the nested
+# GROUP BY the oracle runs — pipe syntax is pure surface, Catalyst plans
+# it as the ordinary aggregate (hash agg with map-side partials).
+# --------------------------------------------------------------------------
+_SQL_PIPE = """
+    FROM events
+    |> EXTEND date_format(ts, 'yyyy-MM-dd') AS day,
+              CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+    |> AGGREGATE COUNT(*) AS n_events, SUM(cents) AS sum_cents
+       GROUP BY event_type, day
+    |> ORDER BY event_type, day
+"""
+
+
+@_register(
+    "sql_pipe_daily_rollup",
+    """
+    SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY event_type, day
+    """,
+)
+def sql_pipe_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_loader_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_PIPE)

@@ -284,3 +284,60 @@ def udtf_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY doc_id, sent_idx
         """
     )
+
+
+def _arrow_source_stats(key, tbl):
+    """Whole-group pyarrow.Table in, one-row Table out — pure
+    pyarrow.compute kernels, no pandas anywhere."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = tbl.num_rows
+    chars = tbl.column("n_chars")
+    return pa.table(
+        {
+            "source": pa.array([key[0].as_py()], pa.string()),
+            "n_docs": pa.array([n], pa.int64()),
+            "total_chars": pa.array(
+                [pc.sum(chars).as_py() or 0], pa.int64()
+            ),
+            "max_chars": pa.array([pc.max(chars).as_py()], pa.int64()),
+        }
+    )
+
+
+# --------------------------------------------------------------------------
+# B24 — applyInArrow: the grouped-map Arrow entry point (the Arrow-native
+# sibling of applyInPandas): each group arrives as ONE pyarrow.Table and
+# the transform runs pure pyarrow.compute — the shape a native-kernel
+# feature library (Rust/C++ via Arrow FFI) plugs into without a pandas
+# detour. Completes the Python-bridge surface alongside pandas_udf,
+# applyInPandas, mapInArrow, the GROUPED_AGG UDAF and the UDTF.
+#
+# Scale: one shuffle on the group key; per-group state is that source's
+# rows (bounded by the source-size distribution the skew diagnostics
+# watch — same contract as applyInPandas).
+# --------------------------------------------------------------------------
+@_register(
+    "apply_in_arrow_source_stats",
+    """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def apply_in_arrow_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("source", "n_chars")
+        .groupBy("source")
+        .applyInArrow(
+            _arrow_source_stats,
+            schema="source string, n_docs long, total_chars long, max_chars long",
+        )
+        .orderBy("source")
+    )
