@@ -101,6 +101,36 @@ def _open_table(root: str):
     return Table(wh, os.path.basename(root))
 
 
+def _table_root(options) -> str:
+    """Resolve the table root from either addressing style:
+
+    * ``.load(<root>)`` / ``.save(<root>)`` — the path IS the root;
+    * ``.option("warehouse", dir).option("table", "db.events")`` — the
+      identifier addressing the engine API uses (reference-style
+      ``load_data_to_iceberg(..., "db.events")`` ergonomics).
+    """
+    path = options.get("path")
+    wh_dir = options.get("warehouse")
+    ident = options.get("table")
+    if (wh_dir is None) != (ident is None):
+        raise ValueError(
+            "sparkberg: warehouse and table options go together"
+        )
+    if wh_dir is not None:
+        if path:
+            raise ValueError(
+                "sparkberg: give either .load/.save(<root>) or "
+                "warehouse+table options, not both"
+            )
+        return Warehouse(wh_dir).table_root(ident)
+    if not path:
+        raise ValueError(
+            "sparkberg: .load/.save(<table root path>) or "
+            "warehouse+table options required"
+        )
+    return path
+
+
 def _resolve_snapshot(root: str, options):
     table = _open_table(root)
     version = options.get("version")
@@ -162,10 +192,7 @@ def _read_file_as_batches(path: str, schema: T.StructType):
 
 class _SparkbergReaderBase(DataSourceReader):
     def __init__(self, schema: T.StructType, options):
-        root = options.get("path")
-        if not root:
-            raise ValueError("sparkberg: .load(<table root path>) required")
-        table, snap = _resolve_snapshot(root, options)
+        table, snap = _resolve_snapshot(_table_root(options), options)
         pending = list(snap.delete_predicates) + list(snap.delete_files)
         if pending:
             raise ValueError(
@@ -276,10 +303,7 @@ class SparkbergStreamReader(DataSourceStreamReader):
     """
 
     def __init__(self, schema: T.StructType, options):
-        root = options.get("path")
-        if not root:
-            raise ValueError("sparkberg: .load(<table root path>) required")
-        table = _open_table(root)
+        table = _open_table(_table_root(options))
         self._root = table.root
         self._schema = schema
         sv = str(options.get("starting_version", "0"))
@@ -354,11 +378,10 @@ def _entry_for_file(root: str, rel_path: str) -> DataFile:
 
 class SparkbergWriter(DataSourceArrowWriter):
     def __init__(self, schema: T.StructType, options, overwrite: bool):
-        root = options.get("path")
-        if not root:
-            raise ValueError("sparkberg: .save(<table root path>) required")
         self._overwrite = overwrite
-        table = self._ensure_table(os.path.abspath(root), schema)
+        table = self._ensure_table(
+            os.path.abspath(_table_root(options)), schema
+        )
         self._root = table.root
         spec = table.partition_spec()
         if spec:
@@ -480,10 +503,9 @@ class SparkbergDataSource(DataSource):
         return FORMAT_NAME
 
     def schema(self) -> T.StructType:
-        root = self.options.get("path")
-        if not root:
-            raise ValueError("sparkberg: .load(<table root path>) required")
-        _table, snap = _resolve_snapshot(root, self.options)
+        _table, snap = _resolve_snapshot(
+            _table_root(self.options), self.options
+        )
         return T.StructType.fromJson(snap.schema_json)
 
     def reader(self, schema: T.StructType) -> _SparkbergReaderBase:

@@ -276,3 +276,54 @@ def test_stream_appended_files_rejects_row_changing_ops(spark, wh):
     t.delete_where(spark, "k == 2")
     with pytest.raises(ValueError, match="append-only"):
         _appended_files(t, 0, t.snapshot().version)
+
+
+def test_warehouse_table_option_addressing(spark, wh):
+    df = spark.range(6).select(F.col("id").alias("k"))
+    (
+        df.write.format("sparkberg")
+        .option("warehouse", wh.path)
+        .option("table", "db.ds_ident")
+        .mode("append")
+        .save()
+    )
+    back = (
+        spark.read.format("sparkberg")
+        .option("warehouse", wh.path)
+        .option("table", "db.ds_ident")
+        .load()
+    )
+    assert back.count() == 6
+    assert wh.load_table("db.ds_ident").snapshot().total_rows == 6
+
+
+def test_connector_vs_engine_concurrent_append(spark, wh):
+    """A connector write racing an engine-API append must serialize
+    through the CAS loop with no lost update."""
+    import threading
+
+    root = wh.table_root("db.ds_race")
+    spark.createDataFrame([(0,)], "k int").write.format("sparkberg").mode(
+        "append"
+    ).save(root)
+    t = wh.load_table("db.ds_race")
+
+    errs = []
+
+    def engine_appends():
+        try:
+            for i in range(3):
+                t.append(spark.createDataFrame([(100 + i,)], "k int"))
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    th = threading.Thread(target=engine_appends)
+    th.start()
+    for i in range(3):
+        spark.createDataFrame([(200 + i,)], "k int").write.format(
+            "sparkberg"
+        ).mode("append").save(root)
+    th.join()
+    assert not errs
+    got = sorted(r.k for r in spark.read.format("sparkberg").load(root).collect())
+    assert got == [0, 100, 101, 102, 200, 201, 202]
