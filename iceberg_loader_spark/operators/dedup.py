@@ -1391,3 +1391,69 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("a_id", "b_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Time-window event debounce: collapse repeat (user, type) events that
+# arrive within 1 h of the previous one into a single kept event — the
+# "at most one signal per key per window" rule dashboards and billing
+# pipelines apply before counting. Gaps-and-islands spelling: an event
+# starts a new island when its gap from the previous SAME-KEY event
+# exceeds the window; only island heads survive. Gap seconds are
+# boundary-exact (second-truncated timestamps on both engines).
+#
+# Scale: one lag window PARTITIONED BY (user_id, event_type) — a single
+# shuffle on the dedup key carrying raw events once — then a bounded
+# per-type aggregate. Per-key state is that key's own event count, the
+# same bound the streaming dedup operator keys on.
+# --------------------------------------------------------------------------
+@_register(
+    "dedup_time_window",
+    """
+    WITH marked AS (
+      SELECT event_type,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR date_diff('second', LAG(ts) OVER w, ts) > 3600
+                  THEN 1 ELSE 0 END AS is_head
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(is_head) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) - SUM(is_head) AS BIGINT) AS n_debounced,
+           CAST((COUNT(*) - SUM(is_head)) * 1000000 // COUNT(*) AS BIGINT)
+             AS debounce_ppm
+    FROM marked
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def dedup_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type debounce report: events collapsed because a same
+    (user, type) event occurred within the trailing 1 h window."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(prev)
+    marked = ev.select(
+        "event_type",
+        F.when(prev.isNull() | (gap > 3600), 1).otherwise(0).alias(
+            "is_head"
+        ),
+    )
+    return (
+        marked.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("is_head").cast("bigint").alias("n_kept"),
+            (F.count("*") - F.sum("is_head"))
+            .cast("bigint")
+            .alias("n_debounced"),
+            F.expr(
+                "CAST((COUNT(*) - SUM(is_head)) * 1000000"
+                " div COUNT(*) AS BIGINT)"
+            ).alias("debounce_ppm"),
+        )
+        .orderBy("event_type")
+    )
