@@ -408,7 +408,10 @@ class SparkbergWriter(DataSourceArrowWriter):
         wh = Warehouse(os.path.dirname(root))
         identifier = os.path.basename(root)
         if not wh.table_exists(identifier):
-            return Table.create(wh, identifier, schema)
+            try:
+                return Table.create(wh, identifier, schema)
+            except FileExistsError:
+                pass  # lost the create race; the winner's table is fine
         return Table(wh, identifier)
 
     def write(self, iterator) -> _WriteMessage:
