@@ -174,20 +174,25 @@ class _FilePartition(InputPartition):
 
 def _read_file_as_batches(path: str, schema: T.StructType):
     """One parquet file -> Arrow batches cast to the snapshot schema
-    (schema-evolution NULL fill for columns added after the file)."""
+    (schema-evolution NULL fill for columns added after the file).
+    Streams batch-by-batch — peak memory is one Arrow batch, not the
+    file, so a 1 GB data file never materializes in the Python worker."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_schema
 
     target = to_arrow_schema(schema)
-    tbl = pq.read_table(path)
-    cols = []
-    for field in target:
-        if field.name in tbl.column_names:
-            cols.append(tbl.column(field.name).cast(field.type))
-        else:
-            cols.append(pa.nulls(tbl.num_rows, field.type))
-    yield from pa.table(cols, schema=target).to_batches()
+    pf = pq.ParquetFile(path)
+    present = set(pf.schema_arrow.names)
+    read_cols = [f.name for f in target if f.name in present]
+    for b in pf.iter_batches(columns=read_cols):
+        cols = []
+        for field in target:
+            if field.name in present:
+                cols.append(b.column(field.name).cast(field.type))
+            else:
+                cols.append(pa.nulls(b.num_rows, field.type))
+        yield pa.RecordBatch.from_arrays(cols, schema=target)
 
 
 class _SparkbergReaderBase(DataSourceReader):
@@ -314,7 +319,8 @@ class SparkbergStreamReader(DataSourceStreamReader):
         return {"version": self._initial}
 
     def latestOffset(self) -> dict:
-        return {"version": _open_table(self._root).snapshot().version}
+        # O(1) pointer read per trigger — no manifest load
+        return {"version": _open_table(self._root).meta.current_version()}
 
     def partitions(self, start: dict, end: dict):
         table = _open_table(self._root)
