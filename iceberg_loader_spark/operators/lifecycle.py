@@ -1208,3 +1208,87 @@ def stream_merge_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value_cents",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
     ).orderBy("user_id")
+
+
+# --------------------------------------------------------------------------
+# Incremental cross-batch dedup against a persisted fingerprint table —
+# the PRODUCTION dedup shape: yesterday's corpus keeps its md5
+# fingerprints in a table; today's batch anti-joins against it, and only
+# novel documents land. Exercises the dedup and table layers composing:
+# fp table append → scan → anti-join → survivor append → content counts.
+# The historical/incoming split is the same md5(doc_id) bucketing the
+# dataset-split operator uses, so the oracle replays it exactly.
+#
+# Scale: the fp table carries (fp, doc_id) only — 16 bytes/row of
+# shuffle; the anti-join partitions both sides on fp. At 100 TB the fp
+# table is the persisted artifact that makes per-batch dedup O(batch),
+# never O(corpus re-hash).
+# --------------------------------------------------------------------------
+@_register(
+    "lifecycle_incremental_dedup_counts",
+    """
+    WITH bucketed AS (
+      SELECT doc_id, lang, text,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 100 AS bucket
+      FROM documents
+    ),
+    hist AS (SELECT * FROM bucketed WHERE bucket < 50),
+    incoming AS (SELECT * FROM bucketed WHERE bucket >= 50),
+    novel AS (
+      SELECT i.* FROM incoming i
+      WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE MD5(h.text) = MD5(i.text))
+    )
+    SELECT lang,
+           CAST((SELECT COUNT(*) FROM incoming b
+                 WHERE b.lang = x.lang) AS BIGINT) AS n_incoming,
+           CAST(COUNT(*) AS BIGINT) AS n_landed,
+           CAST((SELECT COUNT(*) FROM incoming b
+                 WHERE b.lang = x.lang) - COUNT(*) AS BIGINT) AS n_dups
+    FROM novel x
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def lifecycle_incremental_dedup_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from iceberg_loader_spark.operators.text import _bucket_col
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    bucketed = docs.withColumn("bucket", _bucket_col())
+    hist = bucketed.filter(F.col("bucket") < 50)
+    incoming = bucketed.filter(F.col("bucket") >= 50)
+
+    wh = _fresh_warehouse()
+    fps = hist.select("doc_id", F.md5("text").alias("fp"))
+    fp_table = Table.create(wh, "db.fps", fps.schema)
+    fp_table.append(fps)
+
+    known = wh.load_table("db.fps").scan(spark).select("fp")
+    novel = incoming.withColumn("fp", F.md5("text")).join(
+        known, "fp", "left_anti"
+    )
+    corpus = Table.create(
+        wh, "db.corpus", novel.drop("fp", "bucket").schema
+    )
+    corpus.append(novel.drop("fp", "bucket"))
+
+    landed = wh.load_table("db.corpus").scan(spark)
+    per_lang_in = incoming.groupBy("lang").agg(
+        F.count("*").alias("n_incoming")
+    )
+    return (
+        landed.groupBy("lang")
+        .agg(F.count("*").alias("n_landed"))
+        .join(F.broadcast(per_lang_in), "lang")
+        .select(
+            "lang",
+            "n_incoming",
+            "n_landed",
+            (F.col("n_incoming") - F.col("n_landed")).alias("n_dups"),
+        )
+        .orderBy("lang")
+    )

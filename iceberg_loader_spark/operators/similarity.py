@@ -1363,3 +1363,102 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# Split-drift monitor: cosine similarity between the MEAN embedding of
+# the two md5-bucket halves of each label — the check that a dataset
+# split didn't skew the representation space (ML-ops drift gate). The
+# per-dimension mean is integer fixed-point (sum div n — staged floor
+# division both engines evaluate identically), so the final cosine is a
+# double computed from identical integers in the identical expression
+# shape, exactly like the kNN family's cosine outputs. Mean-scale
+# products (~1e13) keep the dot sum far from int64 overflow at ANY
+# corpus size, unlike raw per-dim sums.
+#
+# Scale: one posexplode (64 rows/vector), one (label, half, dim) hash
+# aggregate with map-side partials, then a label-grain join of two
+# 64-row-per-label frames — shuffles carry aggregated dims, never
+# vectors.
+# --------------------------------------------------------------------------
+@_register(
+    "split_embedding_drift",
+    f"""
+    WITH fp AS (
+      SELECT label,
+             CASE WHEN CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)),
+                             1, 8)) AS BIGINT) % 100 < 50
+                  THEN 'a' ELSE 'b' END AS half,
+             {_DUCK_FP.format(col='embedding')} AS e
+      FROM embeddings
+    ),
+    dims AS (
+      SELECT f.label, f.half, r.i AS pos, f.e[r.i] AS v
+      FROM fp f CROSS JOIN LATERAL
+        (SELECT unnest(generate_series(1, len(f.e))) AS i) r
+    ),
+    means AS (
+      SELECT label, half, pos,
+             SUM(v) // COUNT(*) AS m, COUNT(*) AS n
+      FROM dims GROUP BY 1, 2, 3
+    ),
+    joined AS (
+      SELECT a.label, a.pos, a.m AS ma, b.m AS mb, a.n AS na, b.n AS nb
+      FROM (SELECT * FROM means WHERE half = 'a') a
+      JOIN (SELECT * FROM means WHERE half = 'b') b
+        ON a.label = b.label AND a.pos = b.pos
+    )
+    SELECT label,
+           CAST(MAX(na) AS BIGINT) AS n_a,
+           CAST(MAX(nb) AS BIGINT) AS n_b,
+           CAST(SUM(ma * mb) AS DOUBLE)
+             / (SQRT(CAST(SUM(ma * ma) AS DOUBLE))
+                * SQRT(CAST(SUM(mb * mb) AS DOUBLE))) AS mean_cosine
+    FROM joined
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def split_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label cosine between the mean embeddings of the two
+    md5-bucket halves of the corpus (dataset-split drift gate)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    half = F.when(
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+        < 50,
+        "a",
+    ).otherwise("b")
+    fp = emb.select(
+        "label", half.alias("half"), _fixed_point(F.col("embedding")).alias("e")
+    )
+    dims = fp.select(
+        "label", "half", F.posexplode("e").alias("pos", "v")
+    )
+    means = dims.groupBy("label", "half", "pos").agg(
+        F.expr("SUM(v) div COUNT(*)").alias("m"),
+        F.count("*").alias("n"),
+    )
+    a = means.filter(F.col("half") == "a").select(
+        "label", "pos", F.col("m").alias("ma"), F.col("n").alias("na")
+    )
+    b = means.filter(F.col("half") == "b").select(
+        "label", "pos", F.col("m").alias("mb"), F.col("n").alias("nb")
+    )
+    joined = a.join(b, ["label", "pos"])
+    return (
+        joined.groupBy("label")
+        .agg(
+            F.max("na").cast("bigint").alias("n_a"),
+            F.max("nb").cast("bigint").alias("n_b"),
+            (
+                F.sum(F.col("ma") * F.col("mb")).cast("double")
+                / (
+                    F.sqrt(F.sum(F.col("ma") * F.col("ma")).cast("double"))
+                    * F.sqrt(F.sum(F.col("mb") * F.col("mb")).cast("double"))
+                )
+            ).alias("mean_cosine"),
+        )
+        .orderBy("label")
+    )
