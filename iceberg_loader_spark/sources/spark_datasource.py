@@ -84,7 +84,7 @@ from iceberg_loader_spark.tables.catalog import Warehouse
 from iceberg_loader_spark.tables.filters import Term, file_may_match
 from iceberg_loader_spark.tables.format import (
     DEFAULT_TABLE_PROPERTIES,
-    DataFile,
+    CommitConflict,
     new_snapshot,
 )
 from iceberg_loader_spark.tables.partitioning import PartitionField
@@ -280,9 +280,18 @@ def _appended_files(table, from_v: int, to_v: int) -> list:
         if snap.parent_version is None:
             parent_paths: set[str] = set()
         else:
-            parent_paths = {
-                f.path for f in table.snapshot(snap.parent_version).files
-            }
+            try:
+                parent_paths = {
+                    f.path
+                    for f in table.snapshot(snap.parent_version).files
+                }
+            except FileNotFoundError:
+                raise ValueError(
+                    f"sparkberg stream: history expired — parent manifest "
+                    f"v{snap.parent_version} of snapshot {v} was removed by "
+                    f"expire_snapshots; restart the stream from a retained "
+                    f"snapshot (starting_version >= {v}) or 'latest'"
+                ) from None
         out.extend(f for f in snap.files if f.path not in parent_paths)
     return out
 
@@ -341,45 +350,13 @@ class _WriteMessage(WriterCommitMessage):
     rel_paths: tuple  # files THIS successful task wrote (root-relative)
 
 
-def _entry_for_file(root: str, rel_path: str) -> DataFile:
-    """Footer-read one written file into a manifest entry (the same
-    min/max extraction Table._collect_entries performs)."""
-    import pyarrow.parquet as pq
+def _entry_for_file(root: str, rel_path: str):
+    """Footer-read one written file into a manifest entry — the SAME
+    fold the engine write path uses (tables/table.py:entry_from_footer),
+    so connector- and engine-written files carry identical stats."""
+    from iceberg_loader_spark.tables.table import entry_from_footer
 
-    from iceberg_loader_spark.tables.table import _stat_value
-
-    abs_path = os.path.join(root, rel_path)
-    md = pq.ParquetFile(abs_path).metadata
-    stats: dict[str, list] = {}
-    for rg_i in range(md.num_row_groups):
-        rg = md.row_group(rg_i)
-        for c_i in range(rg.num_columns):
-            col = rg.column(c_i)
-            name = col.path_in_schema
-            if "." in name:
-                continue
-            st = col.statistics
-            if st is None or not st.has_min_max:
-                stats[name] = None
-                continue
-            lo, hi = _stat_value(st.min), _stat_value(st.max)
-            if lo is None or hi is None:
-                stats[name] = None
-                continue
-            prev = stats.get(name)
-            if prev is None and name in stats:
-                continue
-            if prev is None:
-                stats[name] = [lo, hi]
-            else:
-                stats[name] = [min(prev[0], lo), max(prev[1], hi)]
-    return DataFile(
-        path=rel_path.replace(os.sep, "/"),
-        rows=md.num_rows,
-        bytes=os.path.getsize(abs_path),
-        partition={},
-        stats={k: v for k, v in stats.items() if v is not None},
-    )
+    return entry_from_footer(os.path.join(root, rel_path), rel_path)
 
 
 class SparkbergWriter(DataSourceArrowWriter):
@@ -395,11 +372,15 @@ class SparkbergWriter(DataSourceArrowWriter):
                 "sparkberg writer supports unpartitioned tables; use "
                 "Table.append for partition-transform writes"
             )
-        table_cols = [f.name for f in table.schema().fields]
-        if [f.name for f in schema.fields] != table_cols:
+        table_schema = [
+            (f.name, f.dataType) for f in table.schema().fields
+        ]
+        df_schema = [(f.name, f.dataType) for f in schema.fields]
+        if df_schema != table_schema:
             raise ValueError(
-                f"sparkberg: dataframe columns {[f.name for f in schema.fields]} "
-                f"!= table columns {table_cols}"
+                f"sparkberg: dataframe schema {df_schema} != table "
+                f"schema {table_schema} (a name- or type-mismatched "
+                f"append would poison every later read)"
             )
         self._codec = table.properties().get(
             "write.parquet.compression-codec",
@@ -416,25 +397,35 @@ class SparkbergWriter(DataSourceArrowWriter):
         if not wh.table_exists(identifier):
             try:
                 return Table.create(wh, identifier, schema)
-            except FileExistsError:
+            except (FileExistsError, CommitConflict):
                 pass  # lost the create race; the winner's table is fine
         return Table(wh, identifier)
 
     def write(self, iterator) -> _WriteMessage:
-        import pyarrow as pa
         import pyarrow.parquet as pq
 
-        batches = list(iterator)
-        if not batches or sum(b.num_rows for b in batches) == 0:
-            return _WriteMessage(rel_paths=())
-        staging_abs = os.path.join(self._root, self._staging_rel)
-        os.makedirs(staging_abs, exist_ok=True)
+        # stream batch-by-batch into the parquet writer — peak memory is
+        # one Arrow batch, never the whole task partition
+        writer = None
         rel = f"{self._staging_rel}/task-{uuid.uuid4().hex}.parquet"
-        pq.write_table(
-            pa.Table.from_batches(batches),
-            os.path.join(self._root, rel),
-            compression=self._codec,
-        )
+        abs_path = os.path.join(self._root, rel)
+        rows = 0
+        try:
+            for b in iterator:
+                if b.num_rows == 0:
+                    continue
+                if writer is None:
+                    os.makedirs(os.path.dirname(abs_path), exist_ok=True)
+                    writer = pq.ParquetWriter(
+                        abs_path, b.schema, compression=self._codec
+                    )
+                writer.write_batch(b)
+                rows += b.num_rows
+        finally:
+            if writer is not None:
+                writer.close()
+        if rows == 0:
+            return _WriteMessage(rel_paths=())
         return _WriteMessage(rel_paths=(rel,))
 
     def commit(self, messages) -> None:
@@ -515,6 +506,12 @@ class SparkbergDataSource(DataSource):
         _table, snap = _resolve_snapshot(
             _table_root(self.options), self.options
         )
+        # pin the resolved version: reader() must serve the SAME snapshot
+        # this schema came from, even if a commit lands in between (and
+        # the reader then skips a second manifest resolution)
+        self.options["version"] = str(snap.version)
+        self.options.pop("tag", None)
+        self.options.pop("as_of_ms", None)
         return T.StructType.fromJson(snap.schema_json)
 
     def reader(self, schema: T.StructType) -> _SparkbergReaderBase:
@@ -529,10 +526,13 @@ class SparkbergDataSource(DataSource):
         return SparkbergStreamReader(schema, self.options)
 
 
-def register(spark, pushdown: bool = True) -> None:
-    """Register the ``sparkberg`` format on ``spark``, enabling the
-    Python-data-source filter-pushdown conf when requested (it is a
-    runtime conf; vanilla sessions default it to false)."""
-    if pushdown:
-        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+def register(spark) -> None:
+    """Register the ``sparkberg`` format on ``spark`` and enable the
+    Python-data-source filter-pushdown conf (a runtime conf; vanilla
+    sessions default it to false, and Spark hard-fails any reader that
+    overrides ``pushFilters`` while it is off). When the format is
+    registered WITHOUT this helper on a session where the conf cannot
+    be enabled, pass ``.option("pushdown", "false")`` per read to get
+    the no-pushdown reader variant instead."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SparkbergDataSource)

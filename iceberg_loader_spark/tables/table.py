@@ -170,6 +170,48 @@ def _stat_value(v):
     return None
 
 
+def entry_from_footer(
+    abs_path: str, rel_path: str, partition: dict | None = None
+) -> DataFile:
+    """Footer-read ONE written parquet file into a manifest entry: row
+    count, byte size, and the per-column min/max fold across row groups
+    (a single chunk without usable stats poisons that column — a partial
+    range would wrongly prune files). Shared by the engine write path
+    and the Spark-format connector so manifest stats stay identical
+    regardless of which writer produced the file."""
+    md = pq.ParquetFile(abs_path).metadata
+    stats: dict[str, list] = {}
+    for rg_i in range(md.num_row_groups):
+        rg = md.row_group(rg_i)
+        for c_i in range(rg.num_columns):
+            col = rg.column(c_i)
+            name = col.path_in_schema
+            if "." in name:  # nested — no stats
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                stats[name] = None  # a chunk without stats → unusable
+                continue
+            lo, hi = _stat_value(st.min), _stat_value(st.max)
+            if lo is None or hi is None:
+                stats[name] = None
+                continue
+            prev = stats.get(name)
+            if prev is None and name in stats:
+                continue
+            if prev is None:
+                stats[name] = [lo, hi]
+            else:
+                stats[name] = [min(prev[0], lo), max(prev[1], hi)]
+    return DataFile(
+        path=rel_path.replace(os.sep, "/"),
+        rows=md.num_rows,
+        bytes=os.path.getsize(abs_path),
+        partition=partition or {},
+        stats={k: v for k, v in stats.items() if v is not None},
+    )
+
+
 class Table:
     """One snapshot-versioned table under a Warehouse."""
 
@@ -757,38 +799,8 @@ class Table:
                         k, v = seg.split("=", 1)
                         v = urllib.parse.unquote(v)
                         partition[k[3:]] = None if v == _HIVE_NULL else v
-                md = pq.ParquetFile(abs_path).metadata
-                stats: dict[str, list] = {}
-                for rg_i in range(md.num_row_groups):
-                    rg = md.row_group(rg_i)
-                    for c_i in range(rg.num_columns):
-                        col = rg.column(c_i)
-                        name = col.path_in_schema
-                        if "." in name:  # nested — no stats
-                            continue
-                        st = col.statistics
-                        if st is None or not st.has_min_max:
-                            stats[name] = None  # a chunk without stats → unusable
-                            continue
-                        lo, hi = _stat_value(st.min), _stat_value(st.max)
-                        if lo is None or hi is None:
-                            stats[name] = None
-                            continue
-                        prev = stats.get(name)
-                        if prev is None and name in stats:
-                            continue
-                        if prev is None:
-                            stats[name] = [lo, hi]
-                        else:
-                            stats[name] = [min(prev[0], lo), max(prev[1], hi)]
                 entries.append(
-                    DataFile(
-                        path=rel_path.replace(os.sep, "/"),
-                        rows=md.num_rows,
-                        bytes=os.path.getsize(abs_path),
-                        partition=partition,
-                        stats={k: v for k, v in stats.items() if v is not None},
-                    )
+                    entry_from_footer(abs_path, rel_path, partition)
                 )
         return entries
 

@@ -185,8 +185,12 @@ def test_column_mismatch_refused(spark, wh):
         "sparkberg"
     ).mode("append").save(root)
     bad = spark.createDataFrame([("a", 1)], "s string, k int")
-    with pytest.raises(Exception, match="columns"):
+    with pytest.raises(Exception, match="schema"):
         bad.write.format("sparkberg").mode("append").save(root)
+    # a type mismatch is refused too (it would poison every later read)
+    bad_type = spark.createDataFrame([("1", "a")], "k string, s string")
+    with pytest.raises(Exception, match="schema"):
+        bad_type.write.format("sparkberg").mode("append").save(root)
 
 
 def test_stats_recorded_in_manifest(spark, wh):
@@ -327,3 +331,19 @@ def test_connector_vs_engine_concurrent_append(spark, wh):
     assert not errs
     got = sorted(r.k for r in spark.read.format("sparkberg").load(root).collect())
     assert got == [0, 100, 101, 102, 200, 201, 202]
+
+
+def test_stream_expired_history_clear_error(spark, wh):
+    from iceberg_loader_spark.sources.spark_datasource import _appended_files
+    from iceberg_loader_spark.tables.maintenance import expire_snapshots
+
+    root = wh.table_root("db.ds_stream_exp")
+    for i in range(6):
+        spark.createDataFrame([(i,)], "k int").write.format(
+            "sparkberg"
+        ).mode("append").save(root)
+    t = wh.load_table("db.ds_stream_exp")
+    expire_snapshots(t, keep_last=2)
+    t = wh.load_table("db.ds_stream_exp")
+    with pytest.raises(ValueError, match="history expired"):
+        _appended_files(t, 0, t.snapshot().version)
