@@ -347,3 +347,32 @@ def test_stream_expired_history_clear_error(spark, wh):
     t = wh.load_table("db.ds_stream_exp")
     with pytest.raises(ValueError, match="history expired"):
         _appended_files(t, 0, t.snapshot().version)
+
+
+def test_typed_roundtrip_timestamps_doubles_arrays(spark, wh):
+    """Value fidelity through the Arrow write+read path for the types
+    the engine's tables actually carry (timestamps are the classic
+    connector-breaker: tz handling must agree with the engine scan)."""
+    import datetime
+
+    root = wh.table_root("db.ds_typed")
+    rows = [
+        (
+            1,
+            datetime.datetime(2024, 3, 10, 6, 59, 59, 123456),
+            1.5,
+            "a",
+            [1, 2, 3],
+        ),
+        (2, datetime.datetime(2024, 11, 3, 1, 30, 0), -0.25, None, []),
+        (3, None, None, "c", None),
+    ]
+    schema = "k int, ts timestamp, x double, s string, arr array<bigint>"
+    df = spark.createDataFrame(rows, schema)
+    df.write.format("sparkberg").mode("append").save(root)
+
+    via_connector = spark.read.format("sparkberg").load(root)
+    via_engine = wh.load_table("db.ds_typed").scan(spark)
+    a = sorted(map(tuple, via_connector.collect()))
+    b = sorted(map(tuple, via_engine.collect()))
+    assert a == b == sorted(map(tuple, df.collect()))
