@@ -98,6 +98,11 @@ def test_spark_format_roundtrip_example(tmp_path):
     assert res["tagged_rows"] == 100
 
 
+def test_stream_format_pipeline_example(tmp_path):
+    res = _load("stream_format_pipeline").main(str(tmp_path))
+    assert res["rows_landed"] == 100
+
+
 def test_event_analytics_example(tmp_path):
     mod = _load("event_analytics")
     result = mod.run_example(str(tmp_path))
