@@ -2884,3 +2884,125 @@ def sql_pipe_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_SQL_PIPE)
+
+
+# --------------------------------------------------------------------------
+# B4-adjacent — Bloom-filter join prefilter, audited. Builds a 2048-bit /
+# 3-hash Bloom filter over the BUILDING-segment customer keys, probes
+# every order against it, and reports the filter's quality: true members
+# passed, false positives admitted, and the zero-false-negative guarantee
+# — the runtime-filter pattern (Spark's own bloom-filter join hint, Leis
+# et al.) spelled explicitly so the oracle can audit it.
+#
+# Scale: the filter is a ≤2048-row (bit) frame built by a map-side-
+# combined distinct over the dimension side, then BROADCAST to the fact
+# probe — three broadcast-hash lookups per order, no shuffle of orders;
+# the final report is a partial-aggregated scalar row.
+# --------------------------------------------------------------------------
+_BF_M = 2048  # bits
+_BF_K = 3  # hash functions
+
+_DUCK_BF_BIT = (
+    "CAST(('0x' || substring(md5('bf{i}:' || CAST({key} AS VARCHAR)), 1, 8)) "
+    f"AS BIGINT) % {_BF_M}"
+)
+
+
+@_register(
+    "bloom_prefilter_orders",
+    f"""
+    WITH build AS (
+      SELECT DISTINCT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    bits AS (
+      SELECT DISTINCT b FROM (
+        {' UNION ALL '.join(
+            f"SELECT {_DUCK_BF_BIT.format(i=i, key='c_custkey')} AS b FROM build"
+            for i in range(_BF_K)
+        )})
+    ),
+    probe AS (
+      SELECT o.o_orderkey, o.o_custkey,
+             {' AND '.join(
+                f"EXISTS (SELECT 1 FROM bits WHERE b = "
+                f"{_DUCK_BF_BIT.format(i=i, key='o.o_custkey')})"
+                for i in range(_BF_K)
+             )} AS bloom_hit,
+             EXISTS (SELECT 1 FROM build WHERE c_custkey = o.o_custkey)
+               AS is_member
+      FROM orders o
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bloom_hits,
+           CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_members,
+           CAST(SUM(CASE WHEN bloom_hit AND NOT is_member THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_false_pos,
+           CAST(SUM(CASE WHEN is_member AND NOT bloom_hit THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_false_neg,
+           CAST(10000 * SUM(CASE WHEN bloom_hit AND NOT is_member THEN 1 ELSE 0 END)
+             // GREATEST(COUNT(*) - SUM(CASE WHEN is_member THEN 1 ELSE 0 END), 1)
+             AS BIGINT) AS fp_rate_bps
+    FROM probe
+    """,
+)
+def bloom_prefilter_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit a 2048-bit/3-hash Bloom prefilter of orders by customer segment."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    build = (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+        .distinct()
+    )
+
+    def _bit(i: int, key) -> F.Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"bf{i}:"), key.cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _BF_M
+        )
+
+    bits = (
+        build.select(
+            F.explode(
+                F.array(*[_bit(i, F.col("c_custkey")) for i in range(_BF_K)])
+            ).alias("b")
+        )
+        .distinct()
+    )
+    members = build.select(F.col("c_custkey").alias("o_custkey")).withColumn(
+        "m", F.lit(1)
+    )
+    probe = orders.select("o_orderkey", "o_custkey")
+    for i in range(_BF_K):
+        bi = bits.select(F.col("b").alias(f"b{i}")).withColumn(f"h{i}", F.lit(1))
+        probe = probe.withColumn(f"b{i}", _bit(i, F.col("o_custkey"))).join(
+            F.broadcast(bi), f"b{i}", "left"
+        )
+    probe = probe.join(F.broadcast(members), "o_custkey", "left")
+    bloom_hit = (
+        (F.col("h0") == 1) & (F.col("h1") == 1) & (F.col("h2") == 1)
+    )
+    is_member = F.col("m") == 1
+    hit_i = F.when(bloom_hit, 1).otherwise(0)
+    mem_i = F.when(is_member, 1).otherwise(0)
+    fp_i = F.when(bloom_hit & ~is_member.eqNullSafe(True), 1).otherwise(0)
+    fn_i = F.when(is_member & ~bloom_hit.eqNullSafe(True), 1).otherwise(0)
+    return probe.agg(
+        F.count("*").cast("bigint").alias("n_probes"),
+        F.sum(hit_i).cast("bigint").alias("n_bloom_hits"),
+        F.sum(mem_i).cast("bigint").alias("n_members"),
+        F.sum(fp_i).cast("bigint").alias("n_false_pos"),
+        F.sum(fn_i).cast("bigint").alias("n_false_neg"),
+        F.expr(
+            "CAST(10000 * SUM(CASE WHEN h0 = 1 AND h1 = 1 AND h2 = 1 AND m IS NULL THEN 1 ELSE 0 END)"
+            " div GREATEST(COUNT(*) - SUM(CASE WHEN m = 1 THEN 1 ELSE 0 END), 1) AS BIGINT)"
+        ).alias("fp_rate_bps"),
+    )

@@ -1462,3 +1462,233 @@ def split_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# B26/LLM-pipeline — label-noise audit via k-NN agreement (Confident-
+# Learning-style): each vector's 3 nearest same-IVF-cell neighbors vote;
+# a majority label that disagrees with the stored label flags the row as
+# a suspect annotation. The candidate set is the IVF cell, so the pair
+# enumeration is bucketed exactly like semantic_dedup_ivf — never O(n²)
+# over the corpus.
+#
+# Scale: within-cell self-join on c_id (equi-join, no broadcast of the
+# big side); top-3 via a (vec_id)-partitioned rank window; the vote
+# aggregation carries (vec_id, label, n_label) triples only.
+# --------------------------------------------------------------------------
+@_register(
+    "knn_label_audit",
+    f"""
+    WITH {_DUCK_IVF},
+    pairs AS (
+      SELECT a.vec_id, a.label, b.vec_id AS n_id, b.label AS n_label,
+             CAST({_DUCK_DOT.format(a='a.e', b='b.e')} AS DOUBLE)
+               / (SQRT(CAST(a.nsq AS DOUBLE)) * SQRT(CAST(b.nsq AS DOUBLE)))
+               AS cosine
+      FROM assigned a JOIN assigned b
+        ON a.c_id = b.c_id AND a.vec_id <> b.vec_id
+    ),
+    top3 AS (
+      SELECT vec_id, label, n_label FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                    ORDER BY cosine DESC, n_id) AS rnk
+        FROM pairs)
+      WHERE rnk <= 3
+    ),
+    votes AS (
+      SELECT vec_id, label, n_label, COUNT(*) AS cnt
+      FROM top3 GROUP BY 1, 2, 3
+    )
+    SELECT vec_id, label, maj_label, n_votes, maj_label <> label AS suspect
+    FROM (
+      SELECT vec_id, label, n_label AS maj_label,
+             CAST(cnt AS BIGINT) AS n_votes,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY cnt DESC, n_label) AS rn
+      FROM votes)
+    WHERE rn = 1
+    ORDER BY vec_id
+    """,
+)
+def knn_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag rows whose 3 nearest in-cell neighbors vote for another label."""
+    assigned = _ivf_assigned(spark, sf_dir)
+    other = assigned.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("label").alias("n_label"),
+        F.col("e").alias("n_e"),
+        F.col("nsq").alias("n_nsq"),
+        F.col("c_id").alias("n_cid"),
+    )
+    pairs = assigned.join(
+        other,
+        (F.col("c_id") == F.col("n_cid")) & (F.col("vec_id") != F.col("n_id")),
+    ).select(
+        "vec_id",
+        "label",
+        "n_id",
+        "n_label",
+        (
+            _dot(F.col("e"), F.col("n_e")).cast("double")
+            / (
+                F.sqrt(F.col("nsq").cast("double"))
+                * F.sqrt(F.col("n_nsq").cast("double"))
+            )
+        ).alias("cosine"),
+    )
+    w_nn = W.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    top3 = (
+        pairs.withColumn("rnk", F.row_number().over(w_nn))
+        .filter(F.col("rnk") <= 3)
+        .select("vec_id", "label", "n_label")
+    )
+    votes = top3.groupBy("vec_id", "label", "n_label").agg(
+        F.count("*").alias("cnt")
+    )
+    w_maj = W.partitionBy("vec_id").orderBy(F.desc("cnt"), F.asc("n_label"))
+    return (
+        votes.withColumn("rn", F.row_number().over(w_maj))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "label",
+            F.col("n_label").alias("maj_label"),
+            F.col("cnt").cast("bigint").alias("n_votes"),
+            (F.col("n_label") != F.col("label")).alias("suspect"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# B26/LLM-pipeline — Matryoshka-truncation audit (Kusupati et al., 2022):
+# rank neighbors by the 32-dim prefix of the 64-dim embedding and report
+# per-query recall@3 against the full-dimension ranking. The quality gate
+# a pipeline runs before switching retrieval to truncated (cheaper)
+# vectors. Both rankings are exact fixed-point cosine, so every value is
+# engine-portable.
+#
+# Scale: one broadcast of the 20-query side against the corpus; both
+# cosines are computed in the same map pass (one join, no second scan);
+# top-3 via rank windows over the small joined frame.
+# --------------------------------------------------------------------------
+_MRL_DIMS = 32  # prefix dims for the truncated ranking
+
+
+@_register(
+    "matryoshka_recall",
+    f"""
+    WITH fp AS (
+      SELECT vec_id, {_DUCK_FP.format(col='embedding')} AS e FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id, e, e[1:{_MRL_DIMS}] AS t,
+             {_DUCK_DOT.format(a='e', b='e')} AS nsq,
+             {_DUCK_DOT.format(a='e[1:{d}]'.format(d=_MRL_DIMS), b='e[1:{d}]'.format(d=_MRL_DIMS))} AS tnsq
+      FROM fp
+    ),
+    pairs AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             CAST({_DUCK_DOT.format(a='q.e', b='c.e')} AS DOUBLE)
+               / (SQRT(CAST(q.nsq AS DOUBLE)) * SQRT(CAST(c.nsq AS DOUBLE)))
+               AS cos_full,
+             CAST({_DUCK_DOT.format(a='q.t', b='c.t')} AS DOUBLE)
+               / (SQRT(CAST(q.tnsq AS DOUBLE)) * SQRT(CAST(c.tnsq AS DOUBLE)))
+               AS cos_trunc
+      FROM norms q JOIN norms c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 20
+    ),
+    full3 AS (
+      SELECT q_id, n_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                    ORDER BY cos_full DESC, n_id) AS rnk
+        FROM pairs)
+      WHERE rnk <= 3
+    ),
+    trunc3 AS (
+      SELECT q_id, n_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                    ORDER BY cos_trunc DESC, n_id) AS rnk
+        FROM pairs)
+      WHERE rnk <= 3
+    )
+    SELECT f.q_id, COALESCE(h.n_hits, 0) AS n_hits, 3 AS k
+    FROM (SELECT DISTINCT q_id FROM full3) f
+    LEFT JOIN (
+      SELECT x.q_id, COUNT(*) AS n_hits
+      FROM full3 x JOIN trunc3 t ON x.q_id = t.q_id AND x.n_id = t.n_id
+      GROUP BY x.q_id) h
+    ON f.q_id = h.q_id
+    ORDER BY f.q_id
+    """,
+)
+def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of 32-dim-prefix ranking vs the full 64-dim ranking."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    fp = emb.select("vec_id", _fixed_point(F.col("embedding")).alias("e"))
+    norms = fp.select(
+        "vec_id",
+        "e",
+        F.slice("e", 1, _MRL_DIMS).alias("t"),
+    ).select(
+        "vec_id",
+        "e",
+        "t",
+        _dot(F.col("e"), F.col("e")).alias("nsq"),
+        _dot(F.col("t"), F.col("t")).alias("tnsq"),
+    )
+    q = norms.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("e").alias("q_e"),
+        F.col("t").alias("q_t"),
+        F.col("nsq").alias("q_nsq"),
+        F.col("tnsq").alias("q_tnsq"),
+    )
+    from iceberg_loader_spark.operators.dedup import _materialize
+
+    # both rank windows read the joined frame — materialize it once
+    pairs = _materialize(
+        norms.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            (
+                _dot(F.col("q_e"), F.col("e")).cast("double")
+                / (
+                    F.sqrt(F.col("q_nsq").cast("double"))
+                    * F.sqrt(F.col("nsq").cast("double"))
+                )
+            ).alias("cos_full"),
+            (
+                _dot(F.col("q_t"), F.col("t")).cast("double")
+                / (
+                    F.sqrt(F.col("q_tnsq").cast("double"))
+                    * F.sqrt(F.col("tnsq").cast("double"))
+                )
+            ).alias("cos_trunc"),
+        )
+    )
+
+    def _top3(order_col: str) -> DataFrame:
+        w = W.partitionBy("q_id").orderBy(F.desc(order_col), F.asc("n_id"))
+        return (
+            pairs.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3)
+            .select("q_id", "n_id")
+        )
+
+    full3 = _top3("cos_full")
+    trunc3 = _top3("cos_trunc")
+    hits = full3.join(trunc3, ["q_id", "n_id"]).groupBy("q_id").agg(
+        F.count("*").alias("n_hits")
+    )
+    return (
+        full3.select("q_id")
+        .distinct()
+        .join(F.broadcast(hits), "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            F.lit(3).alias("k"),
+        )
+        .orderBy("q_id")
+    )

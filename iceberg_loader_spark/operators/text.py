@@ -1516,3 +1516,267 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("tok", "df", "postings")
         .orderBy("tok")
     )
+
+
+# --------------------------------------------------------------------------
+# LLM-pipeline — Count-Min sketch (Cormode & Muthukrishnan, 2005) over
+# corpus tokens, audited against the exact counts of the top-20 tokens.
+# Emits per-token exact count, CM estimate, error, and the one-sided
+# guarantee verdict (CM never underestimates) — the cheap streaming
+# counter a pipeline uses when exact token counts stop fitting anywhere.
+#
+# Scale: the sketch is a FIXED 2x128-cell table produced by a partial
+# (map-side-combined) aggregate — the shuffle carries at most 256 rows
+# per partition regardless of corpus size; the candidate probe joins 20
+# rows against the 256-cell table (broadcast). Hashes are salted md5s
+# DuckDB replays bit-for-bit.
+# --------------------------------------------------------------------------
+_CM_W = 128  # buckets per hash row
+_CM_SALTS = ("cm0:", "cm1:")
+
+_DUCK_CM_BUCKET = (
+    "CAST(('0x' || substring(md5('{salt}' || {tok}), 1, 8)) AS BIGINT) % "
+    + str(_CM_W)
+)
+
+
+@_register(
+    "countmin_heavy_hitters",
+    f"""
+    WITH occ AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+    ),
+    cells AS (
+      SELECT r, b, COUNT(*) AS c FROM (
+        SELECT 0 AS r, {_DUCK_CM_BUCKET.format(salt=_CM_SALTS[0], tok='tok')} AS b FROM occ
+        UNION ALL
+        SELECT 1 AS r, {_DUCK_CM_BUCKET.format(salt=_CM_SALTS[1], tok='tok')} AS b FROM occ)
+      GROUP BY r, b
+    ),
+    cand AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+      FROM occ GROUP BY tok
+      ORDER BY exact_cnt DESC, tok LIMIT 20
+    )
+    SELECT c.tok, c.exact_cnt,
+           CAST(LEAST(c0.c, c1.c) AS BIGINT) AS cm_est,
+           CAST(LEAST(c0.c, c1.c) - c.exact_cnt AS BIGINT) AS est_err,
+           LEAST(c0.c, c1.c) >= c.exact_cnt AS overestimate_ok
+    FROM cand c
+    JOIN cells c0 ON c0.r = 0
+     AND c0.b = {_DUCK_CM_BUCKET.format(salt=_CM_SALTS[0], tok='c.tok')}
+    JOIN cells c1 ON c1.r = 1
+     AND c1.b = {_DUCK_CM_BUCKET.format(salt=_CM_SALTS[1], tok='c.tok')}
+    ORDER BY tok
+    """,
+)
+def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 exact token counts audited against a 2x128 Count-Min sketch."""
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+
+    def _bucket(salt: str, tok) -> F.Column:
+        return (
+            F.conv(F.substring(F.md5(F.concat(F.lit(salt), tok)), 1, 8), 16, 10)
+            .cast("bigint")
+            % _CM_W
+        )
+
+    # one scan: each occurrence contributes to one cell per hash row
+    cells = (
+        occ.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(0).alias("r"),
+                        _bucket(_CM_SALTS[0], F.col("tok")).alias("b"),
+                    ),
+                    F.struct(
+                        F.lit(1).alias("r"),
+                        _bucket(_CM_SALTS[1], F.col("tok")).alias("b"),
+                    ),
+                )
+            ).alias("cell")
+        )
+        .groupBy("cell.r", "cell.b")
+        .agg(F.count("*").alias("c"))
+    )
+    cand = (
+        occ.groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("tok"))
+        .limit(20)
+        .withColumn("b0", _bucket(_CM_SALTS[0], F.col("tok")))
+        .withColumn("b1", _bucket(_CM_SALTS[1], F.col("tok")))
+    )
+    c0 = cells.filter(F.col("r") == 0).select(
+        F.col("b").alias("b0"), F.col("c").alias("c0")
+    )
+    c1 = cells.filter(F.col("r") == 1).select(
+        F.col("b").alias("b1"), F.col("c").alias("c1")
+    )
+    est = F.least(F.col("c0"), F.col("c1"))
+    return (
+        cand.join(F.broadcast(c0), "b0")
+        .join(F.broadcast(c1), "b1")
+        .select(
+            "tok",
+            "exact_cnt",
+            est.cast("bigint").alias("cm_est"),
+            (est - F.col("exact_cnt")).cast("bigint").alias("est_err"),
+            (est >= F.col("exact_cnt")).alias("overestimate_ok"),
+        )
+        .orderBy("tok")
+    )
+
+
+# --------------------------------------------------------------------------
+# LLM-pipeline — k-anonymity audit over quasi-identifiers (lang, source,
+# length bucket): the release-governance gate run before publishing a
+# curated corpus. Reports, per (lang, source) slice, how many docs sit in
+# equivalence classes smaller than k=5 — those rows are re-identifiable
+# from the quasi-identifiers alone (Sweeney, 2002).
+#
+# Scale: two stacked hash aggregates (class size, then slice summary);
+# the shuffle key is the quasi-identifier tuple — bounded cardinality,
+# map-side combined, no row-level data movement after the first agg.
+# --------------------------------------------------------------------------
+_K_ANON = 5
+_QI_BUCKET = 500  # n_chars equivalence-class width
+
+
+@_register(
+    "k_anonymity_audit",
+    f"""
+    WITH classes AS (
+      SELECT lang, source, n_chars // {_QI_BUCKET} AS len_bucket,
+             COUNT(*) AS class_n
+      FROM documents GROUP BY 1, 2, 3
+    )
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(class_n) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN class_n < {_K_ANON} THEN 1 ELSE 0 END) AS BIGINT)
+             AS small_classes,
+           CAST(SUM(CASE WHEN class_n < {_K_ANON} THEN class_n ELSE 0 END)
+             AS BIGINT) AS exposed_docs,
+           SUM(CASE WHEN class_n < {_K_ANON} THEN 1 ELSE 0 END) = 0
+             AS k_anonymous
+    FROM classes
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (lang, source): equivalence classes under k=5 and exposed rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    classes = docs.groupBy(
+        "lang",
+        "source",
+        F.expr(f"n_chars div {_QI_BUCKET}").alias("len_bucket"),
+    ).agg(F.count("*").alias("class_n"))
+    small = F.when(F.col("class_n") < _K_ANON, 1).otherwise(0)
+    return (
+        classes.groupBy("lang", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_classes"),
+            F.sum("class_n").cast("bigint").alias("n_docs"),
+            F.sum(small).cast("bigint").alias("small_classes"),
+            F.sum(
+                F.when(F.col("class_n") < _K_ANON, F.col("class_n")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("exposed_docs"),
+            (F.sum(small) == 0).alias("k_anonymous"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+# --------------------------------------------------------------------------
+# LLM-pipeline — tokenizer-vocabulary coverage audit: build a top-16
+# vocabulary from the md5-split 'a' half of the corpus, then measure the
+# out-of-vocabulary occurrence rate of the held-out 'b' half per
+# language — the pre-training check that a tokenizer/vocab trained on
+# one slice covers the rest (OOV spikes flag domain drift).
+#
+# Scale: vocab is a top-k over the token aggregate (tiny, broadcast);
+# the held-out side joins map-side against it; per-lang rates are one
+# partial-aggregated groupBy. Split assignment is the same md5-bucket
+# rule as dataset_split_assign — append-stable, no RNG.
+# --------------------------------------------------------------------------
+_VOCAB_K = 16
+
+_DUCK_DOC_HALF = (
+    "CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+    "AS BIGINT) % 100 < 50 THEN 'a' ELSE 'b' END"
+)
+
+
+@_register(
+    "vocab_oov_audit",
+    f"""
+    WITH halves AS (
+      SELECT doc_id, lang, {_DUCK_DOC_HALF} AS half,
+             unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, COUNT(*) AS cnt FROM halves WHERE half = 'a'
+        GROUP BY tok ORDER BY cnt DESC, tok LIMIT {_VOCAB_K})
+    )
+    SELECT h.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS oov_tokens,
+           CAST(10000 * SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                // COUNT(*) AS BIGINT) AS oov_rate_bps
+    FROM halves h LEFT JOIN vocab v ON h.tok = v.tok
+    WHERE h.half = 'b'
+    GROUP BY h.lang
+    ORDER BY h.lang
+    """,
+)
+def vocab_oov_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang OOV rate of the held-out half vs a top-16 trained vocab."""
+    docs = load_table(spark, sf_dir, "documents")
+    half = F.when(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+        < 50,
+        "a",
+    ).otherwise("b")
+    toks = docs.select(
+        "lang",
+        half.alias("half"),
+        F.explode(F.split(F.lower("text"), " ")).alias("tok"),
+    )
+    vocab = (
+        toks.filter(F.col("half") == "a")
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(_VOCAB_K)
+        .select("tok")
+        .withColumn("in_vocab", F.lit(1))
+    )
+    held = toks.filter(F.col("half") == "b").join(
+        F.broadcast(vocab), "tok", "left"
+    )
+    oov_i = F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+    return (
+        held.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(oov_i).cast("bigint").alias("oov_tokens"),
+            F.expr(
+                "CAST(10000 * SUM(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END)"
+                " div COUNT(*) AS BIGINT)"
+            ).alias("oov_rate_bps"),
+        )
+        .orderBy("lang")
+    )

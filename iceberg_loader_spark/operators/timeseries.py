@@ -1648,3 +1648,62 @@ def event_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Feature engineering — equi-depth discretization: per event type, bin
+# values into 8 equal-population quantile bins (NTILE with a unique-key
+# tie-break) and report each bin's population and fixed-point value
+# range — the bin-boundary table a feature pipeline persists before
+# bucketizing at serve time.
+#
+# Scale: one window per event_type partition (parallel across types; no
+# global window). At petabyte scale the same table comes from
+# approx_percentile edges + a map-side assignment — this exact spelling
+# is the audit twin that validates those edges on a sample.
+# --------------------------------------------------------------------------
+_N_QBINS = 8
+
+
+@_register(
+    "quantile_bins_value",
+    f"""
+    WITH fp AS (
+      SELECT event_type, event_id,
+             CAST(FLOOR(value * 1000000) AS BIGINT) AS v_fp
+      FROM events
+    ),
+    binned AS (
+      SELECT event_type, v_fp,
+             NTILE({_N_QBINS}) OVER (PARTITION BY event_type
+               ORDER BY v_fp, event_id) AS bin
+      FROM fp
+    )
+    SELECT event_type, bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(v_fp) AS lo_fp,
+           MAX(v_fp) AS hi_fp
+    FROM binned
+    GROUP BY event_type, bin
+    ORDER BY event_type, bin
+    """,
+)
+def quantile_bins_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type 8-bin equi-depth value discretization with exact ranges."""
+    events = load_table(spark, sf_dir, "events")
+    fp = events.select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 1000000).cast("bigint").alias("v_fp"),
+    )
+    w = W.partitionBy("event_type").orderBy("v_fp", "event_id")
+    return (
+        fp.withColumn("bin", F.ntile(_N_QBINS).over(w))
+        .groupBy("event_type", "bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("v_fp").alias("lo_fp"),
+            F.max("v_fp").alias("hi_fp"),
+        )
+        .orderBy("event_type", "bin")
+    )
