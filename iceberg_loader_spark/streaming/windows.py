@@ -1125,3 +1125,148 @@ def user_extremes_transform_with_state(
     q.processAllAvailable()
     q.stop()
     return spark.table("user_extremes_tws")
+
+
+# --------------------------------------------------------------------------
+# Streaming sketch — Count-Min over the event stream's user_id traffic,
+# audited against the exact top-10 (same 2x128 recipe as
+# countmin_heavy_hitters on documents). The registered query is the
+# batch twin; countmin_users_streaming maintains the SAME cells under
+# the micro-batch engine — CM cells are pure sums, so any micro-batch
+# slicing produces bit-identical cells (sketch additivity is what makes
+# it streaming-safe; the paired test asserts equality).
+#
+# Scale: streaming state is the fixed 256-cell table regardless of
+# stream volume — the canonical "heavy hitters over an unbounded
+# stream in O(1) memory" construction.
+# --------------------------------------------------------------------------
+_CMU_W = 128
+_CMU_SALTS = ("cm0:", "cm1:")
+
+_DUCK_CMU_BUCKET = (
+    "CAST(('0x' || substring(md5('{salt}' || CAST({key} AS VARCHAR)), 1, 8)) "
+    f"AS BIGINT) % {_CMU_W}"
+)
+
+
+def _cmu_bucket(salt: str, key) -> F.Column:
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % _CMU_W
+    )
+
+
+def _cmu_cells(ev: DataFrame) -> DataFrame:
+    """(r, b, c) Count-Min cell counts of the user_id column."""
+    return (
+        ev.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(0).alias("r"),
+                        _cmu_bucket(_CMU_SALTS[0], F.col("user_id")).alias("b"),
+                    ),
+                    F.struct(
+                        F.lit(1).alias("r"),
+                        _cmu_bucket(_CMU_SALTS[1], F.col("user_id")).alias("b"),
+                    ),
+                )
+            ).alias("cell")
+        )
+        .groupBy("cell.r", "cell.b")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def _cmu_report(cells: DataFrame, exact: DataFrame) -> DataFrame:
+    """Join the exact top-10 against the sketch cells (both tiny)."""
+    cand = (
+        exact.orderBy(F.desc("exact_cnt"), F.asc("user_id"))
+        .limit(10)
+        .withColumn("b0", _cmu_bucket(_CMU_SALTS[0], F.col("user_id")))
+        .withColumn("b1", _cmu_bucket(_CMU_SALTS[1], F.col("user_id")))
+    )
+    c0 = cells.filter(F.col("r") == 0).select(
+        F.col("b").alias("b0"), F.col("c").alias("c0")
+    )
+    c1 = cells.filter(F.col("r") == 1).select(
+        F.col("b").alias("b1"), F.col("c").alias("c1")
+    )
+    est = F.least(F.col("c0"), F.col("c1"))
+    return (
+        cand.join(F.broadcast(c0), "b0")
+        .join(F.broadcast(c1), "b1")
+        .select(
+            "user_id",
+            "exact_cnt",
+            est.cast("bigint").alias("cm_est"),
+            (est - F.col("exact_cnt")).cast("bigint").alias("est_err"),
+            (est >= F.col("exact_cnt")).alias("overestimate_ok"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@_register(
+    "stream_countmin_users",
+    f"""
+    WITH cells AS (
+      SELECT r, b, COUNT(*) AS c FROM (
+        SELECT 0 AS r, {_DUCK_CMU_BUCKET.format(salt=_CMU_SALTS[0], key='user_id')} AS b FROM events
+        UNION ALL
+        SELECT 1 AS r, {_DUCK_CMU_BUCKET.format(salt=_CMU_SALTS[1], key='user_id')} AS b FROM events)
+      GROUP BY r, b
+    ),
+    cand AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+      FROM events GROUP BY user_id
+      ORDER BY exact_cnt DESC, user_id LIMIT 10
+    )
+    SELECT c.user_id, c.exact_cnt,
+           CAST(LEAST(c0.c, c1.c) AS BIGINT) AS cm_est,
+           CAST(LEAST(c0.c, c1.c) - c.exact_cnt AS BIGINT) AS est_err,
+           LEAST(c0.c, c1.c) >= c.exact_cnt AS overestimate_ok
+    FROM cand c
+    JOIN cells c0 ON c0.r = 0
+     AND c0.b = {_DUCK_CMU_BUCKET.format(salt=_CMU_SALTS[0], key='c.user_id')}
+    JOIN cells c1 ON c1.r = 1
+     AND c1.b = {_DUCK_CMU_BUCKET.format(salt=_CMU_SALTS[1], key='c.user_id')}
+    ORDER BY user_id
+    """,
+)
+def stream_countmin_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 event users audited against a 2x128 Count-Min sketch."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = _cmu_cells(ev)
+    exact = ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("exact_cnt")
+    )
+    return _cmu_report(cells, exact)
+
+
+def countmin_users_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same CM cells maintained by the micro-batch engine (complete
+    mode; state = the fixed 256-cell table), then audited in batch.
+    Cells are sums, so any micro-batch slicing yields the exact batch
+    cells — the paired test asserts equality with the registered twin."""
+    ev = streaming_events(spark, sf_dir)
+    q = (
+        _cmu_cells(ev)
+        .writeStream.format("memory")
+        .queryName("countmin_users_streaming_cells")
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    cells = spark.table("countmin_users_streaming_cells")
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("exact_cnt"))
+    )
+    return _cmu_report(cells, exact)

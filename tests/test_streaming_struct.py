@@ -315,3 +315,13 @@ def test_transform_with_state_user_extremes_matches_batch(spark):
     assert len(merged) == len(expected)
     for c in ("n_events", "max_cents", "min_cents"):
         assert (merged[f"{c}_s"] == merged[f"{c}_b"]).all()
+
+
+def test_streaming_countmin_cells_match_batch(spark):
+    """CM cells are pure sums — the micro-batch engine must produce the
+    bit-identical sketch (and therefore identical estimates/verdicts)
+    regardless of how the stream was sliced into batches."""
+    got = w.countmin_users_streaming(spark, SF_SMOKE).toPandas()
+    want = w.stream_countmin_users(spark, SF_SMOKE).toPandas()
+    pd.testing.assert_frame_equal(got, want)
+    assert (got["overestimate_ok"]).all()
