@@ -1457,3 +1457,76 @@ def dedup_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# LLM-pipeline — measure-on-a-sample audit: estimate the corpus
+# exact-duplicate rate from the 10% md5-bucket sample and report the
+# estimate's error against the full-corpus rate. Duplication is a
+# PAIRWISE property, so a row sample systematically underestimates it —
+# this query makes that bias a measured number before anyone trusts a
+# sampled dedup dashboard at 100 TB.
+#
+# Scale: two hash aggregates over (md5(text)) — the full one is the
+# same shuffle exact_dedup_documents already does; the sample side
+# prunes 90% of rows map-side before its aggregate.
+# --------------------------------------------------------------------------
+_SAMPLE_PCT = 10
+
+_DUCK_DOC_BUCKET = (
+    "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+    "AS BIGINT) % 100"
+)
+
+
+@_register(
+    "sample_dup_rate_estimate",
+    f"""
+    WITH full_side AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS nd
+      FROM documents
+    ),
+    samp AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS nd
+      FROM documents WHERE {_DUCK_DOC_BUCKET} < {_SAMPLE_PCT}
+    )
+    SELECT f.n AS n_docs, s.n AS n_sample,
+           CAST(10000 * (f.n - f.nd) // f.n AS BIGINT) AS exact_dup_bps,
+           CAST(10000 * (s.n - s.nd) // GREATEST(s.n, 1) AS BIGINT)
+             AS sample_dup_bps,
+           CAST(ABS(10000 * (f.n - f.nd) // f.n
+                    - 10000 * (s.n - s.nd) // GREATEST(s.n, 1)) AS BIGINT)
+             AS abs_err_bps
+    FROM full_side f CROSS JOIN samp s
+    """,
+)
+def sample_dup_rate_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup rate (bps): full corpus vs the 10% md5-bucket sample."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+
+    def _rate(df: DataFrame, n_col: str):
+        return df.agg(
+            F.count("*").cast("bigint").alias(n_col),
+            F.count_distinct(F.md5("text")).cast("bigint").alias("nd"),
+        )
+
+    full_side = _rate(docs, "n")
+    samp = _rate(docs.filter(bucket < _SAMPLE_PCT), "n").withColumnRenamed(
+        "nd", "snd"
+    ).withColumnRenamed("n", "sn")
+    exact_bps = F.expr("10000 * (n - nd) div n")
+    sample_bps = F.expr("10000 * (sn - snd) div GREATEST(sn, CAST(1 AS BIGINT))")
+    return full_side.crossJoin(samp).select(
+        F.col("n").alias("n_docs"),
+        F.col("sn").alias("n_sample"),
+        exact_bps.cast("bigint").alias("exact_dup_bps"),
+        sample_bps.cast("bigint").alias("sample_dup_bps"),
+        F.abs(exact_bps - sample_bps).cast("bigint").alias("abs_err_bps"),
+    )

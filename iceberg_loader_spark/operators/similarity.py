@@ -1692,3 +1692,79 @@ def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id")
     )
+
+
+# --------------------------------------------------------------------------
+# LLM-pipeline — cross-modal source coherence: join the text-metadata
+# table to the embedding table (doc_id = vec_id) and score each source
+# by the cosine between its mean embedding and the corpus mean — low
+# coherence flags a source whose content drifts from the corpus (the
+# per-source twin of split_embedding_drift's split gate). Mean vectors
+# use the same floor-div integer recipe as that query.
+#
+# Scale: per-dim means are one partial-aggregated groupBy of exploded
+# (source, pos, v) rows; the corpus mean is 64 rows and broadcasts; the
+# final cosine is a 64-row-per-source aggregate. No pairwise work.
+# --------------------------------------------------------------------------
+@_register(
+    "source_embedding_coherence",
+    f"""
+    WITH joined AS (
+      SELECT d.source, {_DUCK_FP.format(col='e.embedding')} AS e
+      FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    ),
+    dims AS (
+      SELECT j.source, r.i AS pos, j.e[r.i] AS v
+      FROM joined j CROSS JOIN LATERAL
+        (SELECT unnest(generate_series(1, len(j.e))) AS i) r
+    ),
+    src_means AS (
+      SELECT source, pos, SUM(v) // COUNT(*) AS m,
+             COUNT(*) AS n
+      FROM dims GROUP BY 1, 2
+    ),
+    all_means AS (
+      SELECT pos, SUM(v) // COUNT(*) AS g FROM dims GROUP BY 1
+    )
+    SELECT s.source,
+           CAST(MAX(s.n) AS BIGINT) AS n_docs,
+           CAST(SUM(s.m * a.g) AS DOUBLE)
+             / (SQRT(CAST(SUM(s.m * s.m) AS DOUBLE))
+                * SQRT(CAST(SUM(a.g * a.g) AS DOUBLE))) AS coherence
+    FROM src_means s JOIN all_means a ON a.pos = s.pos
+    GROUP BY s.source
+    ORDER BY s.source
+    """,
+)
+def source_embedding_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source cosine between the source mean and corpus mean embedding."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        _fixed_point(F.col("embedding")).alias("e"),
+    )
+    dims = docs.join(emb, "doc_id").select(
+        "source", F.posexplode("e").alias("pos", "v")
+    )
+    src_means = dims.groupBy("source", "pos").agg(
+        F.expr("SUM(v) div COUNT(*)").alias("m"),
+        F.count("*").alias("n"),
+    )
+    all_means = dims.groupBy("pos").agg(
+        F.expr("SUM(v) div COUNT(*)").alias("g")
+    )
+    return (
+        src_means.join(F.broadcast(all_means), "pos")
+        .groupBy("source")
+        .agg(
+            F.max("n").cast("bigint").alias("n_docs"),
+            (
+                F.sum(F.col("m") * F.col("g")).cast("double")
+                / (
+                    F.sqrt(F.sum(F.col("m") * F.col("m")).cast("double"))
+                    * F.sqrt(F.sum(F.col("g") * F.col("g")).cast("double"))
+                )
+            ).alias("coherence"),
+        )
+        .orderBy("source")
+    )
