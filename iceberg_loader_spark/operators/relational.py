@@ -3006,3 +3006,92 @@ def bloom_prefilter_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div GREATEST(COUNT(*) - SUM(CASE WHEN m = 1 THEN 1 ELSE 0 END), 1) AS BIGINT)"
         ).alias("fp_rate_bps"),
     )
+
+
+# --------------------------------------------------------------------------
+# Planner-support sketch — bucketed join-cardinality estimation: the
+# output size of orders ⋈ lineitem (on orderkey) is estimated from two
+# 256-bucket key histograms as Σ_b N1(b)·N2(b), which upper-bounds the
+# exact Σ_k n1(k)·n2(k) (keys collapsed into a bucket can only add
+# cross-terms). The audit emits both numbers and the bound verdict —
+# what a cost-based planner consults before picking a join strategy,
+# spelled as a query so the oracle can check the math.
+#
+# Scale: the histograms are FIXED 256-row aggregates (map-side
+# combined); the estimate is a 256-row join. The exact side needs the
+# per-key count join — still cheaper than the join itself (carries
+# (key, count) pairs, not rows) and exactly what ANALYZE TABLE would
+# sample at 100 TB.
+# --------------------------------------------------------------------------
+_JCE_B = 256
+
+
+@_register(
+    "join_cardinality_estimate",
+    f"""
+    WITH h1 AS (
+      SELECT hash_b, COUNT(*) AS c FROM (
+        SELECT CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+               AS BIGINT) % {_JCE_B} AS hash_b FROM orders)
+      GROUP BY hash_b
+    ),
+    h2 AS (
+      SELECT hash_b, COUNT(*) AS c FROM (
+        SELECT CAST(('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 8))
+               AS BIGINT) % {_JCE_B} AS hash_b FROM lineitem)
+      GROUP BY hash_b
+    ),
+    est AS (
+      SELECT CAST(SUM(h1.c * h2.c) AS BIGINT) AS est_rows
+      FROM h1 JOIN h2 ON h1.hash_b = h2.hash_b
+    ),
+    k1 AS (SELECT o_orderkey AS k, COUNT(*) AS c FROM orders GROUP BY 1),
+    k2 AS (SELECT l_orderkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1),
+    exact AS (
+      SELECT CAST(SUM(k1.c * k2.c) AS BIGINT) AS exact_rows
+      FROM k1 JOIN k2 ON k1.k = k2.k
+    )
+    SELECT e.est_rows, x.exact_rows,
+           e.est_rows >= x.exact_rows AS upper_bound_ok,
+           CAST(10000 * (e.est_rows - x.exact_rows)
+                // GREATEST(x.exact_rows, 1) AS BIGINT) AS overest_bps
+    FROM est e CROSS JOIN exact x
+    """,
+)
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """256-bucket histogram estimate of |orders ⋈ lineitem| vs exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    def _hist(df: DataFrame, key: str) -> DataFrame:
+        b = (
+            F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            % _JCE_B
+        )
+        return df.groupBy(b.alias("hash_b")).agg(F.count("*").alias("c"))
+
+    h1 = _hist(orders, "o_orderkey").withColumnRenamed("c", "c1")
+    h2 = _hist(lineitem, "l_orderkey").withColumnRenamed("c", "c2")
+    est = (
+        h1.join(F.broadcast(h2), "hash_b")
+        .agg(F.sum(F.col("c1") * F.col("c2")).cast("bigint").alias("est_rows"))
+    )
+    k1 = orders.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count("*").alias("kc1")
+    )
+    k2 = lineitem.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count("*").alias("kc2")
+    )
+    exact = k1.join(k2, "k").agg(
+        F.sum(F.col("kc1") * F.col("kc2")).cast("bigint").alias("exact_rows")
+    )
+    return est.crossJoin(exact).select(
+        "est_rows",
+        "exact_rows",
+        (F.col("est_rows") >= F.col("exact_rows")).alias("upper_bound_ok"),
+        F.expr(
+            "CAST(10000 * (est_rows - exact_rows)"
+            " div GREATEST(exact_rows, CAST(1 AS BIGINT)) AS BIGINT)"
+        ).alias("overest_bps"),
+    )
