@@ -1270,3 +1270,28 @@ def countmin_users_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("exact_cnt"))
     )
     return _cmu_report(cells, exact)
+
+
+def hll_users_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type HLL distinct-user sketches maintained by the micro-batch
+    engine (complete mode). HLL insertion and union are commutative and
+    lossless at equal lgK, so the streamed sketch's estimate must equal
+    the batch sketch's bit-for-bit — the mergeability law that lets a
+    stream keep exactly one fixed-size sketch per key at any volume.
+    The paired test asserts equality against the batch spelling."""
+    ev = streaming_events(spark, sf_dir)
+    q = (
+        ev.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(14))
+            ).alias("est_users")
+        )
+        .writeStream.format("memory")
+        .queryName("hll_users_streaming")
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table("hll_users_streaming").orderBy("event_type")

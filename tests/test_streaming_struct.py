@@ -325,3 +325,25 @@ def test_streaming_countmin_cells_match_batch(spark):
     want = w.stream_countmin_users(spark, SF_SMOKE).toPandas()
     pd.testing.assert_frame_equal(got, want)
     assert (got["overestimate_ok"]).all()
+
+
+def test_streaming_hll_estimate_matches_batch(spark):
+    """HLL sketches are order-independent and merge-lossless: the
+    micro-batch-built sketch must estimate exactly what the batch
+    sketch estimates."""
+    from pyspark.sql import functions as F
+    from iceberg_loader_spark.sources.tables import load_table
+
+    got = w.hll_users_streaming(spark, SF_SMOKE).toPandas()
+    want = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(14))
+            ).alias("est_users")
+        )
+        .orderBy("event_type")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(got, want)
