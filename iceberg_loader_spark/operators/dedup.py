@@ -937,6 +937,17 @@ _FUNNEL_BUCKET = (
 )
 
 
+def _doc_bucket_col() -> F.Column:
+    """Spark twin of ``_FUNNEL_BUCKET``: stable md5(doc_id) % 100 bucket
+    (same rule as text.py's dataset_split_assign)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+        % 100
+    )
+
+
 @_register(
     "curation_funnel_counts",
     f"""
@@ -1064,13 +1075,7 @@ def curation_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             contam, "doc_id", "left_anti"
         )
     )
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-        ).cast("bigint")
-        % 100
-    )
-    split = d.select("doc_id", bucket.alias("bucket"))
+    split = d.select("doc_id", _doc_bucket_col().alias("bucket"))
 
     def _stage(df: DataFrame, name: str) -> DataFrame:
         return df.agg(F.count("*").alias("n_docs")).select(
@@ -1473,11 +1478,6 @@ def dedup_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _SAMPLE_PCT = 10
 
-_DUCK_DOC_BUCKET = (
-    "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
-    "AS BIGINT) % 100"
-)
-
 
 @_register(
     "sample_dup_rate_estimate",
@@ -1490,7 +1490,7 @@ _DUCK_DOC_BUCKET = (
     samp AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n,
              CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS nd
-      FROM documents WHERE {_DUCK_DOC_BUCKET} < {_SAMPLE_PCT}
+      FROM documents WHERE {_FUNNEL_BUCKET} < {_SAMPLE_PCT}
     )
     SELECT f.n AS n_docs, s.n AS n_sample,
            CAST(10000 * (f.n - f.nd) // f.n AS BIGINT) AS exact_dup_bps,
@@ -1505,11 +1505,7 @@ _DUCK_DOC_BUCKET = (
 def sample_dup_rate_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-dup rate (bps): full corpus vs the 10% md5-bucket sample."""
     docs = load_table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint")
-        % 100
-    )
+    bucket = _doc_bucket_col()
 
     def _rate(df: DataFrame, n_col: str):
         return df.agg(

@@ -2969,13 +2969,17 @@ def bloom_prefilter_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             % _BF_M
         )
 
-    bits = (
+    from iceberg_loader_spark.operators.dedup import _materialize
+
+    # build feeds 4 consumers (3 bit projections + members) and bits
+    # feeds 3 — materialize each once so customer is scanned once, not 4x
+    build = _materialize(build)
+    bits = _materialize(
         build.select(
             F.explode(
                 F.array(*[_bit(i, F.col("c_custkey")) for i in range(_BF_K)])
             ).alias("b")
-        )
-        .distinct()
+        ).distinct()
     )
     members = build.select(F.col("c_custkey").alias("o_custkey")).withColumn(
         "m", F.lit(1)
@@ -2995,16 +2999,21 @@ def bloom_prefilter_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     mem_i = F.when(is_member, 1).otherwise(0)
     fp_i = F.when(bloom_hit & ~is_member.eqNullSafe(True), 1).otherwise(0)
     fn_i = F.when(is_member & ~bloom_hit.eqNullSafe(True), 1).otherwise(0)
-    return probe.agg(
+    totals = probe.agg(
         F.count("*").cast("bigint").alias("n_probes"),
         F.sum(hit_i).cast("bigint").alias("n_bloom_hits"),
         F.sum(mem_i).cast("bigint").alias("n_members"),
         F.sum(fp_i).cast("bigint").alias("n_false_pos"),
         F.sum(fn_i).cast("bigint").alias("n_false_neg"),
+    )
+    # integer div over the already-aggregated columns — one spelling of
+    # the FP/membership predicates (fp_i/mem_i above), reused here
+    return totals.withColumn(
+        "fp_rate_bps",
         F.expr(
-            "CAST(10000 * SUM(CASE WHEN h0 = 1 AND h1 = 1 AND h2 = 1 AND m IS NULL THEN 1 ELSE 0 END)"
-            " div GREATEST(COUNT(*) - SUM(CASE WHEN m = 1 THEN 1 ELSE 0 END), 1) AS BIGINT)"
-        ).alias("fp_rate_bps"),
+            "CAST(10000 * n_false_pos div "
+            "GREATEST(n_probes - n_members, CAST(1 AS BIGINT)) AS BIGINT)"
+        ),
     )
 
 

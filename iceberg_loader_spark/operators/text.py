@@ -1534,10 +1534,26 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CM_W = 128  # buckets per hash row
 _CM_SALTS = ("cm0:", "cm1:")
 
+# The ONE Count-Min hash recipe — shared verbatim by the streaming twin
+# (streaming/windows.py stream_countmin_users), which imports these
+# symbols so the "same 2x128 sketch" claim is structural, not a comment.
+# {key} may be any type; the VARCHAR cast is a no-op on strings.
 _DUCK_CM_BUCKET = (
-    "CAST(('0x' || substring(md5('{salt}' || {tok}), 1, 8)) AS BIGINT) % "
-    + str(_CM_W)
+    "CAST(('0x' || substring(md5('{salt}' || CAST({key} AS VARCHAR)), 1, 8)) "
+    "AS BIGINT) % " + str(_CM_W)
 )
+
+
+def _cm_bucket_col(salt: str, key) -> F.Column:
+    """Spark twin of ``_DUCK_CM_BUCKET`` (salted md5 → [0, _CM_W))."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % _CM_W
+    )
 
 
 @_register(
@@ -1548,9 +1564,9 @@ _DUCK_CM_BUCKET = (
     ),
     cells AS (
       SELECT r, b, COUNT(*) AS c FROM (
-        SELECT 0 AS r, {_DUCK_CM_BUCKET.format(salt=_CM_SALTS[0], tok='tok')} AS b FROM occ
+        SELECT 0 AS r, {_DUCK_CM_BUCKET.format(salt=_CM_SALTS[0], key='tok')} AS b FROM occ
         UNION ALL
-        SELECT 1 AS r, {_DUCK_CM_BUCKET.format(salt=_CM_SALTS[1], tok='tok')} AS b FROM occ)
+        SELECT 1 AS r, {_DUCK_CM_BUCKET.format(salt=_CM_SALTS[1], key='tok')} AS b FROM occ)
       GROUP BY r, b
     ),
     cand AS (
@@ -1564,9 +1580,9 @@ _DUCK_CM_BUCKET = (
            LEAST(c0.c, c1.c) >= c.exact_cnt AS overestimate_ok
     FROM cand c
     JOIN cells c0 ON c0.r = 0
-     AND c0.b = {_DUCK_CM_BUCKET.format(salt=_CM_SALTS[0], tok='c.tok')}
+     AND c0.b = {_DUCK_CM_BUCKET.format(salt=_CM_SALTS[0], key='c.tok')}
     JOIN cells c1 ON c1.r = 1
-     AND c1.b = {_DUCK_CM_BUCKET.format(salt=_CM_SALTS[1], tok='c.tok')}
+     AND c1.b = {_DUCK_CM_BUCKET.format(salt=_CM_SALTS[1], key='c.tok')}
     ORDER BY tok
     """,
 )
@@ -1577,12 +1593,7 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.lower("text"), " ")).alias("tok")
     )
 
-    def _bucket(salt: str, tok) -> F.Column:
-        return (
-            F.conv(F.substring(F.md5(F.concat(F.lit(salt), tok)), 1, 8), 16, 10)
-            .cast("bigint")
-            % _CM_W
-        )
+    _bucket = _cm_bucket_col
 
     # one scan: each occurrence contributes to one cell per hash row
     cells = (
@@ -1709,10 +1720,9 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _VOCAB_K = 16
 
-_DUCK_DOC_HALF = (
-    "CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
-    "AS BIGINT) % 100 < 50 THEN 'a' ELSE 'b' END"
-)
+# Built from the SAME bucket rule as dataset_split_assign (_BUCKET_SQL /
+# _bucket_col) so the train/held-out boundary is structurally shared.
+_DUCK_DOC_HALF = f"CASE WHEN {_BUCKET_SQL} < 50 THEN 'a' ELSE 'b' END"
 
 
 @_register(
@@ -1743,13 +1753,7 @@ _DUCK_DOC_HALF = (
 def vocab_oov_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-lang OOV rate of the held-out half vs a top-16 trained vocab."""
     docs = load_table(spark, sf_dir, "documents")
-    half = F.when(
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint")
-        % 100
-        < 50,
-        "a",
-    ).otherwise("b")
+    half = F.when(_bucket_col() < 50, "a").otherwise("b")
     toks = docs.select(
         "lang",
         half.alias("half"),

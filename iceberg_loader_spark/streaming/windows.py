@@ -1140,24 +1140,13 @@ def user_extremes_transform_with_state(
 # stream volume — the canonical "heavy hitters over an unbounded
 # stream in O(1) memory" construction.
 # --------------------------------------------------------------------------
-_CMU_W = 128
-_CMU_SALTS = ("cm0:", "cm1:")
-
-_DUCK_CMU_BUCKET = (
-    "CAST(('0x' || substring(md5('{salt}' || CAST({key} AS VARCHAR)), 1, 8)) "
-    f"AS BIGINT) % {_CMU_W}"
+# Imported, not re-declared: the "same 2x128 recipe" relationship with
+# countmin_heavy_hitters is structural — one hash function, one width.
+from iceberg_loader_spark.operators.text import (  # noqa: E402
+    _CM_SALTS as _CMU_SALTS,
+    _DUCK_CM_BUCKET as _DUCK_CMU_BUCKET,
+    _cm_bucket_col as _cmu_bucket,
 )
-
-
-def _cmu_bucket(salt: str, key) -> F.Column:
-    return (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 8),
-            16,
-            10,
-        ).cast("bigint")
-        % _CMU_W
-    )
 
 
 def _cmu_cells(ev: DataFrame) -> DataFrame:
