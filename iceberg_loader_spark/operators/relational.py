@@ -3171,3 +3171,61 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Profiling — functional-dependency audit: does A → B hold? Checked the
+# metric way (Huhtala et al., TANE): A → B holds iff the number of
+# distinct A values equals the number of distinct (A, B) pairs. Audits
+# a declared candidate list spanning true keys, true FDs, and
+# violations, emitting the witness counts — the schema-inference signal
+# a profiler feeds to constraint discovery.
+#
+# Scale: each candidate is two count-distinct aggregates over (A) and
+# (A, B) — partial-aggregated shuffles of key tuples only; candidates
+# are independent and union cheaply (Spark runs them as one job).
+# --------------------------------------------------------------------------
+_FD_CANDIDATES = (
+    # (table, lhs, rhs) — mix of holding and violated dependencies
+    ("customer", "c_custkey", "c_nationkey"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("nation", "n_nationkey", "n_regionkey"),
+    ("orders", "o_orderkey", "o_orderstatus"),
+    ("orders", "o_custkey", "o_orderpriority"),
+)
+
+
+@_register(
+    "functional_dependency_audit",
+    "\nUNION ALL\n".join(
+        f"""
+    SELECT '{t}' AS tbl, '{a} -> {b}' AS fd,
+           CAST(COUNT(DISTINCT {a}) AS BIGINT) AS n_lhs,
+           CAST(COUNT(DISTINCT ({a}, {b})) AS BIGINT) AS n_pairs,
+           COUNT(DISTINCT {a}) = COUNT(DISTINCT ({a}, {b})) AS holds
+    FROM {t}"""
+        for t, a, b in _FD_CANDIDATES
+    )
+    + "\nORDER BY tbl, fd",
+)
+def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TANE-style A→B check: distinct(A) == distinct(A,B) per candidate."""
+    parts = []
+    for t, a, b in _FD_CANDIDATES:
+        df = load_table(spark, sf_dir, t)
+        parts.append(
+            df.agg(
+                F.countDistinct(a).cast("bigint").alias("n_lhs"),
+                F.countDistinct(a, b).cast("bigint").alias("n_pairs"),
+            ).select(
+                F.lit(t).alias("tbl"),
+                F.lit(f"{a} -> {b}").alias("fd"),
+                "n_lhs",
+                "n_pairs",
+                (F.col("n_lhs") == F.col("n_pairs")).alias("holds"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("tbl", "fd")
