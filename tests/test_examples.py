@@ -112,3 +112,14 @@ def test_event_analytics_example(tmp_path):
     # both touch channels (view, click) earn credit on this corpus
     assert result["channels_credited"] == 2
     assert result["top_paths"] == 3
+
+
+def test_governance_report_example(tmp_path):
+    mod = _load("governance_report")
+    result = mod.run_example(str(tmp_path))
+    # sketch laws must hold corpus-wide, not just on the audited top-k
+    assert result["cm_violations"] == 0
+    assert result["hll_violations"] == 0
+    assert 0 <= result["exposed_docs"] <= result["total_docs"]
+    assert result["report_rows"] > 0
+    assert 0 <= result["worst_oov_bps"] <= 10000
