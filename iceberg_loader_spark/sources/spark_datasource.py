@@ -68,6 +68,7 @@ from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
+    DataSourceStreamArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     EqualTo,
@@ -495,6 +496,81 @@ class SparkbergWriter(DataSourceArrowWriter):
             pass
 
 
+class SparkbergStreamWriter(SparkbergWriter, DataSourceStreamArrowWriter):
+    """Native exactly-once streaming sink: ``df.writeStream
+    .format("sparkberg")`` — the DataSource-API twin of
+    ``streaming/sink.IdempotentTableSink``.
+
+    Exactly-once recipe (same as the foreachBatch sink): the micro-batch
+    id is committed into the table's properties ATOMICALLY with the data
+    snapshot; ``commit`` compares the incoming batch id against the last
+    committed marker and a replayed batch deletes its own staged files
+    and commits nothing. Task files are staged under unique names, so
+    speculative/failed tasks never collide; files not referenced by any
+    commit message are orphans the maintenance sweep removes.
+
+    Scale: identical write path to the batch writer — executors stream
+    Arrow batches straight into parquet (one batch in memory per task),
+    the driver folds footers into manifest entries, and the marker is
+    O(1) table-property metadata per micro-batch.
+    """
+
+    _MARKER_PROP = "streaming.sparkberg-writer.last-batch-id"
+
+    def __init__(self, schema: T.StructType, options):
+        super().__init__(schema, options, overwrite=False)
+
+    def commit(self, messages, batchId) -> None:  # type: ignore[override]
+        from iceberg_loader_spark.tables.table import _stamp_sequence
+
+        committed = [
+            p for m in messages if m is not None for p in m.rel_paths
+        ]
+        table = _open_table(self._root)
+        last = int(table.properties().get(self._MARKER_PROP, "-1"))
+        if batchId <= last:
+            # replayed micro-batch: its rows are already in the table —
+            # drop the duplicate staged files, commit nothing
+            for rel in committed:
+                try:
+                    os.unlink(os.path.join(self._root, rel))
+                except OSError:
+                    pass
+            return
+        entries = [_entry_for_file(self._root, p) for p in committed]
+        added_rows = sum(e.rows for e in entries)
+
+        def build(parent):
+            _stamp_sequence(entries, parent.version + 1)
+            return new_snapshot(
+                parent,
+                "append",
+                parent.schema_json,
+                parent.partition_spec,
+                parent.files + entries,
+                {**parent.properties, self._MARKER_PROP: str(batchId)},
+                {
+                    "added-files": len(entries),
+                    "added-records": added_rows,
+                    "total-records": parent.total_rows + added_rows,
+                    "streaming-batch-id": batchId,
+                },
+            )
+
+        table._commit_with_retry(build)
+
+    def abort(self, messages, batchId) -> None:  # type: ignore[override]
+        for m in messages:
+            if m is None:
+                continue
+            for rel in m.rel_paths:
+                try:
+                    os.unlink(os.path.join(self._root, rel))
+                except OSError:
+                    pass
+
+
+
 class SparkbergDataSource(DataSource):
     """Register with ``spark.dataSource.register(SparkbergDataSource)``."""
 
@@ -524,6 +600,16 @@ class SparkbergDataSource(DataSource):
 
     def streamReader(self, schema: T.StructType) -> SparkbergStreamReader:
         return SparkbergStreamReader(schema, self.options)
+
+    def streamWriter(
+        self, schema: T.StructType, overwrite: bool
+    ) -> "SparkbergStreamWriter":
+        if overwrite:
+            raise NotImplementedError(
+                "sparkberg streaming sink is append-only (update/append "
+                "output modes); complete-mode truncation is not supported"
+            )
+        return SparkbergStreamWriter(schema, self.options)
 
 
 def register(spark) -> None:
