@@ -1292,3 +1292,64 @@ def lifecycle_incremental_dedup_counts(
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# The NATIVE streaming sink under the oracle: documents stream through
+# `writeStream.format("sparkberg")` (two micro-batches via
+# maxFilesPerTrigger) into a fresh table, and the query returns the
+# landed per-language aggregate read back through the ENGINE scan — the
+# oracle recomputes it from the source parquet. A sink that drops,
+# duplicates, or re-lands a micro-batch flips the counts; the batch-id
+# marker must equal the number of committed micro-batches.
+# --------------------------------------------------------------------------
+@_register(
+    "lifecycle_stream_sink_counts",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def lifecycle_stream_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile as _tf
+
+    from iceberg_loader_spark.sources.spark_datasource import register
+
+    register(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    src = _tf.mkdtemp(prefix="ils_sink_src_")
+    docs.repartition(2).write.mode("overwrite").parquet(src)
+    wh = _fresh_warehouse()
+    root = wh.table_root("db.docs_sink")
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.format("sparkberg")
+        .option("checkpointLocation", f"{src}/_ckpt")
+        .start(root)
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    t = Table(wh, "db.docs_sink")
+    last_batch = int(
+        t.properties()["streaming.sparkberg-writer.last-batch-id"]
+    )
+    assert last_batch >= 1, "sink committed fewer micro-batches than fed"
+    return (
+        t.scan(spark)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
