@@ -1315,6 +1315,8 @@ def lifecycle_incremental_dedup_counts(
     """,
 )
 def lifecycle_stream_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents streamed through the native sparkberg sink land exactly
+    once; the per-language aggregate is read back through the engine."""
     import tempfile as _tf
 
     from iceberg_loader_spark.sources.spark_datasource import register
