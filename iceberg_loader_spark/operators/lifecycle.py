@@ -1343,7 +1343,7 @@ def lifecycle_stream_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
     t = Table(wh, "db.docs_sink")
     last_batch = int(
-        t.properties()["streaming.sparkberg-writer.last-batch-id"]
+        t.properties()["streaming.sparkberg-writer.default.last-batch-id"]
     )
     assert last_batch >= 1, "sink committed fewer micro-batches than fed"
     return (

@@ -515,10 +515,16 @@ class SparkbergStreamWriter(SparkbergWriter, DataSourceStreamArrowWriter):
     O(1) table-property metadata per micro-batch.
     """
 
-    _MARKER_PROP = "streaming.sparkberg-writer.last-batch-id"
-
     def __init__(self, schema: T.StructType, options):
         super().__init__(schema, options, overwrite=False)
+        # distinct concurrent streams into ONE table must use distinct
+        # markers (same isolation rule as IdempotentTableSink.marker_key);
+        # a RESTARTED query must keep its marker (it pairs with the
+        # checkpoint's batch-id sequence)
+        marker_key = options.get("marker", "default")
+        self._MARKER_PROP = (
+            f"streaming.sparkberg-writer.{marker_key}.last-batch-id"
+        )
 
     def commit(self, messages, batchId) -> None:  # type: ignore[override]
         from iceberg_loader_spark.tables.table import _stamp_sequence

@@ -413,7 +413,7 @@ def test_stream_writer_end_to_end(spark, wh, tmp_path):
     )
     assert got == list(range(9))
     t = Table(wh, "db.ds_stream_sink")
-    assert int(t.properties()["streaming.sparkberg-writer.last-batch-id"]) >= 1
+    assert int(t.properties()["streaming.sparkberg-writer.default.last-batch-id"]) >= 1
 
 
 def test_stream_writer_replay_is_skipped(spark, wh, tmp_path):
