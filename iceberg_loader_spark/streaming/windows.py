@@ -1284,3 +1284,117 @@ def hll_users_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     return spark.table("hll_users_streaming").orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# B20+ — FULL OUTER stream-stream interval join, completing the join-
+# mode matrix (inner / left-outer / full-outer): every purchase keeps
+# its click matches OR a NULL row, AND every click that attributed no
+# purchase surfaces too (the "orphaned spend" side both one-sided joins
+# drop). The registered query audits the three match categories; the
+# micro-batch runner emits the same outer pair multiset under
+# watermarks on both sides.
+#
+# Scale: state for both sides is bounded by (interval + watermark
+# delay) per user key — the same state-retention math as the left-outer
+# join, applied symmetrically.
+# --------------------------------------------------------------------------
+@_register(
+    "stream_attribution_full_outer",
+    """
+    WITH pairs AS (
+      SELECT p.event_id AS purchase_id, c.event_id AS click_id
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON c.user_id = p.user_id
+       AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 30 MINUTE
+    )
+    SELECT CAST(SUM(CASE WHEN purchase_id IS NOT NULL
+                          AND click_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS matched_pairs,
+           CAST(SUM(CASE WHEN click_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS unattributed_purchases,
+           CAST(SUM(CASE WHEN purchase_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS orphan_clicks
+    FROM pairs
+    """,
+)
+def stream_attribution_full_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Match-category audit of the purchases ⟗ clicks interval join."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
+        "full_outer",
+    )
+    both = F.col("purchase_id").isNotNull() & F.col("click_id").isNotNull()
+    return joined.agg(
+        F.sum(F.when(both, 1).otherwise(0)).cast("bigint").alias(
+            "matched_pairs"
+        ),
+        F.sum(F.when(F.col("click_id").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("unattributed_purchases"),
+        F.sum(F.when(F.col("purchase_id").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("orphan_clicks"),
+    )
+
+
+def attribution_full_outer_streaming(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The full-outer interval join under the micro-batch engine —
+    watermarks on BOTH sides gate both NULL emissions (an unmatched row
+    on either side emits only once the other side's watermark proves no
+    qualifying partner can arrive). The paired test compares the outer
+    pair multiset against the batch query's."""
+    ev = streaming_events(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
+        "fullOuter",
+    ).select("purchase_id", "click_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attribution_full_outer_streaming")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table("attribution_full_outer_streaming")
