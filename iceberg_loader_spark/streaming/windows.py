@@ -1398,3 +1398,68 @@ def attribution_full_outer_streaming(
     q.processAllAvailable()
     q.stop()
     return spark.table("attribution_full_outer_streaming")
+
+
+# --------------------------------------------------------------------------
+# B21+ — DYNAMIC-gap session window: the gap is a per-event expression
+# (views cool off in 5 minutes, everything else in 30), Spark 3.2+'s
+# session_window(ts, gap_column) form. Each event contributes the
+# interval [ts, ts + its own gap]; overlapping intervals merge, so the
+# oracle rebuilds sessions with the interval-merge island recipe — a
+# running MAX of interval ends over strictly-preceding rows (the
+# fixed-gap lag() trick is NOT sufficient: a long-gap event mid-session
+# can extend the session past its successors' shorter gaps).
+#
+# Scale: same state-store shape as the fixed-gap session window — state
+# keyed by user_id; gap choice is a per-row expression, no extra state.
+# --------------------------------------------------------------------------
+@_register(
+    "stream_session_dynamic_gap",
+    f"""
+    WITH spans AS (
+      SELECT user_id, ts, event_id,
+             ts + CASE WHEN event_type = 'view'
+                       THEN INTERVAL 5 MINUTE
+                       ELSE INTERVAL 30 MINUTE END AS end_ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts, end_ts,
+             CASE WHEN MAX(end_ts) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  >= ts THEN 0 ELSE 1 END AS new_session
+      FROM spans
+    ),
+    sessions AS (
+      SELECT user_id, ts, end_ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, end_ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '{_DUCK_FMT}') AS session_start,
+           strftime(MAX(end_ts), '{_DUCK_FMT}') AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions under a per-event gap (view=5m, else 30m)."""
+    ev = load_table(spark, sf_dir, "events")
+    # session_window demands CalendarIntervalType — ANSI interval
+    # literals are DayTimeIntervalType, so spell the gaps as strings
+    gap = F.when(F.col("event_type") == "view", F.lit("5 minutes")).otherwise(
+        F.lit("30 minutes")
+    )
+    agg = ev.groupBy("user_id", F.session_window("ts", gap)).agg(
+        F.count("*").alias("n_events")
+    )
+    return agg.select(
+        "user_id",
+        F.date_format("session_window.start", _FMT).alias("session_start"),
+        F.date_format("session_window.end", _FMT).alias("session_end"),
+        "n_events",
+    ).orderBy("user_id", "session_start")
