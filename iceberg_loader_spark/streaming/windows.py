@@ -1463,3 +1463,36 @@ def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("session_window.end", _FMT).alias("session_end"),
         "n_events",
     ).orderBy("user_id", "session_start")
+
+
+def session_dynamic_gap_streaming(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """B21+ under the micro-batch engine: watermarked DYNAMIC-gap
+    session windows (the same per-event gap expression as the batch
+    twin). The paired test asserts equality with the registered query —
+    session merging must be batch-invariant because the state store
+    merges overlapping per-event intervals exactly as the batch
+    analyzer does."""
+    ev = streaming_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    gap = F.when(F.col("event_type") == "view", F.lit("5 minutes")).otherwise(
+        F.lit("30 minutes")
+    )
+    agg = ev.groupBy("user_id", F.session_window("ts", gap)).agg(
+        F.count("*").alias("n_events")
+    )
+    out = agg.select(
+        "user_id",
+        F.date_format("session_window.start", _FMT).alias("session_start"),
+        F.date_format("session_window.end", _FMT).alias("session_end"),
+        "n_events",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("session_dynamic_gap_streaming")
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table("session_dynamic_gap_streaming")

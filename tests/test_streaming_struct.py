@@ -397,3 +397,17 @@ def test_streaming_full_outer_interval_join_matches_batch(spark):
     # at this corpus scale both unmatched categories are non-empty in
     # the emitted (old-enough) region
     assert len(got_up) > 0 and len(got_oc) > 0
+
+
+def test_streaming_dynamic_gap_sessions_match_batch(spark):
+    """Dynamic-gap session merging is batch-invariant: the state-store
+    sessions equal the batch session_window result row-for-row."""
+    got = (
+        w.session_dynamic_gap_streaming(spark, SF_SMOKE)
+        .orderBy("user_id", "session_start")
+        .toPandas()
+    )
+    want = w.stream_session_dynamic_gap(spark, SF_SMOKE).toPandas()
+    pd.testing.assert_frame_equal(
+        canon(got), canon(want), check_dtype=False
+    )
