@@ -3229,3 +3229,108 @@ def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("tbl", "fd")
+
+
+# --------------------------------------------------------------------------
+# LATERAL correlated subquery join (Spark 4 SQL): top-2 customers by
+# account balance per nation, spelled as a lateral subquery with a
+# correlated predicate + ORDER BY/LIMIT — the SQL-standard form of
+# "top-k per group". Catalyst rewrites the lateral into a window-ranked
+# join (DomainJoin elimination), so the physical plan is the same
+# shuffle-once rank the DataFrame spelling produces; the identical SQL
+# string runs on DuckDB as the oracle.
+#
+# Scale: one shuffle of customer on c_nationkey + a per-key rank — no
+# per-nation re-scan despite the correlated spelling; nation is a
+# dimension and rides broadcast.
+# --------------------------------------------------------------------------
+_SQL_LATERAL_TOPK = """
+    SELECT n.n_name, t.c_name, t.c_acctbal
+    FROM nation n, LATERAL (
+      SELECT c_name, c_acctbal FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+    ) t
+    ORDER BY n.n_name, c_acctbal DESC, c_name
+"""
+
+
+@_register("sql_lateral_topk_customers", _SQL_LATERAL_TOPK)
+def sql_lateral_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_loader_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_LATERAL_TOPK)
+
+
+# --------------------------------------------------------------------------
+# B19+ — XML function battery: construct an XML document per event with
+# to_xml(struct(...)), parse it back with from_xml, and extract fields a
+# second, independent way with xpath_long/xpath_string/xpath_int; the
+# aggregate asserts the struct-parse and the xpath-parse agree row-for-row
+# and that the round-tripped values sum to what the raw columns sum to
+# (which is exactly what the oracle recomputes from the raw columns —
+# any construct/parse/extract infidelity breaks the hash).
+#
+# Scale: map-only string codec work per row (whole-stage codegen for the
+# construction; xpath compiles once per task) + one partial-aggregated
+# shuffle on the 5-value event_type key. The event_id < 2000 gate is
+# pushed to the parquet scan.
+# --------------------------------------------------------------------------
+@_register(
+    "xml_funcs_events_props",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(event_id) AS BIGINT) AS sum_id,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+             AS sum_k,
+           CAST(COUNT(*) AS BIGINT) AS n_roundtrip,
+           CAST(COUNT(*) AS BIGINT) AS n_xpath_agree
+    FROM events
+    WHERE event_id < 2000
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def xml_funcs_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    doc = ev.select(
+        "event_type",
+        F.to_xml(
+            F.struct(
+                F.col("event_id").alias("id"),
+                F.col("event_type").alias("etype"),
+                F.get_json_object("props", "$.k").cast("int").alias("k"),
+            ),
+            {"rowTag": "ev"},
+        ).alias("xml"),
+    )
+    parsed = doc.select(
+        "event_type",
+        F.from_xml("xml", "id bigint, etype string, k int", {"rowTag": "ev"}).alias(
+            "p"
+        ),
+        F.xpath_long("xml", F.lit("/ev/id")).alias("xp_id"),
+        F.xpath_string("xml", F.lit("/ev/etype")).alias("xp_etype"),
+        F.xpath_int("xml", F.lit("/ev/k")).alias("xp_k"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("p.id").alias("sum_id"),
+            F.sum("xp_k").cast("bigint").alias("sum_k"),
+            F.sum(
+                (
+                    (F.col("p.etype") == F.col("event_type"))
+                    & (F.col("xp_etype") == F.col("event_type"))
+                ).cast("int")
+            ).alias("n_roundtrip"),
+            F.sum(
+                ((F.col("xp_id") == F.col("p.id")) & (F.col("xp_k") == F.col("p.k")))
+                .cast("int")
+            ).alias("n_xpath_agree"),
+        )
+        .orderBy("event_type")
+    )
