@@ -1355,3 +1355,89 @@ def lifecycle_stream_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Exactly-once streaming FAN-OUT under the oracle: one micro-batched
+# document stream routed to TWO tables (short docs / long docs) through
+# FanOutSink — each route an IdempotentTableSink with its own batch-id
+# marker. The query replays the LAST batch by hand after the stream
+# stops (foreachBatch's at-least-once recovery contract) and asserts
+# both routes skipped it, then returns per-route counts read back
+# through the engine scans; the oracle recomputes them from the source
+# parquet. A route that drops, duplicates, or mis-predicates a batch
+# flips the counts.
+# --------------------------------------------------------------------------
+@_register(
+    "lifecycle_stream_fanout_counts",
+    """
+    SELECT CASE WHEN n_chars < 300 THEN 'short' ELSE 'long' END AS route,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY route
+    ORDER BY route
+    """,
+)
+def lifecycle_stream_fanout_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Content-routed dual-sink streaming ingest, each route exactly-once."""
+    from iceberg_loader_spark.streaming import FanOutSink, IdempotentTableSink
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    src = tempfile.mkdtemp(prefix="ils_fanout_src_")
+    _CREATED_ROOTS.append(src)
+    docs.repartition(2).write.mode("overwrite").parquet(src)
+    wh = _fresh_warehouse()
+    short_sink = IdempotentTableSink(wh, "db.docs_short")
+    long_sink = IdempotentTableSink(wh, "db.docs_long")
+    fanout = FanOutSink(
+        [
+            (lambda df: df.filter(F.col("n_chars") < 300), short_sink),
+            (lambda df: df.filter(F.col("n_chars") >= 300), long_sink),
+        ]
+    )
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(fanout)
+        .option("checkpointLocation", f"{src}/_ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # replay the last committed batch: both routes must detect and skip
+    last = int(
+        wh.load_table("db.docs_short").properties()[
+            "streaming.default.last-batch-id"
+        ]
+    )
+    fanout(docs, last)
+    assert short_sink.skipped_batches >= 1 and long_sink.skipped_batches >= 1, (
+        "replayed micro-batch was not skipped by every route"
+    )
+    short = (
+        Table(wh, "db.docs_short")
+        .scan(spark)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .select(F.lit("short").alias("route"), "n_docs", "sum_chars")
+    )
+    long_ = (
+        Table(wh, "db.docs_long")
+        .scan(spark)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .select(F.lit("long").alias("route"), "n_docs", "sum_chars")
+    )
+    return short.unionByName(long_).orderBy("route")

@@ -5,8 +5,14 @@ identically in batch (oracle-checked) and micro-batch streaming
 (watermarked runners, exercised by ``tests/test_streaming_struct.py``).
 """
 
-from iceberg_loader_spark.streaming.sink import IdempotentTableSink
+from iceberg_loader_spark.streaming.sink import FanOutSink, IdempotentTableSink
 from iceberg_loader_spark.streaming.source import TableTailReader
 from iceberg_loader_spark.streaming.windows import ORACLES, QUERIES
 
-__all__ = ["QUERIES", "ORACLES", "IdempotentTableSink", "TableTailReader"]
+__all__ = [
+    "QUERIES",
+    "ORACLES",
+    "FanOutSink",
+    "IdempotentTableSink",
+    "TableTailReader",
+]

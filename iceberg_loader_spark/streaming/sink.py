@@ -84,3 +84,40 @@ class IdempotentTableSink:
         table.append(
             batch_df, extra_properties={self.marker_prop: str(batch_id)}
         )
+
+
+class FanOutSink:
+    """``foreachBatch`` callable routing ONE micro-batch to N tables,
+    each exactly-once.
+
+    ``routes`` is a list of ``(transform, sink)`` pairs: ``transform``
+    maps the micro-batch DataFrame to that route's rows (``None`` =
+    pass-through) and ``sink`` is an :class:`IdempotentTableSink` (or any
+    callable with the same replay-skip contract). Because every route
+    keeps its OWN batch-id marker committed atomically with its rows, the
+    composite is idempotent under PARTIAL failure: a crash after route k
+    commits replays the whole batch — routes 1..k detect the replay and
+    skip, routes k+1..N land. Route order therefore does not matter for
+    correctness, only for which routes need the replay to finish.
+
+    The micro-batch is persisted for the duration of the fan-out so the
+    source is computed once, not once per route (``foreachBatch`` hands a
+    lazy frame; N routes would otherwise re-read the source N times).
+
+    Scale notes: one ``persist`` of a micro-batch (bounded by trigger
+    size), then per-route filters run map-only over the cached rows; each
+    route's commit is the O(1)-metadata marker append of
+    :class:`IdempotentTableSink`.
+    """
+
+    def __init__(self, routes):
+        self.routes = list(routes)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            for transform, sink in self.routes:
+                routed = transform(batch_df) if transform else batch_df
+                sink(routed, batch_id)
+        finally:
+            batch_df.unpersist()

@@ -123,3 +123,50 @@ def test_table_tail_reader_offsets_and_replay(spark, tmp_path):
     t.append(docs.limit(0))  # metadata-only append: zero-row batch
     pulled = list(reader.batches(spark))
     assert len(pulled) == 1 and pulled[0].count() == 0
+
+
+def test_fanout_sink_routes_exactly_once_with_partial_failure(
+    spark, tmp_path
+):
+    """FanOutSink: one micro-batch routed to two tables; a replay after a
+    PARTIAL failure (route A committed, crash before route B) must skip A
+    and land B — the per-route markers make the composite idempotent."""
+    from pyspark.sql import functions as F
+
+    from iceberg_loader_spark.streaming import FanOutSink, IdempotentTableSink
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    a_sink = IdempotentTableSink(wh, "db.route_a")
+    b_sink = IdempotentTableSink(wh, "db.route_b")
+    a_route = lambda df: df.filter(F.col("event_id") % 2 == 0)  # noqa: E731
+    b_route = lambda df: df.filter(F.col("event_id") % 2 == 1)  # noqa: E731
+    fanout = FanOutSink([(a_route, a_sink), (b_route, b_sink)])
+
+    batch = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    n_even = batch.filter("event_id % 2 = 0").count()
+    n_odd = batch.count() - n_even
+
+    # simulate: route A committed batch 0, crash before route B ran
+    a_sink(a_route(batch), 0)
+    assert wh.load_table("db.route_a").scan(spark).count() == n_even
+    assert not wh.table_exists("db.route_b")
+
+    # recovery replays the WHOLE batch through the composite
+    fanout(batch, 0)
+    assert a_sink.skipped_batches == 1  # replay detected on A
+    assert wh.load_table("db.route_a").scan(spark).count() == n_even
+    assert wh.load_table("db.route_b").scan(spark).count() == n_odd
+
+    # a second full replay is a no-op on both routes
+    fanout(batch, 0)
+    assert a_sink.skipped_batches == 2
+    assert b_sink.skipped_batches == 1
+    assert wh.load_table("db.route_a").scan(spark).count() == n_even
+    assert wh.load_table("db.route_b").scan(spark).count() == n_odd
+
+    # a fresh batch still lands on both
+    fanout(batch, 1)
+    assert wh.load_table("db.route_a").scan(spark).count() == 2 * n_even
+    assert wh.load_table("db.route_b").scan(spark).count() == 2 * n_odd
