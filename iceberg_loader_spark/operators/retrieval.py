@@ -14,6 +14,9 @@ between "raw corpus" and "index":
   (the cheap stand-in for perplexity-based quality filtering).
 * ``feature_hash_bigrams`` — fastText-style hashed bag-of-bigrams
   featurization (the embedding-free input to cheap linear classifiers).
+* ``perceptron_weak_label_train`` — batch-perceptron training of a
+  weak-label quality-filter model (balance → featurize → broadcast-
+  weights rounds), the hash-verified learning curve included.
 
 Everything is built-in Spark SQL functions (JVM codegen); tokenization
 is the same single-space split the rest of the text family uses so the
@@ -550,3 +553,219 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 10)
         .orderBy("rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# Distributed linear-model TRAINING in the engine: a batch perceptron
+# quality-filter model trained against a weak keyword label (doc
+# contains the token 'spark' — the heuristic-rule labeling that seeds
+# fastText-style corpus filters), unrolled for 3 rounds in exact
+# integer arithmetic. The full pipeline a curation stack runs:
+#
+#   1. weak labels from a rule;
+#   2. CLASS BALANCING — all negatives + an equal count of positives
+#      drawn in md5(doc_id) order (append-stable, both engines agree);
+#   3. hashed unigram PRESENCE features (256 buckets + bias);
+#   4. batch (not online) perceptron rounds — weights broadcast to the
+#      data, margins map-side, the gradient Σ y·x over misclassified
+#      rows partial-aggregated back; batch updates are order-
+#      independent, so the result is deterministic at any parallelism
+#      and DuckDB replays it bit-for-bit;
+#   5. damped update w ← 4·w + Σ y·x (sign(w·x) is invariant under
+#      positive scaling, so this is learning rate ¼ — the unit-rate
+#      update overshoots the shared-feature mass and oscillates).
+#
+# Per-round training misclassifications and accuracy are the output —
+# the learning curve itself is hash-verified (≈50% → >94% → >98%).
+#
+# Scale: per round = one broadcast hash join (≤257 weight rows — the
+# weights NEVER shuffle the data) + two partial-aggregated shuffles
+# keyed on doc_id / bucket over the once-materialized feature frame.
+# Rounds are unrolled (fixed 3), the same driver-side pattern as the
+# PageRank / k-means loops. The one knowingly non-scale-clean step is
+# the EXACT balancing rank (row_number partitioned by y — two ordered
+# partitions, chosen here because the oracle must replay the pick
+# bit-for-bit); at 100 TB you swap it for the map-only threshold form
+# (keep positives with md5(doc_id) below the positive/negative ratio
+# cut — approximate balance, zero shuffle) and nothing downstream
+# changes.
+# --------------------------------------------------------------------------
+_PC_B = 256  # feature buckets; bias rides as bucket index _PC_B
+_PC_ROUNDS = 3
+_PC_DAMP = 4  # w <- _PC_DAMP*w + update  (effective learning rate 1/4)
+
+
+def _pc_oracle() -> str:
+    head = f"""
+    WITH labels0 AS (
+      SELECT doc_id,
+             CASE WHEN list_contains(list_filter(string_split(lower(text), ' '),
+                                                 t -> t <> ''), 'spark')
+                  THEN 1 ELSE -1 END AS y
+      FROM documents
+    ),
+    nn AS (SELECT SUM(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS n_neg FROM labels0),
+    ranked AS (
+      SELECT doc_id, y,
+             ROW_NUMBER() OVER (PARTITION BY y
+                                ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
+      FROM labels0
+    ),
+    labels AS (SELECT doc_id, y FROM ranked, nn WHERE y = -1 OR rk <= n_neg),
+    toks AS (
+      SELECT d.doc_id,
+             list_distinct(list_filter(string_split(lower(d.text), ' '),
+                                       t -> t <> '')) AS t
+      FROM documents d JOIN labels l ON l.doc_id = d.doc_id
+    ),
+    grams AS (SELECT doc_id, unnest(t) AS g FROM toks),
+    feats AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substring(md5(g), 1, 8))::BIGINT % {_PC_B} AS bucket,
+             1 AS cnt
+      FROM grams
+      UNION ALL
+      SELECT doc_id, {_PC_B} AS bucket, 1 AS cnt FROM labels
+    ),
+    fl AS (
+      SELECT f.doc_id, f.bucket, f.cnt, l.y
+      FROM feats f JOIN labels l USING (doc_id)
+    ),
+    w1 AS (SELECT bucket, SUM(y * cnt) AS w FROM fl GROUP BY bucket),
+    m1 AS (
+      SELECT fl.doc_id, fl.y, SUM(w1.w * fl.cnt) AS s
+      FROM fl JOIN w1 USING (bucket) GROUP BY fl.doc_id, fl.y
+    )"""
+    rounds, sel = "", [
+        "SELECT 1 AS round, CAST(COUNT(*) AS BIGINT) AS n_train,"
+        " CAST(SUM(CASE WHEN y * s <= 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_miss FROM m1"
+    ]
+    for t in range(2, _PC_ROUNDS + 1):
+        rounds += f""",
+    u{t - 1} AS (
+      SELECT fl.bucket, SUM(fl.y * fl.cnt) AS d
+      FROM fl JOIN (SELECT doc_id FROM m{t - 1} WHERE y * s <= 0) m
+        USING (doc_id)
+      GROUP BY fl.bucket
+    ),
+    w{t} AS (
+      SELECT w{t - 1}.bucket,
+             {_PC_DAMP} * w{t - 1}.w + COALESCE(u{t - 1}.d, 0) AS w
+      FROM w{t - 1} LEFT JOIN u{t - 1} USING (bucket)
+    ),
+    m{t} AS (
+      SELECT fl.doc_id, fl.y, SUM(w{t}.w * fl.cnt) AS s
+      FROM fl JOIN w{t} USING (bucket) GROUP BY fl.doc_id, fl.y
+    )"""
+        sel.append(
+            f"SELECT {t}, CAST(COUNT(*) AS BIGINT),"
+            f" CAST(SUM(CASE WHEN y * s <= 0 THEN 1 ELSE 0 END) AS BIGINT)"
+            f" FROM m{t}"
+        )
+    return (
+        head
+        + rounds
+        + ",\n    stats AS (\n    "
+        + "\n    UNION ALL ".join(sel)
+        + """
+    )
+    SELECT round, n_train, n_miss,
+           CAST(((n_train - n_miss) * 10000) // n_train AS BIGINT) AS acc_bps
+    FROM stats ORDER BY round
+    """
+    )
+
+
+@_register("perceptron_weak_label_train", _pc_oracle())
+def perceptron_weak_label_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok_arr = F.array_distinct(
+        F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+    )
+    labels0 = docs.select(
+        "doc_id",
+        tok_arr.alias("t"),
+        F.when(F.array_contains(tok_arr, "spark"), 1)
+        .otherwise(-1)
+        .cast("bigint")
+        .alias("y"),
+    )
+    n_neg = labels0.agg(
+        F.sum((F.col("y") == -1).cast("bigint")).alias("n_neg")
+    )
+    ranked = labels0.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("y").orderBy(F.md5(F.col("doc_id").cast("string")))
+        ),
+    )
+    labels = (
+        ranked.join(F.broadcast(n_neg))
+        .filter((F.col("y") == -1) | (F.col("rk") <= F.col("n_neg")))
+        .select("doc_id", "t", "y")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("bigint") % _PC_B
+    )
+    presence = (
+        labels.select("doc_id", F.explode("t").alias("g"))
+        .select("doc_id", bucket.alias("bucket"))
+        .distinct()
+    )
+    bias = labels.select(
+        "doc_id", F.lit(_PC_B).cast("bigint").alias("bucket")
+    )
+    fl = _materialize(
+        presence.unionByName(bias)
+        .withColumn("cnt", F.lit(1).cast("bigint"))
+        .join(labels.select("doc_id", "y"), "doc_id")
+    )  # (doc_id, bucket, cnt, y) — scanned once per round
+
+    def _margins(w: DataFrame) -> DataFrame:
+        # weights are ≤ B+1 rows: broadcast; margin = Σ_b w[b]·x[b]
+        return (
+            fl.join(F.broadcast(w), "bucket")
+            .groupBy("doc_id", "y")
+            .agg(F.sum(F.col("w") * F.col("cnt")).alias("s"))
+        )
+
+    def _stats(m: DataFrame, rnd: int) -> DataFrame:
+        return m.agg(
+            F.count("*").cast("bigint").alias("n_train"),
+            F.sum((F.col("y") * F.col("s") <= 0).cast("bigint"))
+            .cast("bigint")
+            .alias("n_miss"),
+        ).select(
+            F.lit(rnd).alias("round"),
+            "n_train",
+            "n_miss",
+            F.expr(
+                "CAST(((n_train - n_miss) * 10000) div n_train AS BIGINT)"
+            ).alias("acc_bps"),
+        )
+
+    w = _materialize(
+        fl.groupBy("bucket").agg(F.sum(F.col("y") * F.col("cnt")).alias("w"))
+    )
+    m = _materialize(_margins(w))
+    out = _stats(m, 1)
+    for rnd in range(2, _PC_ROUNDS + 1):
+        miss = m.filter(F.col("y") * F.col("s") <= 0).select("doc_id")
+        upd = (
+            fl.join(miss, "doc_id")
+            .groupBy("bucket")
+            .agg(F.sum(F.col("y") * F.col("cnt")).alias("d"))
+        )
+        w = _materialize(
+            w.join(upd, "bucket", "left").select(
+                "bucket",
+                (
+                    F.lit(_PC_DAMP) * F.col("w")
+                    + F.coalesce(F.col("d"), F.lit(0))
+                ).alias("w"),
+            )
+        )
+        m = _materialize(_margins(w))
+        out = out.unionByName(_stats(m, rnd))
+    return out.orderBy("round")
