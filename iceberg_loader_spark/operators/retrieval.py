@@ -17,6 +17,9 @@ between "raw corpus" and "index":
 * ``perceptron_weak_label_train`` — batch-perceptron training of a
   weak-label quality-filter model (balance → featurize → broadcast-
   weights rounds), the hash-verified learning curve included.
+* ``perceptron_holdout_eval`` — the inference half: train on the md5
+  75% split, score the held-out 25%, report the out-of-sample
+  confusion matrix.
 
 Everything is built-in Spark SQL functions (JVM codegen); tokenization
 is the same single-space split the rest of the text family uses so the
@@ -593,23 +596,33 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PC_B = 256  # feature buckets; bias rides as bucket index _PC_B
 _PC_ROUNDS = 3
 _PC_DAMP = 4  # w <- _PC_DAMP*w + update  (effective learning rate 1/4)
+_PC_SPLIT = 75  # md5 bucket < 75 trains, >= 75 is the held-out eval split
 
-
-def _pc_oracle() -> str:
-    head = f"""
-    WITH labels0 AS (
+# Shared oracle chunks. `pool_filter` restricts which documents may enter
+# the balanced TRAINING set; features/weights CTEs are identical either way.
+_PC_LABELS_SQL = """
+    labels0 AS (
       SELECT doc_id,
              CASE WHEN list_contains(list_filter(string_split(lower(text), ' '),
                                                  t -> t <> ''), 'spark')
-                  THEN 1 ELSE -1 END AS y
+                  THEN 1 ELSE -1 END AS y,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 100 AS split_bucket
       FROM documents
-    ),
-    nn AS (SELECT SUM(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS n_neg FROM labels0),
+    )"""
+
+
+def _pc_train_ctes(pool_filter: str) -> str:
+    """CTEs labels0→fl→w1..w{R}/m1..m{R}: balanced pool, presence
+    features, and the unrolled damped-update training rounds."""
+    ctes = f"""{_PC_LABELS_SQL},
+    pool AS (SELECT doc_id, y FROM labels0 {pool_filter}),
+    nn AS (SELECT SUM(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS n_neg FROM pool),
     ranked AS (
       SELECT doc_id, y,
              ROW_NUMBER() OVER (PARTITION BY y
                                 ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
-      FROM labels0
+      FROM pool
     ),
     labels AS (SELECT doc_id, y FROM ranked, nn WHERE y = -1 OR rk <= n_neg),
     toks AS (
@@ -636,13 +649,8 @@ def _pc_oracle() -> str:
       SELECT fl.doc_id, fl.y, SUM(w1.w * fl.cnt) AS s
       FROM fl JOIN w1 USING (bucket) GROUP BY fl.doc_id, fl.y
     )"""
-    rounds, sel = "", [
-        "SELECT 1 AS round, CAST(COUNT(*) AS BIGINT) AS n_train,"
-        " CAST(SUM(CASE WHEN y * s <= 0 THEN 1 ELSE 0 END) AS BIGINT)"
-        " AS n_miss FROM m1"
-    ]
     for t in range(2, _PC_ROUNDS + 1):
-        rounds += f""",
+        ctes += f""",
     u{t - 1} AS (
       SELECT fl.bucket, SUM(fl.y * fl.cnt) AS d
       FROM fl JOIN (SELECT doc_id FROM m{t - 1} WHERE y * s <= 0) m
@@ -658,14 +666,19 @@ def _pc_oracle() -> str:
       SELECT fl.doc_id, fl.y, SUM(w{t}.w * fl.cnt) AS s
       FROM fl JOIN w{t} USING (bucket) GROUP BY fl.doc_id, fl.y
     )"""
-        sel.append(
-            f"SELECT {t}, CAST(COUNT(*) AS BIGINT),"
-            f" CAST(SUM(CASE WHEN y * s <= 0 THEN 1 ELSE 0 END) AS BIGINT)"
-            f" FROM m{t}"
-        )
+    return ctes
+
+
+def _pc_train_oracle() -> str:
+    sel = [
+        f"SELECT {t} AS round, CAST(COUNT(*) AS BIGINT) AS n_train,"
+        f" CAST(SUM(CASE WHEN y * s <= 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_miss FROM m{t}"
+        for t in range(1, _PC_ROUNDS + 1)
+    ]
     return (
-        head
-        + rounds
+        "\n    WITH "
+        + _pc_train_ctes("")
         + ",\n    stats AS (\n    "
         + "\n    UNION ALL ".join(sel)
         + """
@@ -677,58 +690,198 @@ def _pc_oracle() -> str:
     )
 
 
-@_register("perceptron_weak_label_train", _pc_oracle())
-def perceptron_weak_label_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    tok_arr = F.array_distinct(
+def _pc_holdout_oracle() -> str:
+    return (
+        "\n    WITH "
+        + _pc_train_ctes(f"WHERE split_bucket < {_PC_SPLIT}")
+        + f""",
+    test AS (
+      SELECT doc_id, y FROM labels0 WHERE split_bucket >= {_PC_SPLIT}
+    ),
+    ttoks AS (
+      SELECT d.doc_id,
+             list_distinct(list_filter(string_split(lower(d.text), ' '),
+                                       t -> t <> '')) AS t
+      FROM documents d JOIN test l ON l.doc_id = d.doc_id
+    ),
+    tgrams AS (SELECT doc_id, unnest(t) AS g FROM ttoks),
+    tfeats AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substring(md5(g), 1, 8))::BIGINT % {_PC_B} AS bucket,
+             1 AS cnt
+      FROM tgrams
+      UNION ALL
+      SELECT doc_id, {_PC_B} AS bucket, 1 AS cnt FROM test
+    ),
+    ts AS (
+      SELECT f.doc_id, l.y, SUM(w{_PC_ROUNDS}.w * f.cnt) AS s
+      FROM tfeats f
+      JOIN test l USING (doc_id)
+      JOIN w{_PC_ROUNDS} USING (bucket)
+      GROUP BY f.doc_id, l.y
+    ),
+    cm AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+             CAST(SUM(CASE WHEN y = 1 AND s > 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN y = -1 AND s > 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN y = 1 AND s <= 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fn,
+             CAST(SUM(CASE WHEN y = -1 AND s <= 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tn
+      FROM ts
+    )
+    SELECT n_test, tp, fp, fn, tn,
+           CAST(((tp + tn) * 10000) // n_test AS BIGINT) AS acc_bps
+    FROM cm
+    """
+    )
+
+
+def _pc_tok_arr() -> F.Column:
+    return F.array_distinct(
         F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
     )
-    labels0 = docs.select(
+
+
+def _pc_labels0(docs: DataFrame) -> DataFrame:
+    """(doc_id, t, y, split_bucket) — weak keyword label + split bucket."""
+    tok_arr = _pc_tok_arr()
+    return docs.select(
         "doc_id",
         tok_arr.alias("t"),
         F.when(F.array_contains(tok_arr, "spark"), 1)
         .otherwise(-1)
         .cast("bigint")
         .alias("y"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % 100
+        ).alias("split_bucket"),
     )
-    n_neg = labels0.agg(
-        F.sum((F.col("y") == -1).cast("bigint")).alias("n_neg")
-    )
-    ranked = labels0.withColumn(
+
+
+def _pc_balanced(pool: DataFrame) -> DataFrame:
+    """All negatives + the same count of positives in md5(doc_id) order
+    (exact, oracle-replayable; see scale note on the registered query)."""
+    n_neg = pool.agg(F.sum((F.col("y") == -1).cast("bigint")).alias("n_neg"))
+    ranked = pool.withColumn(
         "rk",
         F.row_number().over(
             W.partitionBy("y").orderBy(F.md5(F.col("doc_id").cast("string")))
         ),
     )
-    labels = (
+    return (
         ranked.join(F.broadcast(n_neg))
         .filter((F.col("y") == -1) | (F.col("rk") <= F.col("n_neg")))
         .select("doc_id", "t", "y")
     )
+
+
+def _pc_feature_frame(labeled: DataFrame) -> DataFrame:
+    """(doc_id, bucket, cnt, y): hashed unigram PRESENCE features + bias,
+    materialized once (scanned by every training/scoring round)."""
     bucket = (
         F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("bigint") % _PC_B
     )
     presence = (
-        labels.select("doc_id", F.explode("t").alias("g"))
+        labeled.select("doc_id", F.explode("t").alias("g"))
         .select("doc_id", bucket.alias("bucket"))
         .distinct()
     )
-    bias = labels.select(
+    bias = labeled.select(
         "doc_id", F.lit(_PC_B).cast("bigint").alias("bucket")
     )
-    fl = _materialize(
+    return _materialize(
         presence.unionByName(bias)
         .withColumn("cnt", F.lit(1).cast("bigint"))
-        .join(labels.select("doc_id", "y"), "doc_id")
-    )  # (doc_id, bucket, cnt, y) — scanned once per round
+        .join(labeled.select("doc_id", "y"), "doc_id")
+    )
 
-    def _margins(w: DataFrame) -> DataFrame:
-        # weights are ≤ B+1 rows: broadcast; margin = Σ_b w[b]·x[b]
-        return (
-            fl.join(F.broadcast(w), "bucket")
-            .groupBy("doc_id", "y")
-            .agg(F.sum(F.col("w") * F.col("cnt")).alias("s"))
+
+def _pc_margins(fl: DataFrame, w: DataFrame) -> DataFrame:
+    # weights are ≤ B+1 rows: broadcast; margin = Σ_b w[b]·x[b]
+    return (
+        fl.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id", "y")
+        .agg(F.sum(F.col("w") * F.col("cnt")).alias("s"))
+    )
+
+
+def _pc_train(fl: DataFrame) -> tuple[DataFrame, list[DataFrame]]:
+    """Unrolled damped-update rounds → (final weights, per-round margins)."""
+    w = _materialize(
+        fl.groupBy("bucket").agg(F.sum(F.col("y") * F.col("cnt")).alias("w"))
+    )
+    margins = [_materialize(_pc_margins(fl, w))]
+    for _ in range(2, _PC_ROUNDS + 1):
+        miss = margins[-1].filter(F.col("y") * F.col("s") <= 0).select(
+            "doc_id"
         )
+        upd = (
+            fl.join(miss, "doc_id")
+            .groupBy("bucket")
+            .agg(F.sum(F.col("y") * F.col("cnt")).alias("d"))
+        )
+        w = _materialize(
+            w.join(upd, "bucket", "left").select(
+                "bucket",
+                (
+                    F.lit(_PC_DAMP) * F.col("w")
+                    + F.coalesce(F.col("d"), F.lit(0))
+                ).alias("w"),
+            )
+        )
+        margins.append(_materialize(_pc_margins(fl, w)))
+    return w, margins
+
+
+# --------------------------------------------------------------------------
+# Distributed linear-model TRAINING in the engine: a batch perceptron
+# quality-filter model trained against a weak keyword label (doc
+# contains the token 'spark' — the heuristic-rule labeling that seeds
+# fastText-style corpus filters), unrolled for 3 rounds in exact
+# integer arithmetic. The full pipeline a curation stack runs:
+#
+#   1. weak labels from a rule;
+#   2. CLASS BALANCING — all negatives + an equal count of positives
+#      drawn in md5(doc_id) order (append-stable, both engines agree);
+#   3. hashed unigram PRESENCE features (256 buckets + bias);
+#   4. batch (not online) perceptron rounds — weights broadcast to the
+#      data, margins map-side, the gradient Σ y·x over misclassified
+#      rows partial-aggregated back; batch updates are order-
+#      independent, so the result is deterministic at any parallelism
+#      and DuckDB replays it bit-for-bit;
+#   5. damped update w ← 4·w + Σ y·x (sign(w·x) is invariant under
+#      positive scaling, so this is learning rate ¼ — the unit-rate
+#      update overshoots the shared-feature mass and oscillates).
+#
+# Per-round training misclassifications and accuracy are the output —
+# the learning curve itself is hash-verified (≈50% → >94% → >98%).
+#
+# Scale: per round = one broadcast hash join (≤257 weight rows — the
+# weights NEVER shuffle the data) + two partial-aggregated shuffles
+# keyed on doc_id / bucket over the once-materialized feature frame.
+# Rounds are unrolled (fixed 3), the same driver-side pattern as the
+# PageRank / k-means loops. The one knowingly non-scale-clean step is
+# the EXACT balancing rank (row_number partitioned by y — two ordered
+# partitions, chosen here because the oracle must replay the pick
+# bit-for-bit); at 100 TB you swap it for the map-only threshold form
+# (keep positives with md5(doc_id) below the positive/negative ratio
+# cut — approximate balance, zero shuffle) and nothing downstream
+# changes.
+# --------------------------------------------------------------------------
+@_register("perceptron_weak_label_train", _pc_train_oracle())
+def perceptron_weak_label_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    labels = _pc_balanced(_pc_labels0(docs).select("doc_id", "t", "y"))
+    fl = _pc_feature_frame(labels)
+    _, margins = _pc_train(fl)
 
     def _stats(m: DataFrame, rnd: int) -> DataFrame:
         return m.agg(
@@ -745,27 +898,59 @@ def perceptron_weak_label_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("acc_bps"),
         )
 
-    w = _materialize(
-        fl.groupBy("bucket").agg(F.sum(F.col("y") * F.col("cnt")).alias("w"))
-    )
-    m = _materialize(_margins(w))
-    out = _stats(m, 1)
-    for rnd in range(2, _PC_ROUNDS + 1):
-        miss = m.filter(F.col("y") * F.col("s") <= 0).select("doc_id")
-        upd = (
-            fl.join(miss, "doc_id")
-            .groupBy("bucket")
-            .agg(F.sum(F.col("y") * F.col("cnt")).alias("d"))
-        )
-        w = _materialize(
-            w.join(upd, "bucket", "left").select(
-                "bucket",
-                (
-                    F.lit(_PC_DAMP) * F.col("w")
-                    + F.coalesce(F.col("d"), F.lit(0))
-                ).alias("w"),
-            )
-        )
-        m = _materialize(_margins(w))
+    out = _stats(margins[0], 1)
+    for rnd, m in enumerate(margins[1:], start=2):
         out = out.unionByName(_stats(m, rnd))
     return out.orderBy("round")
+
+
+# --------------------------------------------------------------------------
+# ...and the INFERENCE half: train the same model on the md5 75% split
+# only, score the held-out 25% with the final broadcast weights, and
+# report the out-of-sample confusion matrix — train/serve separation
+# with generalization measured, not claimed (the weak label is present
+# tense in the features, so held-out accuracy lands near training
+# accuracy; a leaky or broken split would show up as a changed hash).
+#
+# Scale: training as above on the 75% pool; scoring is ONE broadcast
+# join of the ≤257-row weight vector against the held-out feature frame
+# plus a per-doc partial aggregate — the batch-inference shape, no
+# shuffle wider than doc_id.
+# --------------------------------------------------------------------------
+@_register("perceptron_holdout_eval", _pc_holdout_oracle())
+def perceptron_holdout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    labels0 = _pc_labels0(docs)
+    train_pool = labels0.filter(F.col("split_bucket") < _PC_SPLIT).select(
+        "doc_id", "t", "y"
+    )
+    w, _ = _pc_train(_pc_feature_frame(_pc_balanced(train_pool)))
+    test = labels0.filter(F.col("split_bucket") >= _PC_SPLIT).select(
+        "doc_id", "t", "y"
+    )
+    scored = _pc_margins(_pc_feature_frame(test), w)
+    pos = F.col("s") > 0
+    return scored.agg(
+        F.count("*").cast("bigint").alias("n_test"),
+        F.sum(((F.col("y") == 1) & pos).cast("bigint"))
+        .cast("bigint")
+        .alias("tp"),
+        F.sum(((F.col("y") == -1) & pos).cast("bigint"))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum(((F.col("y") == 1) & ~pos).cast("bigint"))
+        .cast("bigint")
+        .alias("fn"),
+        F.sum(((F.col("y") == -1) & ~pos).cast("bigint"))
+        .cast("bigint")
+        .alias("tn"),
+    ).select(
+        "n_test",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.expr("CAST(((tp + tn) * 10000) div n_test AS BIGINT)").alias(
+            "acc_bps"
+        ),
+    )
