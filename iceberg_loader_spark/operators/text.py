@@ -1784,3 +1784,126 @@ def vocab_oov_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# BPE tokenizer TRAINING (merge-rule discovery) in pure relational
+# algebra — 3 unrolled merge rounds of the classic Sennrich et al. 2016
+# procedure over the corpus vocabulary:
+#
+#   1. vocab = (word, freq) — the ONLY corpus-sized aggregate; training
+#      itself runs on the vocabulary with frequencies, exactly like
+#      production BPE trainers;
+#   2. each word becomes a '|'-separated symbol string ("the" → "t|h|e");
+#   3. per round: count adjacent symbol pairs weighted by word freq
+#      (one hash aggregate over Σ word lengths), pick the max-count pair
+#      (deterministic tie-break: count DESC, then both symbols ASC —
+#      orderBy+limit(1), planned as TakeOrderedAndProject, never a
+#      global window), and APPLY the merge as a literal string replace
+#      ("t|h" → "th") — both engines replace left-to-right over
+#      non-overlapping occurrences, which IS greedy BPE application;
+#   4. the discovered merge table (round, pair, count) is the output —
+#      the artifact a tokenizer ships.
+#
+# Scale: after the initial word count, every frame is vocabulary-sized
+# (≪ corpus); the selected merge is a 1-row broadcast; merge application
+# is map-only over the vocab. Rounds are unrolled (fixed 3), the same
+# driver-side pattern as the PageRank / k-means / perceptron loops.
+# --------------------------------------------------------------------------
+_BPE_ROUNDS = 3
+
+_BPE_PAIRS_SQL = """(
+      SELECT s[i] AS a, s[i + 1] AS b, SUM(freq) AS cnt FROM (
+        SELECT string_split(sym, '|') AS s, freq FROM {src}),
+        unnest(range(1, len(s))) AS u(i)
+      GROUP BY 1, 2
+    )"""
+
+
+def _bpe_oracle() -> str:
+    ctes = r"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                t -> t <> '')) AS tok
+      FROM documents
+    ),
+    w0 AS (
+      SELECT tok, COUNT(*) AS freq,
+             rtrim(regexp_replace(tok, '(.)', '\1|', 'g'), '|') AS sym
+      FROM toks GROUP BY tok
+    )"""
+    sel = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        ctes += f""",
+    p{r - 1} AS {_BPE_PAIRS_SQL.format(src=f'w{r - 1}')},
+    t{r} AS (SELECT a, b, cnt FROM p{r - 1} ORDER BY cnt DESC, a, b LIMIT 1)"""
+        if r < _BPE_ROUNDS:
+            ctes += f""",
+    w{r} AS (
+      SELECT freq, replace(sym, t{r}.a || '|' || t{r}.b, t{r}.a || t{r}.b)
+               AS sym
+      FROM w{r - 1}, t{r}
+    )"""
+        sel.append(
+            f"SELECT {r} AS round, a AS left_sym, b AS right_sym,"
+            f" CAST(cnt AS BIGINT) AS pair_count FROM t{r}"
+        )
+    return ctes + "\n    " + "\n    UNION ALL ".join(sel) + "\n    ORDER BY round\n"
+
+
+@_register("bpe_merge_rounds", _bpe_oracle())
+def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_loader_spark.operators.dedup import _materialize
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = _materialize(
+        _token_rows(docs)
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            "freq",
+            F.rtrim(
+                F.regexp_replace(F.col("tok"), "(.)", "$1|"), F.lit("|")
+            ).alias("sym"),
+        )
+    )
+
+    def _pairs(w: DataFrame) -> DataFrame:
+        s = F.split(F.col("sym"), "\\|")
+        n = F.size(s)
+        zipped = F.zip_with(
+            F.slice(s, 1, n - 1),
+            F.slice(s, 2, n - 1),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+        )
+        return (
+            w.select("freq", F.explode(zipped).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+
+    def _top(p: DataFrame) -> DataFrame:
+        return p.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b")).limit(1)
+
+    out = None
+    for r in range(1, _BPE_ROUNDS + 1):
+        top = _materialize(_top(_pairs(words)))
+        row = top.select(
+            F.lit(r).alias("round"),
+            F.col("a").alias("left_sym"),
+            F.col("b").alias("right_sym"),
+            F.col("cnt").cast("bigint").alias("pair_count"),
+        )
+        out = row if out is None else out.unionByName(row)
+        if r < _BPE_ROUNDS:
+            words = _materialize(
+                words.join(F.broadcast(top.select("a", "b"))).select(
+                    "freq",
+                    F.replace(
+                        F.col("sym"),
+                        F.concat(F.col("a"), F.lit("|"), F.col("b")),
+                        F.concat(F.col("a"), F.col("b")),
+                    ).alias("sym"),
+                )
+            )
+    return out.orderBy("round")
