@@ -1819,54 +1819,118 @@ _BPE_PAIRS_SQL = """(
       GROUP BY 1, 2
     )"""
 
-
-def _bpe_oracle() -> str:
-    ctes = r"""
-    WITH toks AS (
-      SELECT unnest(list_filter(string_split(lower(text), ' '),
-                                t -> t <> '')) AS tok
+# vocab CTEs shared by the train and encode oracles: per-(source, word)
+# counts, then the global (word, freq, sym) frame training runs on.
+_BPE_VOCAB_SQL = r"""
+    toks AS (
+      SELECT source, unnest(list_filter(string_split(lower(text), ' '),
+                                        t -> t <> '')) AS tok
       FROM documents
     ),
+    wsrc AS (
+      SELECT source, tok, COUNT(*) AS freq FROM toks GROUP BY source, tok
+    ),
     w0 AS (
-      SELECT tok, COUNT(*) AS freq,
+      SELECT tok, SUM(freq) AS freq,
              rtrim(regexp_replace(tok, '(.)', '\1|', 'g'), '|') AS sym
-      FROM toks GROUP BY tok
+      FROM wsrc GROUP BY tok
     )"""
-    sel = []
+
+
+def _bpe_round_ctes() -> str:
+    """CTEs p0/t1/w1 … t{R}/w{R}: pair counts, winning merge, application
+    (w{R} — the fully merged vocab — is emitted for the encode oracle)."""
+    ctes = ""
     for r in range(1, _BPE_ROUNDS + 1):
         ctes += f""",
     p{r - 1} AS {_BPE_PAIRS_SQL.format(src=f'w{r - 1}')},
-    t{r} AS (SELECT a, b, cnt FROM p{r - 1} ORDER BY cnt DESC, a, b LIMIT 1)"""
-        if r < _BPE_ROUNDS:
-            ctes += f""",
+    t{r} AS (SELECT a, b, cnt FROM p{r - 1} ORDER BY cnt DESC, a, b LIMIT 1),
     w{r} AS (
-      SELECT freq, replace(sym, t{r}.a || '|' || t{r}.b, t{r}.a || t{r}.b)
-               AS sym
+      SELECT tok, freq,
+             replace(sym, t{r}.a || '|' || t{r}.b, t{r}.a || t{r}.b) AS sym
       FROM w{r - 1}, t{r}
     )"""
-        sel.append(
-            f"SELECT {r} AS round, a AS left_sym, b AS right_sym,"
-            f" CAST(cnt AS BIGINT) AS pair_count FROM t{r}"
-        )
-    return ctes + "\n    " + "\n    UNION ALL ".join(sel) + "\n    ORDER BY round\n"
+    return ctes
 
 
-@_register("bpe_merge_rounds", _bpe_oracle())
-def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bpe_train_oracle() -> str:
+    sel = [
+        f"SELECT {r} AS round, a AS left_sym, b AS right_sym,"
+        f" CAST(cnt AS BIGINT) AS pair_count FROM t{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    ]
+    return (
+        "\n    WITH "
+        + _BPE_VOCAB_SQL
+        + _bpe_round_ctes()
+        + "\n    "
+        + "\n    UNION ALL ".join(sel)
+        + "\n    ORDER BY round\n"
+    )
+
+
+def _bpe_encode_oracle() -> str:
+    return (
+        "\n    WITH "
+        + _BPE_VOCAB_SQL
+        + _bpe_round_ctes()
+        + f""",
+    enc AS (
+      SELECT tok, len(string_split(sym, '|')) AS n_sym,
+             length(replace(sym, '|', '')) AS n_char
+      FROM w{_BPE_ROUNDS}
+    )
+    SELECT wsrc.source,
+           CAST(SUM(wsrc.freq) AS BIGINT) AS n_words,
+           CAST(SUM(wsrc.freq * enc.n_char) AS BIGINT) AS n_chars,
+           CAST(SUM(wsrc.freq * enc.n_sym) AS BIGINT) AS n_bpe_symbols,
+           CAST(SUM(wsrc.freq * enc.n_sym) * 10000
+                // SUM(wsrc.freq * enc.n_char) AS BIGINT)
+             AS symbols_per_char_bps
+    FROM wsrc JOIN enc ON enc.tok = wsrc.tok
+    GROUP BY wsrc.source
+    ORDER BY wsrc.source
+    """
+    )
+
+
+def _bpe_vocab_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(wsrc, vocab): per-(source, word) counts and the global
+    (tok, freq, sym) training vocabulary, both materialized."""
     from iceberg_loader_spark.operators.dedup import _materialize
 
     docs = load_table(spark, sf_dir, "documents")
-    words = _materialize(
-        _token_rows(docs)
-        .groupBy("tok")
+    wsrc = _materialize(
+        docs.select(
+            "source",
+            F.explode(
+                F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+            ).alias("tok"),
+        )
+        .groupBy("source", "tok")
         .agg(F.count("*").alias("freq"))
+    )
+    vocab = _materialize(
+        wsrc.groupBy("tok")
+        .agg(F.sum("freq").alias("freq"))
         .select(
+            "tok",
             "freq",
             F.rtrim(
                 F.regexp_replace(F.col("tok"), "(.)", "$1|"), F.lit("|")
             ).alias("sym"),
         )
     )
+    return wsrc, vocab
+
+
+def _bpe_rounds(
+    vocab: DataFrame,
+) -> tuple[list[DataFrame], DataFrame]:
+    """Run the unrolled merge rounds → ([1-row merge frames], final vocab)."""
+    from iceberg_loader_spark.operators.dedup import _materialize
 
     def _pairs(w: DataFrame) -> DataFrame:
         s = F.split(F.col("sym"), "\\|")
@@ -1882,12 +1946,33 @@ def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("freq").alias("cnt"))
         )
 
-    def _top(p: DataFrame) -> DataFrame:
-        return p.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b")).limit(1)
+    merges: list[DataFrame] = []
+    words = vocab
+    for _ in range(_BPE_ROUNDS):
+        top = _materialize(
+            _pairs(words).orderBy(F.desc("cnt"), F.asc("a"), F.asc("b")).limit(1)
+        )
+        merges.append(top)
+        words = _materialize(
+            words.join(F.broadcast(top.select("a", "b"))).select(
+                "tok",
+                "freq",
+                F.replace(
+                    F.col("sym"),
+                    F.concat(F.col("a"), F.lit("|"), F.col("b")),
+                    F.concat(F.col("a"), F.col("b")),
+                ).alias("sym"),
+            )
+        )
+    return merges, words
 
+
+@_register("bpe_merge_rounds", _bpe_train_oracle())
+def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, vocab = _bpe_vocab_frames(spark, sf_dir)
+    merges, _ = _bpe_rounds(vocab)
     out = None
-    for r in range(1, _BPE_ROUNDS + 1):
-        top = _materialize(_top(_pairs(words)))
+    for r, top in enumerate(merges, start=1):
         row = top.select(
             F.lit(r).alias("round"),
             F.col("a").alias("left_sym"),
@@ -1895,15 +1980,52 @@ def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").cast("bigint").alias("pair_count"),
         )
         out = row if out is None else out.unionByName(row)
-        if r < _BPE_ROUNDS:
-            words = _materialize(
-                words.join(F.broadcast(top.select("a", "b"))).select(
-                    "freq",
-                    F.replace(
-                        F.col("sym"),
-                        F.concat(F.col("a"), F.lit("|"), F.col("b")),
-                        F.concat(F.col("a"), F.col("b")),
-                    ).alias("sym"),
-                )
-            )
     return out.orderBy("round")
+
+
+# --------------------------------------------------------------------------
+# ...and the ENCODE half: apply the learned merge table to the corpus
+# and measure what the tokenizer buys — per-source word/char/BPE-symbol
+# counts and the symbols-per-char ratio (basis points). Corpus text is
+# never re-scanned: encoding happens on the VOCABULARY (each word
+# carries its per-source frequency), so the corpus-sized work stays the
+# one word-count aggregate both halves share.
+#
+# Scale: the encoded vocab (tok → symbol count) is vocabulary-sized and
+# broadcast back onto the per-(source, word) counts; the report is one
+# partial-aggregated shuffle on source.
+# --------------------------------------------------------------------------
+@_register("bpe_encode_compression", _bpe_encode_oracle())
+def bpe_encode_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wsrc, vocab = _bpe_vocab_frames(spark, sf_dir)
+    _, final_vocab = _bpe_rounds(vocab)
+    enc = final_vocab.select(
+        "tok",
+        F.size(F.split(F.col("sym"), "\\|")).cast("bigint").alias("n_sym"),
+        F.length(F.replace(F.col("sym"), F.lit("|"), F.lit(""))).cast(
+            "bigint"
+        ).alias("n_char"),
+    )
+    return (
+        wsrc.join(F.broadcast(enc), "tok")
+        .groupBy("source")
+        .agg(
+            F.sum("freq").cast("bigint").alias("n_words"),
+            F.sum(F.col("freq") * F.col("n_char"))
+            .cast("bigint")
+            .alias("n_chars"),
+            F.sum(F.col("freq") * F.col("n_sym"))
+            .cast("bigint")
+            .alias("n_bpe_symbols"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_chars",
+            "n_bpe_symbols",
+            F.expr(
+                "CAST((n_bpe_symbols * 10000) div n_chars AS BIGINT)"
+            ).alias("symbols_per_char_bps"),
+        )
+        .orderBy("source")
+    )
