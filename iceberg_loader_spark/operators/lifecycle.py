@@ -49,16 +49,21 @@ def _cleanup_roots() -> None:
         shutil.rmtree(root, ignore_errors=True)
 
 
-def _fresh_warehouse() -> Warehouse:
-    # a throwaway root per invocation (tens of KB); removed at process
-    # exit — the scan the query returns is collected before then
+def _track_root(root: str) -> str:
+    """Register a throwaway dir for removal at process exit (the atexit
+    hook is installed on FIRST tracked root, whichever call site wins)."""
     import atexit
 
-    root = tempfile.mkdtemp(prefix="ils_lifecycle_")
     if not _CREATED_ROOTS:
         atexit.register(_cleanup_roots)
     _CREATED_ROOTS.append(root)
-    return Warehouse(root)
+    return root
+
+
+def _fresh_warehouse() -> Warehouse:
+    # a throwaway root per invocation (tens of KB); removed at process
+    # exit — the scan the query returns is collected before then
+    return Warehouse(_track_root(tempfile.mkdtemp(prefix="ils_lifecycle_")))
 
 
 # --------------------------------------------------------------------------
@@ -1325,7 +1330,7 @@ def lifecycle_stream_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "n_chars"
     )
-    src = _tf.mkdtemp(prefix="ils_sink_src_")
+    src = _track_root(_tf.mkdtemp(prefix="ils_sink_src_"))
     docs.repartition(2).write.mode("overwrite").parquet(src)
     wh = _fresh_warehouse()
     root = wh.table_root("db.docs_sink")
@@ -1388,8 +1393,7 @@ def lifecycle_stream_fanout_counts(
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "n_chars"
     )
-    src = tempfile.mkdtemp(prefix="ils_fanout_src_")
-    _CREATED_ROOTS.append(src)
+    src = _track_root(tempfile.mkdtemp(prefix="ils_fanout_src_"))
     docs.repartition(2).write.mode("overwrite").parquet(src)
     wh = _fresh_warehouse()
     short_sink = IdempotentTableSink(wh, "db.docs_short")

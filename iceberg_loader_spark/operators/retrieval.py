@@ -813,16 +813,33 @@ def _pc_margins(fl: DataFrame, w: DataFrame) -> DataFrame:
     )
 
 
-def _pc_train(fl: DataFrame) -> tuple[DataFrame, list[DataFrame]]:
-    """Unrolled damped-update rounds → (final weights, per-round margins)."""
+def _pc_train(
+    fl: DataFrame, report_margins: bool = True
+) -> tuple[DataFrame, list[DataFrame]]:
+    """Unrolled damped-update rounds → (final weights, per-round margins).
+
+    ``report_margins=True`` materializes each intermediate round's
+    margins (the train-report query reads them twice: stats + miss) and
+    returns the FINAL round's margins lazily (stats reads them once).
+    ``report_margins=False`` (weights-only callers, e.g. held-out
+    scoring) keeps every margins frame lazy — each is consumed exactly
+    once by the miss filter — and never computes the post-final-update
+    margins at all.
+    """
     w = _materialize(
         fl.groupBy("bucket").agg(F.sum(F.col("y") * F.col("cnt")).alias("w"))
     )
-    margins = [_materialize(_pc_margins(fl, w))]
-    for _ in range(2, _PC_ROUNDS + 1):
-        miss = margins[-1].filter(F.col("y") * F.col("s") <= 0).select(
-            "doc_id"
-        )
+    margins: list[DataFrame] = []
+    for rnd in range(1, _PC_ROUNDS + 1):
+        m = _pc_margins(fl, w)
+        last = rnd == _PC_ROUNDS
+        if report_margins:
+            margins.append(m if last else _materialize(m))
+        if last:
+            break
+        miss = (margins[-1] if report_margins else m).filter(
+            F.col("y") * F.col("s") <= 0
+        ).select("doc_id")
         upd = (
             fl.join(miss, "doc_id")
             .groupBy("bucket")
@@ -837,44 +854,14 @@ def _pc_train(fl: DataFrame) -> tuple[DataFrame, list[DataFrame]]:
                 ).alias("w"),
             )
         )
-        margins.append(_materialize(_pc_margins(fl, w)))
     return w, margins
 
 
 # --------------------------------------------------------------------------
-# Distributed linear-model TRAINING in the engine: a batch perceptron
-# quality-filter model trained against a weak keyword label (doc
-# contains the token 'spark' — the heuristic-rule labeling that seeds
-# fastText-style corpus filters), unrolled for 3 rounds in exact
-# integer arithmetic. The full pipeline a curation stack runs:
-#
-#   1. weak labels from a rule;
-#   2. CLASS BALANCING — all negatives + an equal count of positives
-#      drawn in md5(doc_id) order (append-stable, both engines agree);
-#   3. hashed unigram PRESENCE features (256 buckets + bias);
-#   4. batch (not online) perceptron rounds — weights broadcast to the
-#      data, margins map-side, the gradient Σ y·x over misclassified
-#      rows partial-aggregated back; batch updates are order-
-#      independent, so the result is deterministic at any parallelism
-#      and DuckDB replays it bit-for-bit;
-#   5. damped update w ← 4·w + Σ y·x (sign(w·x) is invariant under
-#      positive scaling, so this is learning rate ¼ — the unit-rate
-#      update overshoots the shared-feature mass and oscillates).
-#
-# Per-round training misclassifications and accuracy are the output —
-# the learning curve itself is hash-verified (≈50% → >94% → >98%).
-#
-# Scale: per round = one broadcast hash join (≤257 weight rows — the
-# weights NEVER shuffle the data) + two partial-aggregated shuffles
-# keyed on doc_id / bucket over the once-materialized feature frame.
-# Rounds are unrolled (fixed 3), the same driver-side pattern as the
-# PageRank / k-means loops. The one knowingly non-scale-clean step is
-# the EXACT balancing rank (row_number partitioned by y — two ordered
-# partitions, chosen here because the oracle must replay the pick
-# bit-for-bit); at 100 TB you swap it for the map-only threshold form
-# (keep positives with md5(doc_id) below the positive/negative ratio
-# cut — approximate balance, zero shuffle) and nothing downstream
-# changes.
+# The registered training query (design narrative + scale notes: see
+# the "Distributed linear-model TRAINING" block above the helpers).
+# Output = per-round training misclassifications and accuracy — the
+# learning curve itself is hash-verified (≈50% → >94% → >98%).
 # --------------------------------------------------------------------------
 @_register("perceptron_weak_label_train", _pc_train_oracle())
 def perceptron_weak_label_train(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -924,7 +911,9 @@ def perceptron_holdout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     train_pool = labels0.filter(F.col("split_bucket") < _PC_SPLIT).select(
         "doc_id", "t", "y"
     )
-    w, _ = _pc_train(_pc_feature_frame(_pc_balanced(train_pool)))
+    w, _ = _pc_train(
+        _pc_feature_frame(_pc_balanced(train_pool)), report_margins=False
+    )
     test = labels0.filter(F.col("split_bucket") >= _PC_SPLIT).select(
         "doc_id", "t", "y"
     )

@@ -1794,13 +1794,21 @@ def vocab_oov_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   1. vocab = (word, freq) — the ONLY corpus-sized aggregate; training
 #      itself runs on the vocabulary with frequencies, exactly like
 #      production BPE trainers;
-#   2. each word becomes a '|'-separated symbol string ("the" → "t|h|e");
+#   2. each word becomes a boundary-fenced symbol string: symbols are
+#      separated by DOUBLE pipes and the whole string is wrapped in
+#      single pipes ("the" → "|t||h||e|"). The fencing is what makes
+#      merge application a plain literal replace that CANNOT cross
+#      symbol boundaries: replacing '|a||b|' with '|ab|' consumes one
+#      pipe from each side (the neighbor keeps its own), and a pattern
+#      anchored on single-pipe-then-symbol can never match a SUFFIX of
+#      a longer symbol (a symbol's interior contains no pipes, its
+#      edges carry two) — e.g. merging (r, k) leaves '|ar||k|' alone;
 #   3. per round: count adjacent symbol pairs weighted by word freq
 #      (one hash aggregate over Σ word lengths), pick the max-count pair
 #      (deterministic tie-break: count DESC, then both symbols ASC —
 #      orderBy+limit(1), planned as TakeOrderedAndProject, never a
-#      global window), and APPLY the merge as a literal string replace
-#      ("t|h" → "th") — both engines replace left-to-right over
+#      global window), and APPLY the merge as the fenced literal
+#      replace — both engines replace left-to-right over
 #      non-overlapping occurrences, which IS greedy BPE application;
 #   4. the discovered merge table (round, pair, count) is the output —
 #      the artifact a tokenizer ships.
@@ -1812,9 +1820,11 @@ def vocab_oov_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _BPE_ROUNDS = 3
 
+# symbols of a fenced sym string: strip the outer fence, split on the
+# double-pipe separator
 _BPE_PAIRS_SQL = """(
       SELECT s[i] AS a, s[i + 1] AS b, SUM(freq) AS cnt FROM (
-        SELECT string_split(sym, '|') AS s, freq FROM {src}),
+        SELECT string_split(trim(sym, '|'), '||') AS s, freq FROM {src}),
         unnest(range(1, len(s))) AS u(i)
       GROUP BY 1, 2
     )"""
@@ -1832,7 +1842,8 @@ _BPE_VOCAB_SQL = r"""
     ),
     w0 AS (
       SELECT tok, SUM(freq) AS freq,
-             rtrim(regexp_replace(tok, '(.)', '\1|', 'g'), '|') AS sym
+             '|' || rtrim(regexp_replace(tok, '(.)', '\1||', 'g'), '|')
+                 || '|' AS sym
       FROM wsrc GROUP BY tok
     )"""
 
@@ -1847,7 +1858,8 @@ def _bpe_round_ctes() -> str:
     t{r} AS (SELECT a, b, cnt FROM p{r - 1} ORDER BY cnt DESC, a, b LIMIT 1),
     w{r} AS (
       SELECT tok, freq,
-             replace(sym, t{r}.a || '|' || t{r}.b, t{r}.a || t{r}.b) AS sym
+             replace(sym, '|' || t{r}.a || '||' || t{r}.b || '|',
+                     '|' || t{r}.a || t{r}.b || '|') AS sym
       FROM w{r - 1}, t{r}
     )"""
     return ctes
@@ -1876,7 +1888,7 @@ def _bpe_encode_oracle() -> str:
         + _bpe_round_ctes()
         + f""",
     enc AS (
-      SELECT tok, len(string_split(sym, '|')) AS n_sym,
+      SELECT tok, len(string_split(trim(sym, '|'), '||')) AS n_sym,
              length(replace(sym, '|', '')) AS n_char
       FROM w{_BPE_ROUNDS}
     )
@@ -1918,8 +1930,13 @@ def _bpe_vocab_frames(
         .select(
             "tok",
             "freq",
-            F.rtrim(
-                F.regexp_replace(F.col("tok"), "(.)", "$1|"), F.lit("|")
+            F.concat(
+                F.lit("|"),
+                F.rtrim(
+                    F.regexp_replace(F.col("tok"), "(.)", "$1||"),
+                    F.lit("|"),
+                ),
+                F.lit("|"),
             ).alias("sym"),
         )
     )
@@ -1928,12 +1945,21 @@ def _bpe_vocab_frames(
 
 def _bpe_rounds(
     vocab: DataFrame,
+    n_rounds: int | None = None,
+    apply_last: bool = True,
 ) -> tuple[list[DataFrame], DataFrame]:
-    """Run the unrolled merge rounds → ([1-row merge frames], final vocab)."""
+    """Run the unrolled merge rounds → ([1-row merge frames], final vocab).
+
+    ``apply_last=False`` skips applying (and materializing) the LAST
+    round's merge — callers that only consume the merge table never pay
+    for the final vocab rewrite; they get the second-to-last vocab back.
+    """
     from iceberg_loader_spark.operators.dedup import _materialize
 
+    rounds = _BPE_ROUNDS if n_rounds is None else n_rounds
+
     def _pairs(w: DataFrame) -> DataFrame:
-        s = F.split(F.col("sym"), "\\|")
+        s = F.split(F.btrim(F.col("sym"), F.lit("|")), "\\|\\|")
         n = F.size(s)
         zipped = F.zip_with(
             F.slice(s, 1, n - 1),
@@ -1948,19 +1974,27 @@ def _bpe_rounds(
 
     merges: list[DataFrame] = []
     words = vocab
-    for _ in range(_BPE_ROUNDS):
+    for r in range(1, rounds + 1):
         top = _materialize(
             _pairs(words).orderBy(F.desc("cnt"), F.asc("a"), F.asc("b")).limit(1)
         )
         merges.append(top)
+        if r == rounds and not apply_last:
+            break
         words = _materialize(
             words.join(F.broadcast(top.select("a", "b"))).select(
                 "tok",
                 "freq",
                 F.replace(
                     F.col("sym"),
-                    F.concat(F.col("a"), F.lit("|"), F.col("b")),
-                    F.concat(F.col("a"), F.col("b")),
+                    F.concat(
+                        F.lit("|"),
+                        F.col("a"),
+                        F.lit("||"),
+                        F.col("b"),
+                        F.lit("|"),
+                    ),
+                    F.concat(F.lit("|"), F.col("a"), F.col("b"), F.lit("|")),
                 ).alias("sym"),
             )
         )
@@ -1970,7 +2004,7 @@ def _bpe_rounds(
 @_register("bpe_merge_rounds", _bpe_train_oracle())
 def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, vocab = _bpe_vocab_frames(spark, sf_dir)
-    merges, _ = _bpe_rounds(vocab)
+    merges, _ = _bpe_rounds(vocab, apply_last=False)
     out = None
     for r, top in enumerate(merges, start=1):
         row = top.select(
@@ -2001,7 +2035,9 @@ def bpe_encode_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, final_vocab = _bpe_rounds(vocab)
     enc = final_vocab.select(
         "tok",
-        F.size(F.split(F.col("sym"), "\\|")).cast("bigint").alias("n_sym"),
+        F.size(F.split(F.btrim(F.col("sym"), F.lit("|")), "\\|\\|"))
+        .cast("bigint")
+        .alias("n_sym"),
         F.length(F.replace(F.col("sym"), F.lit("|"), F.lit(""))).cast(
             "bigint"
         ).alias("n_char"),

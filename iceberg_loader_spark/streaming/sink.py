@@ -112,6 +112,24 @@ class FanOutSink:
 
     def __init__(self, routes):
         self.routes = list(routes)
+        # Two routes sharing one (table, marker_key) would fight over the
+        # same replay marker: the first to commit a batch makes every
+        # other such route silently skip it — rows lost with no error.
+        # Reject the configuration up front (duck-typed: only sinks that
+        # expose the IdempotentTableSink attributes are checked).
+        seen: set[tuple[str, str]] = set()
+        for _, sink in self.routes:
+            ident = getattr(sink, "identifier", None)
+            marker = getattr(sink, "marker_prop", None)
+            if ident is None or marker is None:
+                continue
+            key = (ident, marker)
+            if key in seen:
+                raise ValueError(
+                    f"duplicate route target {key}: routes writing the same "
+                    "table must use distinct marker_key values"
+                )
+            seen.add(key)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         batch_df.persist()

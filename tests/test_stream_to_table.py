@@ -170,3 +170,28 @@ def test_fanout_sink_routes_exactly_once_with_partial_failure(
     fanout(batch, 1)
     assert wh.load_table("db.route_a").scan(spark).count() == 2 * n_even
     assert wh.load_table("db.route_b").scan(spark).count() == 2 * n_odd
+
+
+def test_fanout_sink_rejects_duplicate_route_targets(tmp_path):
+    """Two routes on the same (table, marker_key) would fight over one
+    replay marker and silently drop the second route's rows — rejected
+    at construction."""
+    import pytest
+
+    from iceberg_loader_spark.streaming import FanOutSink, IdempotentTableSink
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    with pytest.raises(ValueError, match="duplicate route target"):
+        FanOutSink(
+            [
+                (None, IdempotentTableSink(wh, "db.t")),
+                (None, IdempotentTableSink(wh, "db.t")),
+            ]
+        )
+    # distinct marker_key on the same table is allowed
+    FanOutSink(
+        [
+            (None, IdempotentTableSink(wh, "db.t", marker_key="a")),
+            (None, IdempotentTableSink(wh, "db.t", marker_key="b")),
+        ]
+    )
