@@ -123,3 +123,17 @@ def test_governance_report_example(tmp_path):
     assert 0 <= result["exposed_docs"] <= result["total_docs"]
     assert result["report_rows"] > 0
     assert 0 <= result["worst_oov_bps"] <= 10000
+
+
+def test_train_filter_model_example(tmp_path):
+    mod = _load("train_filter_model")
+    result = mod.run_example(str(tmp_path))
+    # the learning curve must improve train accuracy round over round
+    assert result["last_acc_bps"] > result["first_acc_bps"]
+    # the shipped model must generalize to the held-out split
+    assert result["holdout_acc_bps"] >= 9000
+    assert result["n_merges"] == 3
+    # BPE must not EXPAND the corpus (<=1 symbol per char by construction)
+    assert result["worst_symbols_per_char_bps"] <= 10000
+    # curve rows + confusion row + merge rows all landed
+    assert result["landed_rows"] == result["rounds"] + 1 + result["n_merges"]
