@@ -453,3 +453,49 @@ def test_stream_writer_replay_is_skipped(spark, wh, tmp_path):
         r.k for r in spark.read.format("sparkberg").load(root).collect()
     )
     assert got == [1, 2, 3]  # no duplicates from the replayed batch
+
+
+def test_stream_tail_source_resumes_offsets_across_restart(
+    spark, wh, tmp_path
+):
+    """Source-side checkpoint recovery: a RESTARTED tail query must
+    resume from the committed snapshot offset — the second run sees
+    EXACTLY the snapshots appended while it was down, never re-reading
+    the backfill (the source twin of the sink-side replay test)."""
+    root = wh.table_root("db.ds_tail_restart")
+    ckpt = str(tmp_path / "ckpt_tail")
+    spark.range(5).select(F.col("id").alias("k")).write.format(
+        "sparkberg"
+    ).mode("append").save(root)
+
+    def _drain() -> list[int]:
+        seen: list[int] = []
+
+        def _collect(batch_df, batch_id):
+            seen.extend(r.k for r in batch_df.collect())
+
+        q = (
+            spark.readStream.format("sparkberg")
+            .load(root)
+            .writeStream.foreachBatch(_collect)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return sorted(seen)
+
+    assert _drain() == list(range(5))  # run 1: the backfill
+
+    # two appends land while the query is DOWN
+    spark.range(5, 8).select(F.col("id").alias("k")).write.format(
+        "sparkberg"
+    ).mode("append").save(root)
+    spark.range(8, 10).select(F.col("id").alias("k")).write.format(
+        "sparkberg"
+    ).mode("append").save(root)
+
+    # run 2 must deliver exactly the missed delta — no backfill re-read
+    assert _drain() == list(range(5, 10))

@@ -195,3 +195,57 @@ def test_fanout_sink_rejects_duplicate_route_targets(tmp_path):
             (None, IdempotentTableSink(wh, "db.t", marker_key="b")),
         ]
     )
+
+
+def test_streaming_sink_recovers_across_restart(spark, tmp_path):
+    """Checkpoint recovery through the exactly-once sink: a stream is
+    stopped mid-source, new files arrive, and a RESTARTED query on the
+    same checkpoint must land exactly the missing rows — no re-ingest of
+    pre-restart batches, no gaps, markers strictly advancing."""
+    from pyspark.sql import functions as F
+
+    from iceberg_loader_spark.streaming import IdempotentTableSink
+
+    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    first = events.filter(F.col("event_id") % 2 == 0)
+    second = events.filter(F.col("event_id") % 2 == 1)
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    first.coalesce(1).write.mode("append").parquet(src)
+
+    wh = Warehouse(str(tmp_path / "wh"))
+
+    def _run_stream() -> None:
+        # a FRESH sink instance each run: recovery state must live in the
+        # table marker + checkpoint, never in driver memory
+        sink = IdempotentTableSink(wh, "db.restart_sink")
+        q = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    _run_stream()
+    t = wh.load_table("db.restart_sink")
+    assert t.scan(spark).count() == first.count()
+    marker1 = int(t.properties()["streaming.default.last-batch-id"])
+
+    # new data lands while the query is DOWN
+    second.coalesce(1).write.mode("append").parquet(src)
+    _run_stream()
+
+    t = wh.load_table("db.restart_sink")
+    got = t.scan(spark)
+    assert got.count() == events.count()  # no gaps
+    assert got.select("event_id").distinct().count() == events.count()  # no dups
+    marker2 = int(t.properties()["streaming.default.last-batch-id"])
+    assert marker2 > marker1  # offsets resumed past the pre-restart batches
