@@ -66,3 +66,60 @@ def test_apply_last_false_skips_final_rewrite(spark):
     # the returned vocab reflects only round 1's merge
     syms = {r.tok: r.sym for r in words.collect()}
     assert syms == {"ab": "|ab|", "abc": "|ab||c|"}
+
+
+# -- property pin: the fenced-replace scheme IS greedy BPE application ----
+# str.replace, Java's String.replace (Spark F.replace), and DuckDB's
+# replace all substitute non-overlapping occurrences left-to-right, so a
+# pure-Python simulation of the fenced scheme is a faithful model of what
+# both engines execute.
+
+def _fence(symbols: list[str]) -> str:
+    return "|" + "||".join(symbols) + "|"
+
+
+def _unfence(sym: str) -> list[str]:
+    return sym.strip("|").split("||")
+
+
+def _fenced_apply(sym: str, a: str, b: str) -> str:
+    return sym.replace(f"|{a}||{b}|", f"|{a}{b}|")
+
+
+def _reference_apply(symbols: list[str], a: str, b: str) -> list[str]:
+    """Textbook greedy left-to-right BPE merge over a symbol list."""
+    out: list[str] = []
+    i = 0
+    while i < len(symbols):
+        if i + 1 < len(symbols) and symbols[i] == a and symbols[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(symbols[i])
+            i += 1
+    return out
+
+
+def test_fenced_apply_matches_reference_bpe_exhaustively():
+    """Every word over a 2-letter alphabet up to length 8, merged by every
+    pair reachable in 2 rounds — fenced replace must equal the textbook
+    greedy merge at each step (exhaustive, no sampling)."""
+    from itertools import product
+
+    alphabet = "ab"
+    for n in range(1, 9):
+        for word in product(alphabet, repeat=n):
+            symbols = list(word)
+            sym = _fence(symbols)
+            for a1, b1 in product(alphabet, repeat=2):
+                ref1 = _reference_apply(symbols, a1, b1)
+                got1 = _fenced_apply(sym, a1, b1)
+                assert _unfence(got1) == ref1, (word, (a1, b1))
+                # a second round over the (possibly multi-char) symbols —
+                # the boundary-crossing corner lives here
+                seen = {s for s in ref1}
+                for a2 in seen:
+                    for b2 in seen:
+                        assert _unfence(_fenced_apply(got1, a2, b2)) == (
+                            _reference_apply(ref1, a2, b2)
+                        ), (word, (a1, b1), (a2, b2))
