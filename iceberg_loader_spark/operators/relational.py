@@ -3334,3 +3334,80 @@ def xml_funcs_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# B15+ — URL function battery: construct a canonical URL per document
+# (host from source, path from doc_id, query carrying the language and
+# a url_encoded text prefix), then take it apart again with
+# parse_url(HOST/PATH/QUERY-key) and url_decode — the
+# canonicalize/extract surface a web-scrape curation pipeline leans on
+# (per-domain mixing, URL dedup, query-param stripping). The aggregate
+# counts rows where each extracted component matches what the raw columns
+# say it must be; the oracle recomputes those expectations directly
+# from the columns, so any construct/parse/encode/decode infidelity
+# breaks the hash.
+#
+# Scale: map-only string work per row (JVM-side, whole-stage codegen) +
+# one partial-aggregated shuffle on the 20-value source key.
+# --------------------------------------------------------------------------
+@_register(
+    "url_funcs_battery",
+    """
+    SELECT source,
+           source || '.example.com' AS host,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN lang IN ('en','de','fr','es','zh')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_ok,
+           CAST(COUNT(*) AS BIGINT) AS n_path_ok,
+           CAST(COUNT(*) AS BIGINT) AS n_q_roundtrip
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def url_funcs_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&q="),
+        F.url_encode(F.substring("text", 1, 10)),
+    )
+    parsed = docs.select(
+        "source",
+        "lang",
+        "doc_id",
+        F.substring("text", 1, 10).alias("q_expect"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("q_lang"),
+        F.url_decode(F.parse_url(url, F.lit("QUERY"), F.lit("q"))).alias(
+            "q_text"
+        ),
+    )
+    return (
+        parsed.groupBy("source", "host")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("q_lang") == F.col("lang")).cast("int"))
+            .cast("bigint")
+            .alias("n_lang_ok"),
+            F.sum(
+                (
+                    F.col("path")
+                    == F.concat(F.lit("/docs/"), F.col("doc_id").cast("string"))
+                ).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_path_ok"),
+            F.sum((F.col("q_text") == F.col("q_expect")).cast("int"))
+            .cast("bigint")
+            .alias("n_q_roundtrip"),
+        )
+        .orderBy("source")
+    )
