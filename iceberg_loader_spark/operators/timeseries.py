@@ -1707,3 +1707,104 @@ def quantile_bins_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bin")
     )
+
+
+# --------------------------------------------------------------------------
+# Chi-square independence drift test — event_type × 4-hour time-of-day
+# bucket, completing the drift-stat trio (KS for numeric distributions,
+# Benford for digit laws, chi² for categorical mix). The statistic is
+# computed entirely in integer fixed point so both engines agree
+# bit-for-bit:
+#
+#   exp_micro = row_total * col_total * 10^6 div n        (expected ×1e6)
+#   adev_k    = |obs·10^6 − exp_micro| div 10^3           (|dev| ×1e3)
+#   contrib   = adev_k² div (exp_micro div 10^3)          (cell χ² ×1e3)
+#
+# abs() BEFORE any division — DuckDB's // floors while Spark's div
+# truncates toward zero, so signed intermediate divisions would diverge;
+# on non-negative operands they are identical. chi2_milli is the summed
+# statistic ×1000; the alarm compares against the p=0.001 critical value
+# for (5−1)(6−1)=20 dof (45.315 → 45315 milli).
+#
+# Scale: one partial-aggregated count per cell (30 cells), marginals are
+# two tiny aggregates broadcast back onto the cell frame — the corpus is
+# scanned once; everything after is constant-size. Fixed-point headroom:
+# obs·10^6 needs n ≲ 9·10^12 rows per tested slice before BIGINT
+# overflow; beyond that, drop the micro scale to kilo (the statistic's
+# precision requirement shrinks as n grows).
+# --------------------------------------------------------------------------
+@_register(
+    "chi2_type_hour_drift",
+    """
+    WITH cells AS (
+      SELECT event_type, hour(ts) // 4 AS hb, COUNT(*) AS obs
+      FROM events GROUP BY 1, 2
+    ),
+    rows_ AS (SELECT event_type, SUM(obs) AS row_tot FROM cells GROUP BY 1),
+    cols_ AS (SELECT hb, SUM(obs) AS col_tot FROM cells GROUP BY 1),
+    tot AS (SELECT SUM(obs) AS n FROM cells),
+    devs AS (
+      SELECT c.event_type, c.hb,
+             abs(c.obs * 1000000
+                 - (r.row_tot * co.col_tot * 1000000) // t.n) // 1000
+               AS adev_k,
+             ((r.row_tot * co.col_tot * 1000000) // t.n) // 1000 AS exp_k
+      FROM cells c
+      JOIN rows_ r USING (event_type)
+      JOIN cols_ co USING (hb)
+      CROSS JOIN tot t
+    ),
+    -- adev_k * adev_k, NOT ** (DuckDB's power operator returns DOUBLE)
+    contrib AS (
+      SELECT event_type, hb, (adev_k * adev_k) // exp_k AS chi_m FROM devs
+    )
+    SELECT CAST(t.n AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT c.event_type) AS BIGINT) AS n_types,
+           CAST(COUNT(DISTINCT c.hb) AS BIGINT) AS n_buckets,
+           CAST((COUNT(DISTINCT c.event_type) - 1)
+                * (COUNT(DISTINCT c.hb) - 1) AS BIGINT) AS dof,
+           CAST(SUM(c.chi_m) AS BIGINT) AS chi2_milli,
+           SUM(c.chi_m) > 45315 AS drift_alarm
+    FROM contrib c CROSS JOIN tot t
+    GROUP BY t.n
+    """,
+)
+def chi2_type_hour_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        (F.hour("ts") / 4).cast("bigint").alias("hb"),
+    ).agg(F.count("*").alias("obs"))
+    rows_ = cells.groupBy("event_type").agg(F.sum("obs").alias("row_tot"))
+    cols_ = cells.groupBy("hb").agg(F.sum("obs").alias("col_tot"))
+    tot = cells.agg(F.sum("obs").alias("n"))
+    exp_micro = F.expr("(row_tot * col_tot * 1000000) div n")
+    chi_m = F.expr(
+        "(abs(obs * 1000000 - (row_tot * col_tot * 1000000) div n) div 1000)"
+        " * (abs(obs * 1000000 - (row_tot * col_tot * 1000000) div n) div 1000)"
+        " div (((row_tot * col_tot * 1000000) div n) div 1000)"
+    )
+    contrib = (
+        cells.join(F.broadcast(rows_), "event_type")
+        .join(F.broadcast(cols_), "hb")
+        .join(F.broadcast(tot))
+        .select("event_type", "hb", "n", chi_m.alias("chi_m"))
+    )
+    return contrib.groupBy("n").agg(
+        F.countDistinct("event_type").cast("bigint").alias("n_types"),
+        F.countDistinct("hb").cast("bigint").alias("n_buckets"),
+        (
+            (F.countDistinct("event_type") - 1) * (F.countDistinct("hb") - 1)
+        )
+        .cast("bigint")
+        .alias("dof"),
+        F.sum("chi_m").cast("bigint").alias("chi2_milli"),
+        (F.sum("chi_m") > 45315).alias("drift_alarm"),
+    ).select(
+        F.col("n").cast("bigint").alias("n"),
+        "n_types",
+        "n_buckets",
+        "dof",
+        "chi2_milli",
+        "drift_alarm",
+    )
