@@ -63,8 +63,9 @@ def run_example(warehouse_path: str | None = None) -> dict:
     first_acc, last_acc = rounds[0]["acc_bps"], rounds[-1]["acc_bps"]
 
     # 2. held-out evaluation — the number that decides whether the model
-    # ships
-    cm = perceptron_holdout_eval(spark, SF_DIR).collect()[0]
+    # ships (bound once; re-invoking the operator would re-run training)
+    holdout = perceptron_holdout_eval(spark, SF_DIR)
+    cm = holdout.collect()[0]
     logger.info(
         "held-out: n=%d tp=%d fp=%d fn=%d tn=%d (acc %.2f%%)",
         cm["n_test"], cm["tp"], cm["fp"], cm["fn"], cm["tn"],
@@ -86,7 +87,7 @@ def run_example(warehouse_path: str | None = None) -> dict:
     # 4. land the artifacts as tables (one snapshot each)
     for ident, df in (
         ("db.filter_curve", curve),
-        ("db.filter_holdout", perceptron_holdout_eval(spark, SF_DIR)),
+        ("db.filter_holdout", holdout),
         ("db.bpe_merges", merges),
     ):
         Table.create(wh, ident, df.schema).append(df)

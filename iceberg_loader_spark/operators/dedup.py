@@ -364,19 +364,26 @@ def _minhash_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # provably not triggering at test scale (buckets ≪ cap), and the
     # bucket-size aggregate is partial-aggregated (counts, not rows).
     bands = _materialize(bands)  # signature pipeline runs ONCE
-    cap = docs.agg(
-        F.greatest(
-            (F.count("*") / 10).cast("bigint"), F.lit(100).cast("bigint")
-        ).alias("cap")
-    )
-    ok = (
+    # The HOT set is tiny by construction (≤ 4n / cap ≈ 40 buckets), so
+    # it broadcasts as a left-anti side — same pattern as the n-gram DF
+    # cap below; a semi-join against the near-complete OK list would
+    # shuffle the full band frame instead. The boundary is pure integer
+    # math (div / greatest on counts) so Spark and DuckDB agree
+    # bit-for-bit at the cap edge.
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    hot = (
         bands.groupBy("band_id", "k1", "k2")
         .agg(F.count("*").alias("bsz"))
-        .join(F.broadcast(cap))
-        .filter(F.col("bsz") <= F.col("cap"))
+        .join(F.broadcast(n_docs))
+        .filter(
+            F.col("bsz")
+            > F.greatest(F.expr("n_docs div 10"), F.lit(100).cast("bigint"))
+        )
         .select("band_id", "k1", "k2")
     )
-    bands = _materialize(bands.join(ok, ["band_id", "k1", "k2"], "left_semi"))
+    bands = _materialize(
+        bands.join(F.broadcast(hot), ["band_id", "k1", "k2"], "left_anti")
+    )
     n_match = F.aggregate(
         F.zip_with(
             F.col("sig_a"),

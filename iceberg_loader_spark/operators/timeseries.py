@@ -1714,28 +1714,59 @@ def quantile_bins_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bucket, completing the drift-stat trio (KS for numeric distributions,
 # Benford for digit laws, chi² for categorical mix). The statistic is
 # computed entirely in integer fixed point so both engines agree
-# bit-for-bit:
+# bit-for-bit, with DIVISION-BEFORE-SQUARING so nothing data-sized is
+# ever squared:
 #
-#   exp_micro = row_total * col_total * 10^6 div n        (expected ×1e6)
-#   adev_k    = |obs·10^6 − exp_micro| div 10^3           (|dev| ×1e3)
-#   contrib   = adev_k² div (exp_micro div 10^3)          (cell χ² ×1e3)
+#   q_ppm     = col_tot · 10⁶ div n                 (column share, ppm)
+#   exp_milli = max(row_tot · q_ppm div 10³, 1)     (expected ×10³;
+#               the max(·,1) clamp keeps a sparse cell's division
+#               defined — without it exp floors to 0, the cell's chi
+#               becomes NULL and SUM silently DROPS the strongest drift
+#               evidence; clamping inflates such a cell's contribution
+#               instead, which errs toward raising the alarm)
+#   adev_milli= |obs·10³ − exp_milli|
+#   ratio_k   = adev_milli · 10³ div exp_milli      (dev/exp ×10³)
+#   chi_m     = ratio_k · adev_milli div 10³        (cell χ² ×10³)
 #
 # abs() BEFORE any division — DuckDB's // floors while Spark's div
 # truncates toward zero, so signed intermediate divisions would diverge;
-# on non-negative operands they are identical. chi2_milli is the summed
-# statistic ×1000; the alarm compares against the p=0.001 critical value
-# for (5−1)(6−1)=20 dof (45.315 → 45315 milli).
+# on non-negative operands they are identical. The alarm threshold is
+# the p=0.001 critical value FOR THE REALIZED dof (a 20-entry integer
+# table, dof=(r−1)(c−1)≤20 here) — a partial slice with fewer realized
+# categories gets its own, smaller critical value instead of silently
+# reusing dof=20's.
+#
+# Fixed-point headroom (exact-integer, no wraparound): col_tot·10⁶
+# needs n ≤ 9·10¹²; ratio_k·adev_milli — the binding term — stays in
+# BIGINT for per-slice n up to ~10⁹ rows even under total drift
+# (chi ≤ n·(k−1) ⇒ product ≤ chi·10⁶). Beyond 10⁹-row slices, drop the
+# milli scale to unit scale; the statistic's precision need shrinks as
+# n grows.
 #
 # Scale: one partial-aggregated count per cell (30 cells), marginals are
 # two tiny aggregates broadcast back onto the cell frame — the corpus is
-# scanned once; everything after is constant-size. Fixed-point headroom:
-# obs·10^6 needs n ≲ 9·10^12 rows per tested slice before BIGINT
-# overflow; beyond that, drop the micro scale to kilo (the statistic's
-# precision requirement shrinks as n grows).
+# scanned once; everything after is constant-size.
 # --------------------------------------------------------------------------
+
+# χ² critical values at p = 0.001 for dof 1..20, ×1000 (Abramowitz &
+# Stegun table 26.8 values, the standard published table)
+_CHI2_CRIT_MILLI = {
+    1: 10828, 2: 13816, 3: 16266, 4: 18467, 5: 20515,
+    6: 22458, 7: 24322, 8: 26124, 9: 27877, 10: 29588,
+    11: 31264, 12: 32909, 13: 34528, 14: 36123, 15: 37697,
+    16: 39252, 17: 40790, 18: 42312, 19: 43820, 20: 45315,
+}
+
+_CRIT_CASE_SQL = (
+    "CASE dof "
+    + " ".join(f"WHEN {d} THEN {m}" for d, m in _CHI2_CRIT_MILLI.items())
+    + " END"
+)
+
+
 @_register(
     "chi2_type_hour_drift",
-    """
+    f"""
     WITH cells AS (
       SELECT event_type, hour(ts) // 4 AS hb, COUNT(*) AS obs
       FROM events GROUP BY 1, 2
@@ -1744,29 +1775,34 @@ def quantile_bins_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols_ AS (SELECT hb, SUM(obs) AS col_tot FROM cells GROUP BY 1),
     tot AS (SELECT SUM(obs) AS n FROM cells),
     devs AS (
-      SELECT c.event_type, c.hb,
-             abs(c.obs * 1000000
-                 - (r.row_tot * co.col_tot * 1000000) // t.n) // 1000
-               AS adev_k,
-             ((r.row_tot * co.col_tot * 1000000) // t.n) // 1000 AS exp_k
+      SELECT c.event_type, c.hb, c.obs,
+             greatest((r.row_tot * ((co.col_tot * 1000000) // t.n)) // 1000,
+                      1) AS exp_milli
       FROM cells c
       JOIN rows_ r USING (event_type)
       JOIN cols_ co USING (hb)
       CROSS JOIN tot t
     ),
-    -- adev_k * adev_k, NOT ** (DuckDB's power operator returns DOUBLE)
     contrib AS (
-      SELECT event_type, hb, (adev_k * adev_k) // exp_k AS chi_m FROM devs
+      SELECT event_type, hb,
+             ((abs(obs * 1000 - exp_milli) * 1000) // exp_milli)
+               * abs(obs * 1000 - exp_milli) // 1000 AS chi_m
+      FROM devs
+    ),
+    stats AS (
+      SELECT CAST(t.n AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT c.event_type) AS BIGINT) AS n_types,
+             CAST(COUNT(DISTINCT c.hb) AS BIGINT) AS n_buckets,
+             CAST((COUNT(DISTINCT c.event_type) - 1)
+                  * (COUNT(DISTINCT c.hb) - 1) AS BIGINT) AS dof,
+             CAST(SUM(c.chi_m) AS BIGINT) AS chi2_milli
+      FROM contrib c CROSS JOIN tot t
+      GROUP BY t.n
     )
-    SELECT CAST(t.n AS BIGINT) AS n,
-           CAST(COUNT(DISTINCT c.event_type) AS BIGINT) AS n_types,
-           CAST(COUNT(DISTINCT c.hb) AS BIGINT) AS n_buckets,
-           CAST((COUNT(DISTINCT c.event_type) - 1)
-                * (COUNT(DISTINCT c.hb) - 1) AS BIGINT) AS dof,
-           CAST(SUM(c.chi_m) AS BIGINT) AS chi2_milli,
-           SUM(c.chi_m) > 45315 AS drift_alarm
-    FROM contrib c CROSS JOIN tot t
-    GROUP BY t.n
+    SELECT n, n_types, n_buckets, dof, chi2_milli,
+           CAST({_CRIT_CASE_SQL} AS BIGINT) AS crit_milli,
+           chi2_milli > {_CRIT_CASE_SQL} AS drift_alarm
+    FROM stats
     """,
 )
 def chi2_type_hour_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1778,33 +1814,51 @@ def chi2_type_hour_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows_ = cells.groupBy("event_type").agg(F.sum("obs").alias("row_tot"))
     cols_ = cells.groupBy("hb").agg(F.sum("obs").alias("col_tot"))
     tot = cells.agg(F.sum("obs").alias("n"))
-    exp_micro = F.expr("(row_tot * col_tot * 1000000) div n")
-    chi_m = F.expr(
-        "(abs(obs * 1000000 - (row_tot * col_tot * 1000000) div n) div 1000)"
-        " * (abs(obs * 1000000 - (row_tot * col_tot * 1000000) div n) div 1000)"
-        " div (((row_tot * col_tot * 1000000) div n) div 1000)"
-    )
-    contrib = (
+    devs = (
         cells.join(F.broadcast(rows_), "event_type")
         .join(F.broadcast(cols_), "hb")
         .join(F.broadcast(tot))
-        .select("event_type", "hb", "n", chi_m.alias("chi_m"))
-    )
-    return contrib.groupBy("n").agg(
-        F.countDistinct("event_type").cast("bigint").alias("n_types"),
-        F.countDistinct("hb").cast("bigint").alias("n_buckets"),
-        (
-            (F.countDistinct("event_type") - 1) * (F.countDistinct("hb") - 1)
+        .select(
+            "event_type",
+            "hb",
+            "obs",
+            "n",
+            F.expr(
+                "greatest((row_tot * ((col_tot * 1000000) div n)) div 1000,"
+                " 1)"
+            ).alias("exp_milli"),
         )
-        .cast("bigint")
-        .alias("dof"),
-        F.sum("chi_m").cast("bigint").alias("chi2_milli"),
-        (F.sum("chi_m") > 45315).alias("drift_alarm"),
-    ).select(
-        F.col("n").cast("bigint").alias("n"),
-        "n_types",
-        "n_buckets",
-        "dof",
-        "chi2_milli",
-        "drift_alarm",
+    )
+    contrib = devs.select(
+        "event_type",
+        "hb",
+        "n",
+        F.expr(
+            "((abs(obs * 1000 - exp_milli) * 1000) div exp_milli)"
+            " * abs(obs * 1000 - exp_milli) div 1000"
+        ).alias("chi_m"),
+    )
+    crit = F.expr(_CRIT_CASE_SQL)
+    return (
+        contrib.groupBy("n")
+        .agg(
+            F.countDistinct("event_type").cast("bigint").alias("n_types"),
+            F.countDistinct("hb").cast("bigint").alias("n_buckets"),
+            (
+                (F.countDistinct("event_type") - 1)
+                * (F.countDistinct("hb") - 1)
+            )
+            .cast("bigint")
+            .alias("dof"),
+            F.sum("chi_m").cast("bigint").alias("chi2_milli"),
+        )
+        .select(
+            F.col("n").cast("bigint").alias("n"),
+            "n_types",
+            "n_buckets",
+            "dof",
+            "chi2_milli",
+            crit.cast("bigint").alias("crit_milli"),
+            (F.col("chi2_milli") > crit).alias("drift_alarm"),
+        )
     )
