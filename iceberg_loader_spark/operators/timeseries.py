@@ -1862,3 +1862,113 @@ def chi2_type_hour_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("chi2_milli") > crit).alias("drift_alarm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Mann-Whitney U / AUC drift test (view vs purchase values) — the
+# nonparametric location-shift companion to the KS test above: U is a
+# pure RANK SUM, so with doubled midranks everything stays an exact
+# integer (a tie group spanning ranks [b+1, b+t] has doubled midrank
+# 2b + t + 1). U1/(n1·n2) is the common-language effect size — the
+# probability a random view value exceeds a random purchase value
+# (AUC); 5000 bps = no shift. The alarm flags |AUC − 0.5| > 2.5 points.
+#
+# Scale: same binned two-level prefix scan as ks_value_drift — the
+# strictly-before totals come from bin offsets (triangular join on the
+# O(1) bin frame) + a WITHIN-BIN running sum, never an unpartitioned
+# window. Fixed-point headroom: u1_doubled·10⁴ needs n1·n2 ≲ 4·10¹⁴
+# (~2·10⁷ rows per side); beyond that compute auc in ppm of a sampled
+# slice or drop to unit scale.
+# --------------------------------------------------------------------------
+@_register(
+    "mannwhitney_value_drift",
+    f"""
+    WITH vals AS (
+      SELECT {_CENTS} AS cents,
+             COUNT(*) FILTER (WHERE event_type = 'view') AS c1,
+             COUNT(*) FILTER (WHERE event_type = 'purchase') AS c2
+      FROM events
+      WHERE event_type IN ('view', 'purchase')
+      GROUP BY 1
+    ),
+    cum AS (
+      SELECT cents, c1, c2,
+             SUM(c1 + c2) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+               AS cumt
+      FROM vals
+    ),
+    tot AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM vals),
+    rsum AS (
+      SELECT SUM(c1 * (2 * (cumt - c1 - c2) + (c1 + c2) + 1)) AS r1d
+      FROM cum
+    )
+    SELECT CAST(t.n1 AS BIGINT) AS n1,
+           CAST(t.n2 AS BIGINT) AS n2,
+           CAST(r.r1d - t.n1 * (t.n1 + 1) AS BIGINT) AS u1_doubled,
+           CAST(2 * t.n1 * t.n2 - (r.r1d - t.n1 * (t.n1 + 1)) AS BIGINT)
+             AS u2_doubled,
+           CAST((r.r1d - t.n1 * (t.n1 + 1)) * 10000 // (2 * t.n1 * t.n2)
+                AS BIGINT) AS auc_bps,
+           abs((r.r1d - t.n1 * (t.n1 + 1)) * 10000 // (2 * t.n1 * t.n2)
+               - 5000) > 250 AS drift_alarm
+    FROM rsum r CROSS JOIN tot t
+    """,
+)
+def mannwhitney_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_loader_spark.operators.dedup import _materialize
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    vals = _materialize(
+        ev.groupBy(cents.alias("cents"))
+        .agg(
+            F.count_if(F.col("event_type") == "view").alias("c1"),
+            F.count_if(F.col("event_type") == "purchase").alias("c2"),
+        )
+        .withColumn("bin", F.expr("cents div 5000"))
+    )
+    bins = vals.groupBy("bin").agg(F.sum(F.col("c1") + F.col("c2")).alias("st"))
+    b2 = bins.select(F.col("bin").alias("pbin"), F.col("st").alias("pt"))
+    offs = (
+        bins.join(F.broadcast(b2), F.col("pbin") < F.col("bin"), "left")
+        .groupBy("bin")
+        .agg(F.coalesce(F.sum("pt"), F.lit(0)).alias("offt"))
+    )
+    w = (
+        W.partitionBy("bin")
+        .orderBy("cents")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = vals.join(F.broadcast(offs), "bin").select(
+        "cents",
+        "c1",
+        "c2",
+        (F.col("offt") + F.sum(F.col("c1") + F.col("c2")).over(w)).alias(
+            "cumt"
+        ),
+    )
+    rsum = cum.agg(
+        F.sum(
+            F.col("c1")
+            * (
+                2 * (F.col("cumt") - F.col("c1") - F.col("c2"))
+                + (F.col("c1") + F.col("c2"))
+                + 1
+            )
+        ).alias("r1d")
+    )
+    tot = vals.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    u1d = F.expr("r1d - n1 * (n1 + 1)")
+    auc = F.expr("(r1d - n1 * (n1 + 1)) * 10000 div (2 * n1 * n2)")
+    return rsum.join(F.broadcast(tot)).select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        u1d.cast("bigint").alias("u1_doubled"),
+        F.expr("2 * n1 * n2 - (r1d - n1 * (n1 + 1))")
+        .cast("bigint")
+        .alias("u2_doubled"),
+        auc.cast("bigint").alias("auc_bps"),
+        (F.abs(auc - 5000) > 250).alias("drift_alarm"),
+    )
