@@ -3,10 +3,14 @@
 Images/audio/video are carried as opaque ``binary`` payload columns with a
 typed metadata struct — the Iceberg/parquet-native layout for multimodal
 training data (payload stays a byte blob; metadata is queryable columns).
-The container has no image/audio codecs, so the *decode* step is stubbed
-(``decode_media`` raises ``NotImplementedError``; ``fake_decode`` is the
-deterministic stand-in) while everything Spark-side is real: schema,
-partitioning, Arrow-batched ``mapInPandas`` plumbing, batch shapes.
+``decode_media`` is a real pure-Python codec for two containers — WAV
+(RIFF chunk walk + PCM16 sample stats) and PPM P6 (header tokenizer +
+RGB raster stats); other mimes raise ``NotImplementedError`` (codec
+registry contract — a PNG/JPEG decode would slot into the same
+``mapInPandas`` batch loop). ``fake_decode`` remains the byte-level
+deterministic stand-in used by the feature-plumbing queries. Everything
+Spark-side is real: schema, partitioning, Arrow-batched ``mapInPandas``
+plumbing, batch shapes.
 
 Payloads here are derived from ``documents.text`` (UTF-8 bytes) so every
 byte-level derivation has an exact SQL oracle via the ASCII corpus.
@@ -461,4 +465,213 @@ def multimodal_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         mm.select("doc_id", "payload")
         .mapInPandas(_window_energy, schema=_ENERGY_SCHEMA)
         .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Real pure-Python codecs (round-5: replaces the decode_media stub).
+#
+# Two genuinely-parsed containers: WAV (RIFF chunk walk + PCM16 sample
+# stats) and PPM (P6 header tokenizer + RGB raster stats). Containers are
+# synthesized deterministically FROM document bytes, so every decoded
+# scalar has an exact DuckDB arithmetic oracle over the ASCII corpus:
+# wav sample[i] = (byte[i] - 128) * 256, ppm raster = bytes zero-padded
+# to a 16-wide RGB grid.
+# --------------------------------------------------------------------------
+_WAV_RATE = 8000
+_PPM_W = 16
+
+
+def _encode_wav(data: bytes) -> bytes:
+    """Build a real PCM16 mono RIFF/WAVE container from raw bytes."""
+    import struct
+
+    samples = ((np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128) * 256
+               ).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, _WAV_RATE, _WAV_RATE * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(samples)) + samples
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _encode_ppm(data: bytes) -> bytes:
+    """Build a real binary PPM (P6) container: 16-wide RGB grid, raster =
+    the input bytes zero-padded to width*height*3."""
+    h = max(1, -(-len(data) // (_PPM_W * 3)))
+    raster = data + b"\x00" * (_PPM_W * h * 3 - len(data))
+    return b"P6\n%d %d\n255\n" % (_PPM_W, h) + raster
+
+
+def _ppm_tokens(buf: bytes, start: int, count: int) -> tuple[list[int], int]:
+    """Read ``count`` whitespace-separated ASCII integers from a PPM
+    header, honoring ``#`` comment lines; returns (values, next_offset)."""
+    vals: list[int] = []
+    i = start
+    while len(vals) < count:
+        while i < len(buf) and buf[i : i + 1].isspace():
+            i += 1
+        if i < len(buf) and buf[i] == ord("#"):
+            while i < len(buf) and buf[i] != ord("\n"):
+                i += 1
+            continue
+        j = i
+        while j < len(buf) and buf[j : j + 1].isdigit():
+            j += 1
+        if j == i:
+            raise ValueError("malformed PPM header")
+        vals.append(int(buf[i:j]))
+        i = j
+    return vals, i
+
+
+def decode_media(payload: bytes, mime: str) -> dict:
+    """Decode a media container into typed scalar features.
+
+    Real pure-Python codecs (no external decode deps needed in this
+    container): ``audio/wav`` walks RIFF chunks, validates the fmt chunk,
+    and reduces the PCM16 samples; ``image/x-portable-pixmap`` parses the
+    P6 header (whitespace + ``#``-comment tolerant) and reduces the RGB
+    raster. Unsupported mimes raise ``NotImplementedError`` (codec
+    registry contract); malformed payloads raise ``ValueError``.
+    """
+    import struct
+
+    buf = bytes(payload)
+    if mime == "audio/wav":
+        if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE container")
+        pos, fmt_info, data = 12, None, None
+        while pos + 8 <= len(buf):
+            cid = buf[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", buf, pos + 4)
+            chunk = buf[pos + 8 : pos + 8 + size]
+            if len(chunk) < size:
+                raise ValueError(f"truncated {cid!r} chunk: {len(chunk)} < {size}")
+            if cid == b"fmt ":
+                if size < 16:
+                    raise ValueError("fmt chunk too small")
+                fmt_info = struct.unpack_from("<HHIIHH", chunk)
+            elif cid == b"data":
+                data = chunk
+            pos += 8 + size + (size & 1)  # RIFF chunks are 2-byte aligned
+        if fmt_info is None or data is None:
+            raise ValueError("missing fmt/data chunk")
+        audio_fmt, channels, rate, _, _, bits = fmt_info
+        if audio_fmt != 1 or bits != 16:
+            raise ValueError(f"unsupported WAV encoding fmt={audio_fmt} bits={bits}")
+        s = np.frombuffer(data, dtype="<i2").astype(np.int64)
+        return {
+            "format": "wav",
+            "channels": int(channels),
+            "sample_rate": int(rate),
+            "bits": int(bits),
+            "n_samples": int(s.size) // int(channels),
+            "peak_abs": int(np.abs(s).max()) if s.size else 0,
+            "dc_sum": int(s.sum()),
+            "energy": int((s * s).sum()),
+        }
+    if mime == "image/x-portable-pixmap":
+        if buf[:2] != b"P6":
+            raise ValueError("not a P6 PPM")
+        (w, h, maxval), off = _ppm_tokens(buf, 2, 3)
+        off += 1  # exactly one whitespace byte after maxval per spec
+        raster = np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=off
+                               ).astype(np.int64)
+        return {
+            "format": "ppm",
+            "width": int(w),
+            "height": int(h),
+            "maxval": int(maxval),
+            "n_pixels": int(w * h),
+            "peak": int(raster.max()) if raster.size else 0,
+            "pixel_sum": int(raster.sum()),
+            "energy": int((raster * raster).sum()),
+        }
+    raise NotImplementedError(f"no codec available for {mime!r}")
+
+
+_DECODE_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("n_units", LongType()),
+        StructField("meta_a", IntegerType()),
+        StructField("meta_b", IntegerType()),
+        StructField("peak", LongType()),
+        StructField("signal_sum", LongType()),
+        StructField("energy", LongType()),
+    ]
+)
+
+
+def _decode_stats_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Encode each payload into a real WAV and a real PPM container, then
+    round-trip through :func:`decode_media`. Per-container Python is the
+    codec contract (real codecs decode one container at a time); the
+    sample math inside each decode is numpy-vectorized, and the batch
+    flow is Arrow end-to-end."""
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"].tolist(), pdf["payload"].tolist()):
+            w = decode_media(_encode_wav(payload), "audio/wav")
+            rows.append((doc_id, "audio/wav", w["n_samples"], w["sample_rate"],
+                         w["bits"], w["peak_abs"], w["dc_sum"], w["energy"]))
+            p = decode_media(_encode_ppm(payload), "image/x-portable-pixmap")
+            rows.append((doc_id, "image/x-portable-pixmap", p["n_pixels"],
+                         p["width"], p["height"], p["peak"], p["pixel_sum"],
+                         p["energy"]))
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "mime", "n_units", "meta_a", "meta_b", "peak",
+                     "signal_sum", "energy"],
+        )
+
+
+# --------------------------------------------------------------------------
+# B28 — real container decode: synthesize WAV + PPM from document bytes,
+# parse them back with the pure-Python codecs, emit decoded scalars. The
+# oracle replays the decoded arithmetic directly over the ASCII corpus
+# (wav sample = (byte-128)*256; ppm raster = bytes zero-padded to 16×H×3).
+# Scale: map-only over the payload column — no shuffle; the sort is the
+# gate's determinism requirement, not part of the operator.
+# --------------------------------------------------------------------------
+@_register(
+    "multimodal_decode_stats",
+    f"""
+    WITH d AS (
+      SELECT doc_id, octet_length(encode(text)) AS n,
+             list_transform(range(1, octet_length(encode(text)) + 1),
+                            i -> ascii(substring(text, i, 1))) AS bytes
+      FROM documents
+    )
+    SELECT doc_id, 'audio/wav' AS mime,
+           CAST(n AS BIGINT) AS n_units,
+           {_WAV_RATE} AS meta_a, 16 AS meta_b,
+           CAST(256 * COALESCE(list_max(list_transform(bytes,
+                b -> abs(b - 128))), 0) AS BIGINT) AS peak,
+           CAST(256 * (CAST(list_sum(bytes) AS BIGINT) - 128 * n)
+                AS BIGINT) AS signal_sum,
+           CAST(65536 * CAST(list_sum(list_transform(bytes,
+                b -> (b - 128) * (b - 128))) AS BIGINT) AS BIGINT) AS energy
+    FROM d
+    UNION ALL
+    SELECT doc_id, 'image/x-portable-pixmap' AS mime,
+           CAST({_PPM_W} * greatest(1, (n + {_PPM_W * 3 - 1}) // {_PPM_W * 3})
+                AS BIGINT) AS n_units,
+           {_PPM_W} AS meta_a,
+           CAST(greatest(1, (n + {_PPM_W * 3 - 1}) // {_PPM_W * 3})
+                AS INTEGER) AS meta_b,
+           CAST(COALESCE(list_max(bytes), 0) AS BIGINT) AS peak,
+           CAST(list_sum(bytes) AS BIGINT) AS signal_sum,
+           CAST(list_sum(list_transform(bytes, b -> b * b)) AS BIGINT) AS energy
+    FROM d
+    ORDER BY doc_id, mime
+    """,
+)
+def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mm = with_payload(load_table(spark, sf_dir, "documents"))
+    return (
+        mm.select("doc_id", "payload")
+        .mapInPandas(_decode_stats_batch, schema=_DECODE_STATS_SCHEMA)
+        .orderBy("doc_id", "mime")
     )

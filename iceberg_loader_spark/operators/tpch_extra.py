@@ -137,8 +137,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN customer ON c_custkey = o_custkey
       JOIN nation n1 ON n1.n_nationkey = s_nationkey
       JOIN nation n2 ON n2.n_nationkey = c_nationkey
-      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      WHERE ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+          OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
     )
     GROUP BY supp_nation, cust_nation, l_year
     ORDER BY supp_nation, cust_nation, l_year
@@ -164,12 +164,12 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), F.col("c_nkey") == F.col("c_nationkey"))
         .filter(
             (
-                (F.col("supp_nation") == "NATION_1")
-                & (F.col("cust_nation") == "NATION_2")
+                (F.col("supp_nation") == "NATION_18")
+                & (F.col("cust_nation") == "NATION_19")
             )
             | (
-                (F.col("supp_nation") == "NATION_2")
-                & (F.col("cust_nation") == "NATION_1")
+                (F.col("supp_nation") == "NATION_19")
+                & (F.col("cust_nation") == "NATION_18")
             )
         )
     )
@@ -283,7 +283,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN part ON p_partkey = l_partkey
       JOIN orders ON o_orderkey = l_orderkey
       JOIN nation ON n_nationkey = s_nationkey
-      WHERE p_name LIKE '%5%'
+      WHERE p_name LIKE '%ring%'
     )
     GROUP BY nation, o_year
     ORDER BY nation, o_year DESC
@@ -292,7 +292,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q9_product_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     sup = load_table(spark, sf_dir, "supplier")
-    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%5%"))
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%ring%"))
     orders = load_table(spark, sf_dir, "orders")
     nation = load_table(spark, sf_dir, "nation")
     amount = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
@@ -694,8 +694,12 @@ def q19_branded_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Q22 shape — rich-but-idle customers: account balance above the positive
-# average, no orders on file (anti-join); "country code" re-expressed as
-# nationkey bucket since the schema has no phone column.
+# average, no RECENT orders (anti-join against orders since 1999-01-01 —
+# the driver testdata has no order-less customers at small SF, so "idle"
+# is re-expressed as "inactive in the trailing window", which keeps the
+# scalar-subquery + anti-join plan shape AND returns a real, value-tested
+# result at every scale); "country code" re-expressed as nationkey bucket
+# since the schema has no phone column.
 # --------------------------------------------------------------------------
 @_register(
     "q22_idle_rich_customers",
@@ -710,25 +714,25 @@ def q19_branded_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
     FROM customer, avg_bal
     WHERE c_acctbal > positive_avg
-      AND c_nationkey % 5 IN (0, 1, 2)
-      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
     GROUP BY c_nationkey % 5
     ORDER BY cntry_bucket
     """,
 )
 def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    # pushed date filter: the anti-join build side is only the recent slice
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp")
+    )
     avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
         (F.sum(_dec("c_acctbal")).cast("double") / F.count("*")).alias("positive_avg")
     )
     bucket = (F.col("c_nationkey") % 5).alias("cntry_bucket")
     return (
         cust.join(F.broadcast(avg_bal))
-        .filter(
-            (F.col("c_acctbal") > F.col("positive_avg"))
-            & ((F.col("c_nationkey") % 5).isin(0, 1, 2))
-        )
+        .filter(F.col("c_acctbal") > F.col("positive_avg"))
         .join(orders, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
         .groupBy(bucket)
         .agg(
@@ -903,7 +907,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n_name, l_partkey, CAST(value_dec AS DOUBLE) AS part_value
     FROM pos
     WHERE CAST(value_dec AS DOUBLE)
-          > 0.001 * (SELECT CAST(SUM(value_dec) AS DOUBLE) FROM pos)
+          > 3.0 * (SELECT CAST(SUM(value_dec) AS DOUBLE) / COUNT(*) FROM pos)
     ORDER BY part_value DESC, n_name, l_partkey
     """,
 )
@@ -921,10 +925,15 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name", "l_partkey")
         .agg(F.sum(_dec("l_extendedprice")).alias("value_dec"))
     )
-    total = pos.agg(F.sum("value_dec").cast("double").alias("t"))
+    # threshold = 3× the mean position value: scale-invariant (a fixed
+    # global-share cutoff like TPC-H's 0.0001/SF goes vacuous as row count
+    # grows), same scalar-subquery + broadcast-threshold plan shape
+    total = pos.agg(
+        (F.sum("value_dec").cast("double") / F.count("*")).alias("mean_v")
+    )
     return (
         pos.join(F.broadcast(total))
-        .filter(F.col("value_dec").cast("double") > 0.001 * F.col("t"))
+        .filter(F.col("value_dec").cast("double") > 3.0 * F.col("mean_v"))
         .select(
             "n_name",
             "l_partkey",

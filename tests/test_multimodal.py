@@ -29,9 +29,70 @@ def test_frame_sample_shape(spark):
     assert first[0].byte_offset == 0
 
 
-def test_decode_media_is_stubbed():
+def test_decode_media_unsupported_mime():
     with pytest.raises(NotImplementedError):
         mm.decode_media(b"\x89PNG", "image/png")
+
+
+def test_decode_media_wav_roundtrip():
+    data = bytes(range(200, 256)) + b"\x00\x80hello"
+    wav = mm._encode_wav(data)
+    got = mm.decode_media(wav, "audio/wav")
+    samples = [(b - 128) * 256 for b in data]
+    assert got["format"] == "wav"
+    assert got["sample_rate"] == mm._WAV_RATE
+    assert got["channels"] == 1 and got["bits"] == 16
+    assert got["n_samples"] == len(data)
+    assert got["peak_abs"] == max(abs(s) for s in samples)
+    assert got["dc_sum"] == sum(samples)
+    assert got["energy"] == sum(s * s for s in samples)
+
+
+def test_decode_media_wav_walks_unknown_chunks():
+    """A real RIFF parser must skip chunks it doesn't know (and honor the
+    2-byte alignment rule), not assume fmt/data adjacency."""
+    import struct
+
+    wav = bytearray(mm._encode_wav(b"abc"))
+    # splice an unknown odd-sized chunk between WAVE and fmt
+    extra = b"LIST" + struct.pack("<I", 3) + b"xyz" + b"\x00"  # pad byte
+    out = bytes(wav[:12]) + extra + bytes(wav[12:])
+    out = out[:4] + struct.pack("<I", len(out) - 8) + out[8:]
+    got = mm.decode_media(out, "audio/wav")
+    assert got["n_samples"] == 3
+
+
+def test_decode_media_wav_malformed():
+    with pytest.raises(ValueError):
+        mm.decode_media(b"RIFFxxxxNOPE", "audio/wav")
+    with pytest.raises(ValueError):
+        mm.decode_media(mm._encode_wav(b"abc")[:20], "audio/wav")
+
+
+def test_decode_media_ppm_roundtrip():
+    data = b"The quick brown fox jumps over the lazy dog" * 3
+    ppm = mm._encode_ppm(data)
+    got = mm.decode_media(ppm, "image/x-portable-pixmap")
+    h = max(1, -(-len(data) // (mm._PPM_W * 3)))
+    assert got["format"] == "ppm"
+    assert (got["width"], got["height"], got["maxval"]) == (mm._PPM_W, h, 255)
+    assert got["n_pixels"] == mm._PPM_W * h
+    assert got["peak"] == max(data)
+    assert got["pixel_sum"] == sum(data)
+    assert got["energy"] == sum(b * b for b in data)
+
+
+def test_decode_media_ppm_comment_tolerant_header():
+    raster = bytes(range(48))
+    ppm = b"P6\n# a comment line\n16 1\n# another\n255\n" + raster
+    got = mm.decode_media(ppm, "image/x-portable-pixmap")
+    assert (got["width"], got["height"]) == (16, 1)
+    assert got["pixel_sum"] == sum(raster)
+
+
+def test_decode_media_ppm_malformed():
+    with pytest.raises(ValueError):
+        mm.decode_media(b"P5\n16 1\n255\n" + b"\x00" * 48, "image/x-portable-pixmap")
 
 
 def test_fake_decode_deterministic():

@@ -63,6 +63,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+# Queries whose EMPTY result is itself the assertion (e.g. "no rows violate
+# invariant X"). Everything else must return ≥1 row at sf0.01 or the oracle
+# hash match is vacuous — it proves nothing about values (round-4 verdict:
+# q9/q22/q11 passed for months on 0-row results).
+ALLOWED_EMPTY: set[str] = set()
+
+
 def compare(sdf: pd.DataFrame, odf: pd.DataFrame) -> None:
     """Driver-strict comparison; raises AssertionError on first diff.
 
@@ -111,6 +118,12 @@ def main() -> int:
                 continue
             odf = con.sql(oracles[name]).df()
             compare(sdf, odf)
+            if len(sdf) == 0 and name not in ALLOWED_EMPTY:
+                raise AssertionError(
+                    "vacuous pass: 0 rows from both engines proves nothing "
+                    "about values (add to ALLOWED_EMPTY only if the empty "
+                    "result IS the assertion)"
+                )
             n_pass += 1
             print(f"  ✓ {name}: rows={len(sdf)} [{time.time()-t0:.1f}s]")
         except Exception as e:  # noqa: BLE001
