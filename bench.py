@@ -22,6 +22,23 @@ from iceberg_loader_spark.operators import all_queries
 from iceberg_loader_spark.sources.tables import load_table
 
 
+def _cpu_stat() -> dict[str, int] | None:
+    """Aggregate jiffies from /proc/stat's first line (Linux only).
+
+    Used to stamp each bench run with a host-steal marker: on shared
+    hypervisors, steal time moves wall-clock totals ±30% with identical
+    code, so the recorded steal/busy percentages let a reader separate
+    host noise from real regressions without re-running."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        names = ["user", "nice", "system", "idle", "iowait", "irq",
+                 "softirq", "steal", "guest", "guest_nice"]
+        return dict(zip(names, map(int, parts[1:])))
+    except (OSError, ValueError):
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -46,6 +63,8 @@ def main() -> None:
 
     import gc
 
+    stat0 = _cpu_stat()
+    wall0 = time.perf_counter()
     timings: dict[str, float] = {}
     for name, fn in qs.items():
         t0 = time.perf_counter()
@@ -62,6 +81,17 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    host = {"wall_seconds": round(time.perf_counter() - wall0, 3)}
+    stat1 = _cpu_stat()
+    if stat0 and stat1:
+        delta = {k: stat1[k] - stat0[k] for k in stat0}
+        jiffies = sum(delta.values())
+        if jiffies > 0:
+            host["steal_pct"] = round(100.0 * delta["steal"] / jiffies, 2)
+            host["busy_pct"] = round(
+                100.0 * (jiffies - delta["idle"] - delta["iowait"]) / jiffies, 2
+            )
+            host["steal_jiffies"] = delta["steal"]
     # Full per-query map goes to a sidecar file; stdout gets ONE compact
     # line as the LAST line (the driver captures only a ~2 KB output
     # tail, so the full 60+-query map must not ride on stdout).
@@ -71,6 +101,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "host": host,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
@@ -89,6 +120,7 @@ def main() -> None:
                 "sf": sf_val,
                 "n_queries": len(timings),
                 "queries": slowest,
+                "host": host,
                 "detail": "BENCH_DETAIL.json",
             }
         )

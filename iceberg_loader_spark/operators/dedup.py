@@ -59,8 +59,21 @@ def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# B9 — exact dedup keyed on a column subset, deterministic keeper via
-# row_number (the dropDuplicates(subset) semantics with a pinned winner).
+# B9 — exact dedup keyed on a column subset, deterministic keeper (the
+# dropDuplicates(subset) semantics with a pinned winner).
+#
+# Skew-safe spelling: keeper = min(struct(ts, event_id)) under a
+# two-phase hash aggregate, NOT row_number over a (user_id, event_type)
+# window. The window spelling moves EVERY row of a hot key to one task
+# before ranking (a 100 TB corpus with a bot user puts that user's whole
+# history on one executor); the aggregate gets map-side partial_min, so a
+# hot user's rows collapse to one struct per input partition before the
+# shuffle — the same reason salted pre-aggregation works, without
+# needing the salt. The struct's comparison order (ts, then event_id) IS
+# the keeper ordering, and any "keep the whole first row" variant just
+# widens the struct payload behind the same 2-column sort prefix.
+# Plan-asserted in tests/test_plans.py (partial+final HashAggregate, no
+# Window over the fact table).
 # --------------------------------------------------------------------------
 @_register(
     "dedup_events_by_user_type",
@@ -76,11 +89,10 @@ def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_events_by_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("event_id", "user_id", "event_type")
+        ev.groupBy("user_id", "event_type")
+        .agg(F.min(F.struct("ts", "event_id")).alias("w"))
+        .select(F.col("w.event_id").alias("event_id"), "user_id", "event_type")
         .orderBy("user_id", "event_type")
     )
 

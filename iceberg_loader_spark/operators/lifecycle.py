@@ -1376,11 +1376,19 @@ def lifecycle_stream_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "lifecycle_stream_fanout_counts",
     """
-    SELECT CASE WHEN n_chars < 300 THEN 'short' ELSE 'long' END AS route,
-           COUNT(*) AS n_docs,
-           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
-    FROM documents
-    GROUP BY route
+    WITH routes AS (SELECT 'short' AS route UNION ALL SELECT 'long'),
+    agg AS (
+      SELECT CASE WHEN n_chars < 300 THEN 'short' ELSE 'long' END AS route,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM documents
+      GROUP BY route
+    )
+    -- both route rows emitted unconditionally (0 docs / NULL sum for an
+    -- empty route) to mirror the engine, which always scans both sink
+    -- tables — a bare GROUP BY would drop the empty route's row
+    SELECT r.route, COALESCE(a.n_docs, 0) AS n_docs, a.sum_chars
+    FROM routes r LEFT JOIN agg a USING (route)
     ORDER BY route
     """,
 )
@@ -1423,9 +1431,10 @@ def lifecycle_stream_fanout_counts(
         ]
     )
     fanout(docs, last)
-    assert short_sink.skipped_batches >= 1 and long_sink.skipped_batches >= 1, (
-        "replayed micro-batch was not skipped by every route"
-    )
+    # explicit raise, not assert: the exactly-once replay invariant must
+    # survive `python -O` (asserts are stripped under optimization)
+    if short_sink.skipped_batches < 1 or long_sink.skipped_batches < 1:
+        raise RuntimeError("replayed micro-batch was not skipped by every route")
     short = (
         Table(wh, "db.docs_short")
         .scan(spark)

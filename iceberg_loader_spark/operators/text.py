@@ -1833,8 +1833,13 @@ _BPE_PAIRS_SQL = """(
 # counts, then the global (word, freq, sym) frame training runs on.
 _BPE_VOCAB_SQL = r"""
     toks AS (
+      -- tokens containing a literal '|' are excluded: '|' is the fence
+      -- delimiter, so an in-token pipe would read as a symbol boundary
+      -- and let merges cross intended symbol edges (mirrored Spark-side
+      -- in _bpe_vocab_frames)
       SELECT source, unnest(list_filter(string_split(lower(text), ' '),
-                                        t -> t <> '')) AS tok
+                                        t -> t <> '' AND NOT contains(t, '|')))
+               AS tok
       FROM documents
     ),
     wsrc AS (
@@ -1918,7 +1923,13 @@ def _bpe_vocab_frames(
         docs.select(
             "source",
             F.explode(
-                F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+                # drop empty tokens AND tokens containing the '|' fence
+                # delimiter (an in-token pipe would read as a symbol
+                # boundary — mirrored in the oracle's toks CTE)
+                F.filter(
+                    F.split(F.lower("text"), " "),
+                    lambda t: (t != "") & (~t.contains("|")),
+                )
             ).alias("tok"),
         )
         .groupBy("source", "tok")

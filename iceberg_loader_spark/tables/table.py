@@ -212,6 +212,17 @@ def entry_from_footer(
     )
 
 
+class _NothingToCommit(Exception):
+    """Raised inside a commit ``build`` closure when, after a rebase, the
+    refreshed parent already contains the requested change (e.g. a
+    concurrent writer added the same columns) — unwinds the retry loop
+    without committing a duplicate snapshot."""
+
+    def __init__(self, snapshot: Snapshot):
+        super().__init__("change already present on refreshed parent")
+        self.snapshot = snapshot
+
+
 class Table:
     """One snapshot-versioned table under a Warehouse."""
 
@@ -1789,17 +1800,36 @@ class Table:
     # ---- schema evolution (SURVEY A28) -----------------------------------
 
     def add_columns(self, new_fields: list[T.StructField]) -> Snapshot:
-        """Add-only evolution; new columns are nullable (core/schema.py:73-77)."""
-        schema = self.schema()
-        existing = {f.name for f in schema.fields}
-        to_add = [f for f in new_fields if f.name not in existing]
-        if not to_add:
+        """Add-only evolution; new columns are nullable (core/schema.py:73-77).
+
+        The evolved schema is recomputed from the PARENT inside the
+        commit closure, not from the client's cached view: on a CAS
+        conflict the retry rebases onto whatever another writer just
+        committed, and a stale precomputed schema would (a) re-commit an
+        evolution a concurrent writer already made (duplicate
+        evolve-schema snapshots) or (b) silently drop columns that
+        writer added (schema regression). Computing ``to_add`` against
+        ``parent.schema_json`` makes the concurrent-evolve race converge
+        to exactly one commit per distinct column set.
+        """
+        if not [
+            f for f in new_fields
+            if f.name not in {g.name for g in self.schema().fields}
+        ]:
             return self.snapshot()
-        evolved = T.StructType(
-            schema.fields + [T.StructField(f.name, f.dataType, True) for f in to_add]
-        )
 
         def build(parent: Snapshot) -> Snapshot:
+            pschema = T.StructType.fromJson(parent.schema_json)
+            existing = {f.name for f in pschema.fields}
+            to_add = [f for f in new_fields if f.name not in existing]
+            if not to_add:
+                # a concurrent writer added every requested column while
+                # we were racing — nothing to commit on this parent
+                raise _NothingToCommit(parent)
+            evolved = T.StructType(
+                pschema.fields
+                + [T.StructField(f.name, f.dataType, True) for f in to_add]
+            )
             return new_snapshot(
                 parent,
                 "evolve-schema",
@@ -1810,7 +1840,10 @@ class Table:
                 {"added-columns": [f.name for f in to_add]},
             )
 
-        return self._commit_with_retry(build)
+        try:
+            return self._commit_with_retry(build)
+        except _NothingToCommit as done:
+            return done.snapshot
 
     def drop_columns(self, cols: list[str]) -> Snapshot:
         """Drop-column evolution (metadata-only): the new schema omits

@@ -123,3 +123,32 @@ def test_fenced_apply_matches_reference_bpe_exhaustively():
                         assert _unfence(_fenced_apply(got1, a2, b2)) == (
                             _reference_apply(ref1, a2, b2)
                         ), (word, (a1, b1), (a2, b2))
+
+
+def test_pipe_tokens_excluded_from_vocab(spark, tmp_path):
+    """Tokens containing a literal '|' must never reach the vocabulary:
+    the fence delimiter IS '|', so an in-token pipe would read as a
+    symbol boundary and let merges cross symbol edges (latent on the
+    driver corpus, which has no pipes)."""
+    import pandas as pd
+
+    from iceberg_loader_spark.operators.text import _bpe_vocab_frames
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": ["hello a|b world", "hello |x| plain world"],
+            "lang": ["en", "en"],
+            "source": ["s1", "s1"],
+            "n_chars": [15, 21],
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(str(tmp_path / "documents.parquet"))
+    wsrc, vocab = _bpe_vocab_frames(spark, str(tmp_path))
+    toks = {r.tok for r in vocab.select("tok").collect()}
+    assert toks == {"hello", "world", "plain"}
+    assert all("|" not in r.tok for r in wsrc.select("tok").collect())
+    # surviving syms are well-formed fences: every interior char doubled
+    for r in vocab.collect():
+        body = r.sym.strip("|").split("||")
+        assert "".join(body) == r.tok

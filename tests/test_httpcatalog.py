@@ -130,3 +130,66 @@ def test_threaded_commit_race_over_http(server, tmp_path):
         f"data/w{w}_{i}.parquet" for w in (1, 2) for i in range(5)
     }
     assert final.version == 11
+
+
+def test_cross_process_sparkloader_race_over_http(spark, server, tmp_path):
+    """END-TO-END cross-process CAS linearization: two real OS processes,
+    each with its own SparkSession and SparkLoader, race appends through
+    the same CatalogHTTPServer. Every append must land exactly once with
+    strictly linear versions — the earlier threaded test shares one
+    Python process; this one shares nothing but the HTTP endpoint and
+    the data-file directory (the production topology)."""
+    import os
+    import subprocess
+    import sys
+
+    n = 3
+    store = HttpCatalogStore(server)
+    wh = Warehouse(
+        str(tmp_path),
+        backend_factory=lambda root: ObjectStoreBackend(store, root),
+    )
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("w", T.LongType())]
+    )
+    Table.create(wh, "db.race_px", schema)
+
+    worker = os.path.join(os.path.dirname(__file__), "_http_race_worker.py")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
+        + env.get("PYTHONPATH", "").split(os.pathsep)
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, server, str(tmp_path), str(wid), str(n)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+        )
+        for wid in (1, 2)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        outs.append((p.returncode, out.decode(), err.decode()))
+    assert all(rc == 0 for rc, _, _ in outs), outs
+
+    final = wh.load_table("db.race_px")
+    # every append landed exactly once: 2 workers x n single-row loads
+    got = sorted(
+        (r.w, r.id) for r in final.scan(spark).select("w", "id").collect()
+    )
+    assert got == sorted(
+        (w, w * 1000 + i) for w in (1, 2) for i in range(n)
+    )
+    # strictly linear versions: create + ONE evolve-schema (whichever
+    # worker's first flush won the race to add _load_dttm; the loser
+    # rebases and finds the column present) + 2n appends, no lost commit
+    assert final.meta.current_version() == 2 + 2 * n
+    ops = [
+        final.meta.load_snapshot(v).operation
+        for v in range(1, final.meta.current_version() + 1)
+    ]
+    assert ops.count("evolve-schema") == 1
+    assert ops.count("append") == 2 * n

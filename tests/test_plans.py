@@ -215,3 +215,20 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_dedup_events_keeper_is_two_phase_aggregate_not_window(spark):
+    """The keyed-dedup keeper must be the skew-safe two-phase aggregate:
+    map-side partial_min collapses a hot user's rows per input partition
+    BEFORE the shuffle, where a row_number window would move the hot
+    key's entire history to one task (operators/dedup.py scale note)."""
+    plan = plan_of(QUERIES["dedup_events_by_user_type"](spark, SF_SMOKE))
+    assert "Window" not in plan
+    # struct-min lowers to SortAggregate (not hash-aggregable), but the
+    # property that matters is the same: a partial phase BEFORE the
+    # exchange, then the final phase after it
+    assert plan.count("Aggregate") >= 2
+    # Spark's two-phase lowering always places the partial_min upstream
+    # of the key exchange; its presence (vs a bare final min) is the
+    # map-side-combine guarantee
+    assert "partial_min" in plan
