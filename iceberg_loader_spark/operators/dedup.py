@@ -1574,3 +1574,276 @@ def sample_dup_rate_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_bps.cast("bigint").alias("sample_dup_bps"),
         F.abs(exact_bps - sample_bps).cast("bigint").alias("abs_err_bps"),
     )
+
+
+# --------------------------------------------------------------------------
+# B25 (round 5) — INCREMENTAL MinHash/LSH index maintenance: the
+# production fuzzy-dedup posture at 100 TB. The historical corpus's
+# signatures live in a PERSISTED index table; an incoming batch runs the
+# expensive pipeline (shingle explode + md5 + min-aggregate) over ONLY
+# its own documents, then joins new-side bands against (index ∪ new)
+# bands. Old×old pairs are never enumerated and historical text is never
+# re-shingled — per-batch cost is O(batch + matched buckets), not
+# O(corpus). Split: the same stable md5(doc_id) bucket the exact
+# incremental-dedup and dataset-split operators use (hist < 50 ≤ new).
+#
+# The signature index stores s0..s7 as plain BIGINT columns (16 B/hash —
+# no arrays in the table format or the shuffle), and the band rows are a
+# cheap projection of the loaded index, so the only text-touching work
+# is the incoming batch's own hashing. Hot-bucket cap (max(n/10, 100),
+# n = full corpus) applied to the unioned band frame exactly as in the
+# full-corpus operator, mirrored in the oracle.
+# --------------------------------------------------------------------------
+_DUCK_INC_MARKED = f"""
+    marked AS (
+      SELECT doc_id, sig,
+             CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 100 >= 50 THEN 1 ELSE 0 END AS is_new
+      FROM sigs
+    ),
+    ibands0 AS (
+      SELECT doc_id, is_new, band_id,
+             sig[2*band_id + 1] AS k1, sig[2*band_id + 2] AS k2
+      FROM marked, (SELECT unnest(range({_N_BANDS})) AS band_id)
+    ),
+    ibands AS (
+      SELECT b.* FROM ibands0 b
+      JOIN (SELECT band_id, k1, k2 FROM ibands0 GROUP BY 1, 2, 3
+            HAVING COUNT(*) <= (SELECT greatest(COUNT(*) // 10, 100)
+                                FROM documents)) ok
+        USING (band_id, k1, k2)
+    )
+"""
+
+
+@_register(
+    "incremental_minhash_candidates",
+    f"""
+    WITH {_DUCK_MINHASH_SIGS},
+    {_DUCK_INC_MARKED},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+             a.is_new + b.is_new AS n_new
+      FROM ibands a JOIN ibands b
+        ON a.band_id = b.band_id AND a.k1 = b.k1 AND a.k2 = b.k2
+       AND a.doc_id < b.doc_id
+      WHERE a.is_new = 1 OR b.is_new = 1
+    )
+    SELECT p.a_id, p.b_id,
+           CAST(list_sum(list_transform(range(1, {_N_HASHES + 1}),
+                    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
+                AS BIGINT) AS n_match,
+           CAST(list_sum(list_transform(range(1, {_N_HASHES + 1}),
+                    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
+                AS DOUBLE) / {_N_HASHES} AS est_jaccard,
+           CASE WHEN p.n_new = 2 THEN 'new_new' ELSE 'new_old' END AS pair_kind
+    FROM pairs p
+    JOIN sigs sa ON sa.doc_id = p.a_id
+    JOIN sigs sb ON sb.doc_id = p.b_id
+    WHERE list_sum(list_transform(range(1, {_N_HASHES + 1}),
+                   i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
+          >= {_N_HASHES // 2}
+    ORDER BY a_id, b_id
+    """,
+)
+def incremental_minhash_candidates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from iceberg_loader_spark.operators.lifecycle import _track_root
+    from iceberg_loader_spark.operators.text import _bucket_col
+    from iceberg_loader_spark.tables import Warehouse
+    from iceberg_loader_spark.tables.table import Table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    marked = docs.withColumn("bucket", _bucket_col())
+    hist = marked.filter(F.col("bucket") < 50).drop("bucket")
+    inc = marked.filter(F.col("bucket") >= 50).drop("bucket")
+
+    def sig_cols(side: DataFrame) -> DataFrame:
+        """(doc_id, s0..s7): one md5 per shingle, Kirsch-Mitzenmacher
+        double hashing — identical math to the full-corpus operator."""
+        halves = _gram_rows(side, 3).select(
+            "doc_id", F.md5("gram").alias("hx")
+        ).select(
+            "doc_id",
+            F.conv(F.substring("hx", 1, 8), 16, 10).cast("bigint").alias("h1"),
+            F.conv(F.substring("hx", 9, 8), 16, 10).cast("bigint").alias("h2"),
+        )
+        return halves.groupBy("doc_id").agg(
+            *[
+                F.min(
+                    (F.col("h1") + F.lit(h) * F.col("h2")) % F.lit(_MH_MOD)
+                ).alias(f"s{h}")
+                for h in range(_N_HASHES)
+            ]
+        )
+
+    # one-time index build for the historical half, persisted through the
+    # table layer and READ BACK — the query's steady-state cost is the
+    # incoming side's pipeline plus this index scan
+    wh = Warehouse(_track_root(tempfile.mkdtemp(prefix="ils_mhidx_")))
+    idx = Table.create(wh, "db.mh_index", sig_cols(hist).schema)
+    idx.append(sig_cols(hist))
+    hist_sigs = wh.load_table("db.mh_index").scan(spark).withColumn(
+        "is_new", F.lit(0)
+    )
+    inc_sigs = sig_cols(inc).withColumn("is_new", F.lit(1))
+    all_sigs = _materialize(hist_sigs.unionByName(inc_sigs))
+
+    bands = all_sigs.select(
+        "doc_id",
+        "is_new",
+        *[F.col(f"s{h}") for h in range(_N_HASHES)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_id"),
+                        F.col(f"s{2 * j}").alias("k1"),
+                        F.col(f"s{2 * j + 1}").alias("k2"),
+                    )
+                    for j in range(_N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select(
+        "doc_id", "is_new",
+        *[f"s{h}" for h in range(_N_HASHES)],
+        "band.band_id", "band.k1", "band.k2",
+    )
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    hot = (
+        bands.groupBy("band_id", "k1", "k2")
+        .agg(F.count("*").alias("bsz"))
+        .join(F.broadcast(n_docs))
+        .filter(
+            F.col("bsz")
+            > F.greatest(F.expr("n_docs div 10"), F.lit(100).cast("bigint"))
+        )
+        .select("band_id", "k1", "k2")
+    )
+    bands = _materialize(
+        bands.join(F.broadcast(hot), ["band_id", "k1", "k2"], "left_anti")
+    )
+    # new-side-driving join: the left frame is ONLY the incoming batch's
+    # band rows, so old×old buckets are never enumerated
+    new_bands = bands.filter(F.col("is_new") == 1)
+    n_match = sum(
+        F.when(F.col(f"a.s{h}") == F.col(f"b.s{h}"), 1).otherwise(0)
+        for h in range(_N_HASHES)
+    )
+    pairs = (
+        new_bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.k1") == F.col("b.k1"))
+            & (F.col("a.k2") == F.col("b.k2"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("a_id"),
+            F.greatest("a.doc_id", "b.doc_id").alias("b_id"),
+            n_match.alias("n_match"),
+            (F.col("a.is_new") + F.col("b.is_new")).alias("n_new"),
+        )
+        .distinct()
+        .filter(F.col("n_match") >= _N_HASHES // 2)
+    )
+    return pairs.select(
+        "a_id",
+        "b_id",
+        F.col("n_match").cast("bigint").alias("n_match"),
+        (F.col("n_match").cast("double") / _N_HASHES).alias("est_jaccard"),
+        F.when(F.col("n_new") == 2, "new_new")
+        .otherwise("new_old")
+        .alias("pair_kind"),
+    ).orderBy("a_id", "b_id")
+
+
+# --------------------------------------------------------------------------
+# B25/B9 (round 5) — blocked ENTITY LINKAGE via deletion neighborhoods
+# (the SymSpell blocking scheme): every name emits itself plus its L
+# one-character-deletion variants as block keys; any two strings within
+# levenshtein <= 1 share at least one variant exactly, so an equi-join
+# on the variant key has provably full recall for edit-distance-1 pairs
+# WITHOUT an O(n^2) comparison — the index is O(n*L) rows and block
+# sizes are naturally tiny (strings equal-after-one-delete). The
+# levenshtein verification then runs only on candidate pairs.
+#
+# Scale: the variant join shuffles (variant, key) pairs — never the
+# full table cross product; a naive "block on name prefix" scheme
+# degenerates to one giant block on templated names like these, which
+# is exactly the pathology deletion neighborhoods avoid. The DISTINCT
+# collapses multi-variant hits before the (cheap) levenshtein filter.
+# --------------------------------------------------------------------------
+@_register(
+    "entity_linkage_deletion_blocks",
+    """
+    WITH vars AS (
+      SELECT c_custkey AS ck, c_name AS name,
+             unnest(list_distinct(list_prepend(c_name,
+               list_transform(range(1, length(c_name) + 1),
+                 i -> substring(c_name, 1, i - 1)
+                      || substring(c_name, i + 1, length(c_name)))))) AS v
+      FROM customer
+    ),
+    cand AS (
+      SELECT DISTINCT a.ck AS a_key, b.ck AS b_key,
+             a.name AS name_a, b.name AS name_b
+      FROM vars a JOIN vars b ON a.v = b.v AND a.ck < b.ck
+    )
+    SELECT a_key, b_key, name_a, name_b,
+           CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+    FROM cand
+    WHERE levenshtein(name_a, name_b) <= 1
+    ORDER BY a_key, b_key
+    """,
+)
+def entity_linkage_deletion_blocks(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"), F.col("c_name").alias("name")
+    )
+    vars_ = cust.select(
+        "ck",
+        "name",
+        F.explode(
+            F.array_distinct(
+                F.concat(
+                    F.array(F.col("name")),
+                    F.expr(
+                        "transform(sequence(1, length(name)), i -> "
+                        "concat(substring(name, 1, i - 1), "
+                        "substring(name, i + 1, length(name))))"
+                    ),
+                )
+            )
+        ).alias("v"),
+    )
+    cand = (
+        vars_.alias("a")
+        .join(
+            vars_.alias("b"),
+            (F.col("a.v") == F.col("b.v")) & (F.col("a.ck") < F.col("b.ck")),
+        )
+        .select(
+            F.col("a.ck").alias("a_key"),
+            F.col("b.ck").alias("b_key"),
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+        )
+        .distinct()
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        cand.filter(dist <= 1)
+        .select(
+            "a_key", "b_key", "name_a", "name_b",
+            dist.cast("bigint").alias("dist"),
+        )
+        .orderBy("a_key", "b_key")
+    )

@@ -232,3 +232,12 @@ def test_dedup_events_keeper_is_two_phase_aggregate_not_window(spark):
     # of the key exchange; its presence (vs a bare final min) is the
     # map-side-combine guarantee
     assert "partial_min" in plan
+
+
+def test_entity_linkage_joins_on_variant_key_not_cross_product(spark):
+    """Deletion-neighborhood blocking must reach the planner as an
+    equi-join on the variant key (hash-partitionable); a cross product
+    or nested-loop join would mean the blocking failed to block."""
+    plan = plan_of(QUERIES["entity_linkage_deletion_blocks"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
