@@ -1768,3 +1768,182 @@ def source_embedding_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# B26 (round 5) — GRAPH-ANN beam search: the navigable-graph retrieval
+# family (HNSW/NSG-shaped) expressed as bounded Spark joins. Offline, a
+# K=4 nearest-neighbor graph is built inside LSH buckets (never O(n²):
+# candidates meet only on equal 6-bit signatures, exactly like the
+# other bucketed ops). Online, each query walks the graph: start at a
+# deterministic entry node (lowest id in the most populated bucket),
+# then for R=3 rounds expand the beam's out-edges, score candidates by
+# exact fixed-point cosine, and keep the best B=4 per query
+# (tie-broken by node id). Every round is one broadcast join of the
+# tiny frontier against the edge table plus one score-and-rank — the
+# corpus is touched only through the edge list and per-node vector
+# lookups, which is the property that makes graph ANN cheap at 100 TB.
+#
+# The DuckDB oracle unrolls the same R rounds as CTEs (generated by the
+# same loop bound), so every frontier, score, and tie-break is
+# hash-verified, not just the final top-k.
+# --------------------------------------------------------------------------
+_BEAM_K = 4   # out-degree of the offline kNN graph
+_BEAM_B = 4   # beam width per query per round
+_BEAM_R = 3   # expansion rounds
+_BEAM_NQ = 5  # queries: vec_id < 5
+_BEAM_TOPK = 3
+
+
+def _beam_oracle() -> str:
+    cos = (
+        "CAST({d} AS DOUBLE) / (SQRT(CAST({ansq} AS DOUBLE))"
+        " * SQRT(CAST({bnsq} AS DOUBLE)))"
+    )
+    edge_cos = cos.format(
+        d=_DUCK_DOT.format(a="a.e", b="b.e"), ansq="a.nsq", bnsq="b.nsq"
+    )
+    score_cos = cos.format(
+        d=_DUCK_DOT.format(a="n.e", b="q.q_e"), ansq="n.nsq", bnsq="q.q_nsq"
+    )
+    rounds = ""
+    for r in range(1, _BEAM_R + 1):
+        rounds += f""",
+    c{r} AS (
+      SELECT DISTINCT q_id, node FROM (
+        SELECT q_id, node FROM f{r - 1}
+        UNION ALL
+        SELECT f.q_id, e.dst AS node
+        FROM f{r - 1} f JOIN edges e ON e.src = f.node)
+    ),
+    s{r} AS (
+      SELECT c.q_id, c.node, {score_cos} AS cosine
+      FROM c{r} c
+      JOIN bucketed n ON n.vec_id = c.node
+      JOIN qv q ON q.q_id = c.q_id
+    ),
+    f{r} AS (
+      SELECT q_id, node FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                    ORDER BY cosine DESC, node) AS rnk
+        FROM s{r})
+      WHERE rnk <= {_BEAM_B}
+    )"""
+    return f"""
+    WITH {_DUCK_LSH},
+    ecand AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+               ORDER BY {edge_cos} DESC, b.vec_id) AS rnk
+      FROM bucketed a JOIN bucketed b
+        ON a.sig = b.sig AND a.vec_id <> b.vec_id
+    ),
+    edges AS (SELECT src, dst FROM ecand WHERE rnk <= {_BEAM_K}),
+    qv AS (SELECT vec_id AS q_id, e AS q_e, nsq AS q_nsq
+           FROM bucketed WHERE vec_id < {_BEAM_NQ}),
+    entry AS (
+      SELECT MIN(vec_id) AS node FROM bucketed
+      WHERE sig = (SELECT sig FROM bucketed
+                   GROUP BY sig ORDER BY COUNT(*) DESC, sig LIMIT 1)
+    ),
+    f0 AS (SELECT q_id, node FROM qv, entry){rounds}
+    SELECT q_id, node AS n_id, cosine, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                  ORDER BY cosine DESC, node) AS rnk
+      FROM s{_BEAM_R})
+    WHERE rnk <= {_BEAM_TOPK}
+    ORDER BY q_id, rnk
+    """
+
+
+@_register("graph_ann_beam_search", _beam_oracle())
+def graph_ann_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_loader_spark.operators.dedup import _materialize
+
+    bucketed = _lsh_bucketed(spark, sf_dir)
+    corpus = bucketed.select("vec_id", "e", "nsq")
+
+    def cosine(d, ansq, bnsq):
+        return d.cast("double") / (
+            F.sqrt(ansq.cast("double")) * F.sqrt(bnsq.cast("double"))
+        )
+
+    # offline: K-out kNN graph inside LSH buckets (equi-join on sig)
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    edge_w = W.partitionBy("src").orderBy(F.desc("ecos"), F.asc("dst"))
+    edges = _materialize(
+        a.join(
+            b,
+            (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("src"),
+            F.col("b.vec_id").alias("dst"),
+            cosine(
+                _dot(F.col("a.e"), F.col("b.e")),
+                F.col("a.nsq"),
+                F.col("b.nsq"),
+            ).alias("ecos"),
+        )
+        .withColumn("rnk", F.row_number().over(edge_w))
+        .filter(F.col("rnk") <= _BEAM_K)
+        .select("src", "dst")
+    )
+
+    qv = bucketed.filter(F.col("vec_id") < _BEAM_NQ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("e").alias("q_e"),
+        F.col("nsq").alias("q_nsq"),
+    )
+    # deterministic entry: lowest id in the most populated bucket —
+    # robust at every scale (a fixed literal node could land in a
+    # singleton bucket and strand the walk)
+    best_sig = (
+        bucketed.groupBy("sig")
+        .agg(F.count("*").alias("bn"))
+        .orderBy(F.desc("bn"), F.asc("sig"))
+        .limit(1)
+        .select("sig")
+    )
+    entry = (
+        bucketed.join(F.broadcast(best_sig), "sig")
+        .agg(F.min("vec_id").alias("node"))
+    )
+    frontier = qv.select("q_id").crossJoin(F.broadcast(entry))
+
+    beam_w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("node"))
+    scored = None
+    for _ in range(_BEAM_R):
+        expanded = (
+            F.broadcast(frontier)
+            .join(edges, frontier["node"] == edges["src"])
+            .select("q_id", F.col("dst").alias("node"))
+        )
+        cand = frontier.unionByName(expanded).distinct()
+        scored = (
+            cand.join(corpus, cand["node"] == corpus["vec_id"])
+            .join(F.broadcast(qv), "q_id")
+            .select(
+                "q_id",
+                "node",
+                cosine(
+                    _dot(F.col("e"), F.col("q_e")),
+                    F.col("nsq"),
+                    F.col("q_nsq"),
+                ).alias("cosine"),
+            )
+        )
+        # frontier stays tiny (NQ×B rows); localCheckpoint/persist keeps
+        # the per-round plan shallow instead of R-deep
+        frontier = _materialize(
+            scored.withColumn("rnk", F.row_number().over(beam_w))
+            .filter(F.col("rnk") <= _BEAM_B)
+            .select("q_id", "node")
+        )
+    return (
+        scored.withColumn("rnk", F.row_number().over(beam_w))
+        .filter(F.col("rnk") <= _BEAM_TOPK)
+        .select("q_id", F.col("node").alias("n_id"), "cosine", "rnk")
+        .orderBy("q_id", "rnk")
+    )
