@@ -137,3 +137,14 @@ def test_train_filter_model_example(tmp_path):
     assert result["worst_symbols_per_char_bps"] <= 10000
     # curve rows + confusion row + merge rows all landed
     assert result["landed_rows"] == result["rounds"] + 1 + result["n_merges"]
+
+
+def test_incremental_dedup_and_graph_ann_example(tmp_path):
+    mod = _load("incremental_dedup_and_graph_ann")
+    result = mod.run_example(str(tmp_path))
+    assert result["n_incoming"] > 0
+    # suppression is bounded by the pair count and never exceeds incoming
+    assert result["n_landed"] <= result["n_incoming"]
+    assert result["n_landed"] >= result["n_incoming"] - result["n_neardup_pairs"]
+    # 5 queries x top-3 beam results
+    assert result["n_beam_hits"] == 15
