@@ -1850,3 +1850,132 @@ def entity_linkage_deletion_blocks(
         )
         .orderBy("a_key", "b_key")
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-document maximal shared span (exact-substring dedup, Lee et al.
+# "Deduplicating Training Data Makes Language Models Better" §4.1 — the
+# suffix-array ExactSubstr criterion, re-expressed for Spark): for every
+# document pair, the length in tokens of the longest exactly-shared token
+# run >= _XSPAN_L. Instead of a monolithic suffix array (which needs the
+# whole corpus on one machine), anchor spans of width _XSPAN_W at every
+# position, hash them, and self-join on the hash; consecutive matches on
+# the same (pair, diagonal) merge into maximal runs via a gaps-and-islands
+# window — the classic seed-and-extend trick from genome alignment, fully
+# shuffle-parallel.
+#
+# Scale:
+# * the shuffle carries (h:32B md5, doc_id, pos) — never text;
+# * hot anchors (> _XSPAN_CAP distinct docs: boilerplate headers, license
+#   blocks) are dropped before the self-join, bounding each hash bucket;
+# * the islands window partitions by (a_key, b_key, diag) — candidate
+#   matches only, bounded by min(len_a, len_b), never a corpus-wide sort;
+# * per-doc span count is linear in doc length (stride 1), so the anchor
+#   table is ~|corpus tokens| rows — the same footprint a suffix array
+#   needs, but sharded.
+# --------------------------------------------------------------------------
+_XSPAN_W = 8  # anchor width (tokens)
+_XSPAN_CAP = 20  # drop anchors shared by more docs (boilerplate)
+_XSPAN_L = 20  # report pairs with a maximal run of at least this many tokens
+
+
+@_register(
+    "cross_doc_span_pairs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
+    ),
+    spans AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t) - {_XSPAN_W - 2}),
+               i -> struct_pack(pos := i,
+                 h := md5(array_to_string(t[i:i+{_XSPAN_W - 1}], ' '))))) AS s
+      FROM toks WHERE len(t) >= {_XSPAN_W}
+    ),
+    sp AS (SELECT doc_id, s.pos AS pos, s.h AS h FROM spans),
+    hot AS (
+      SELECT h FROM (
+        SELECT h, COUNT(DISTINCT doc_id) AS nd FROM sp GROUP BY h
+      ) WHERE nd > {_XSPAN_CAP}
+    ),
+    spc AS (SELECT * FROM sp WHERE h NOT IN (SELECT h FROM hot)),
+    m AS (
+      SELECT DISTINCT a.doc_id AS a_key, b.doc_id AS b_key,
+             a.pos - b.pos AS diag, a.pos AS ap
+      FROM spc a JOIN spc b ON a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    runs AS (
+      SELECT a_key, b_key, diag,
+             ap - ROW_NUMBER() OVER (
+               PARTITION BY a_key, b_key, diag ORDER BY ap) AS rid
+      FROM m
+    ),
+    runlen AS (
+      SELECT a_key, b_key,
+             CAST(COUNT(*) + {_XSPAN_W - 1} AS BIGINT) AS run_tokens
+      FROM runs GROUP BY a_key, b_key, diag, rid
+    )
+    SELECT a_key, b_key,
+           MAX(run_tokens) AS max_span_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_runs
+    FROM runlen
+    GROUP BY a_key, b_key
+    HAVING MAX(run_tokens) >= {_XSPAN_L}
+    ORDER BY a_key, b_key
+    """,
+)
+def cross_doc_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    ts = _token_arrays(docs).filter(F.size("ts") >= _XSPAN_W)
+    anchors = F.transform(
+        F.sequence(F.lit(1), F.size("ts") - F.lit(_XSPAN_W - 1)),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.md5(
+                F.array_join(F.slice(F.col("ts"), i, F.lit(_XSPAN_W)), " ")
+            ).alias("h"),
+        ),
+    )
+    sp = _materialize(
+        ts.select("doc_id", F.explode(anchors).alias("s")).select(
+            "doc_id", F.col("s.pos").alias("pos"), F.col("s.h").alias("h")
+        )
+    )
+    hot = (
+        sp.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > _XSPAN_CAP)
+        .select("h")
+    )
+    spc = _materialize(sp.join(hot, "h", "left_anti"))
+    m = (
+        spc.alias("a")
+        .join(
+            spc.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_key"),
+            F.col("b.doc_id").alias("b_key"),
+            (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+            F.col("a.pos").alias("ap"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("a_key", "b_key", "diag").orderBy("ap")
+    runs = m.withColumn("rid", F.col("ap") - F.row_number().over(w))
+    runlen = runs.groupBy("a_key", "b_key", "diag", "rid").agg(
+        (F.count("*") + F.lit(_XSPAN_W - 1)).cast("bigint").alias("run_tokens")
+    )
+    return (
+        runlen.groupBy("a_key", "b_key")
+        .agg(
+            F.max("run_tokens").alias("max_span_tokens"),
+            F.count("*").cast("bigint").alias("n_runs"),
+        )
+        .filter(F.col("max_span_tokens") >= _XSPAN_L)
+        .orderBy("a_key", "b_key")
+    )

@@ -1454,3 +1454,99 @@ def lifecycle_stream_fanout_counts(
         .select(F.lit("long").alias("route"), "n_docs", "sum_chars")
     )
     return short.unionByName(long_).orderBy("route")
+
+
+# --------------------------------------------------------------------------
+# Incremental materialized-view maintenance (DBSP / Materialize shape,
+# Iceberg-style "MV refresh from table changes"): a per-supplier sales
+# aggregate MV is built ONCE from the base load, then kept current by
+# applying ONLY the delta aggregate of each incremental append — the MV
+# is never recomputed from the full table. The returned MV contents are
+# hash-verified against the oracle's full recompute, so a wrong delta
+# (dropped increment, double-applied batch, missed new key) flips a sum.
+#
+# Scale: each refresh costs O(|delta| + |affected MV keys|), not
+# O(|table|): the delta aggregate is a partial-agg shuffle over the new
+# files only (scan_incremental reads just the appended files), the
+# current MV is semi-filtered to affected keys with a BROADCAST of the
+# delta's key set before the combine join, and merge() rewrites only the
+# MV files containing those keys. At 100 TB of sales history with a
+# bounded per-batch delta, refresh cost is flat.
+# --------------------------------------------------------------------------
+@_register(
+    "lifecycle_incremental_mv_counts",
+    """
+    SELECT l_suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS sum_cents,
+           2 AS n_increments
+    FROM lineitem
+    GROUP BY l_suppkey
+    ORDER BY l_suppkey
+    """,
+)
+def lifecycle_incremental_mv_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias(
+            "cents"
+        ),
+    )
+
+    def _agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("l_suppkey").agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("qty").cast("bigint").alias("sum_qty"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+
+    wh = _fresh_warehouse()
+    t = Table.create(wh, "db.sales", li.schema)
+    t.append(li.filter(F.col("l_orderkey") % 3 == 0))
+    mv_df = _agg(wh.load_table("db.sales").scan(spark))
+    Table.create(wh, "db.mv", mv_df.schema).append(mv_df)
+
+    for r in (1, 2):
+        t = wh.load_table("db.sales")
+        base = t.meta.current_version()
+        t.append(li.filter(F.col("l_orderkey") % 3 == r))
+        delta = _agg(
+            wh.load_table("db.sales").scan_incremental(spark, base)
+        )
+        mv = wh.load_table("db.mv")
+        cur_aff = mv.scan(spark).join(
+            F.broadcast(delta.select("l_suppkey")), "l_suppkey", "left_semi"
+        )
+        combined = (
+            delta.alias("d")
+            .join(cur_aff.alias("c"), "l_suppkey", "left")
+            .select(
+                "l_suppkey",
+                (
+                    F.coalesce(F.col("c.n_rows"), F.lit(0))
+                    + F.col("d.n_rows")
+                ).cast("bigint").alias("n_rows"),
+                (
+                    F.coalesce(F.col("c.sum_qty"), F.lit(0))
+                    + F.col("d.sum_qty")
+                ).cast("bigint").alias("sum_qty"),
+                (
+                    F.coalesce(F.col("c.sum_cents"), F.lit(0))
+                    + F.col("d.sum_cents")
+                ).cast("bigint").alias("sum_cents"),
+            )
+        )
+        mv.merge(spark, combined, ["l_suppkey"])
+
+    return (
+        wh.load_table("db.mv")
+        .scan(spark)
+        .withColumn("n_increments", F.lit(2))
+        .orderBy("l_suppkey")
+    )

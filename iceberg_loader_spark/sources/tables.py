@@ -59,8 +59,28 @@ TABLE_NAMES = [
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table, applying physical-type fixups."""
+    """Load one testdata table, applying physical-type fixups.
+
+    The analyzed DataFrame is memoized per (session, sf_dir, name): the
+    testdata directories are immutable, so re-running ``spark.read.parquet``
+    (file listing + footer schema read, ~70 ms of driver-side latency per
+    call) for every operator invocation is pure fixed cost. A DataFrame is
+    an immutable logical plan — reuse is free and the cache dies with the
+    session object. Mutable paths (warehouse tables) never go through this
+    reader; they use :class:`~iceberg_loader_spark.tables.Warehouse`.
+    """
     ensure_compat(spark)
+    cache = getattr(spark, "_ils_table_cache", None)
+    if cache is None:
+        cache = {}
+        try:
+            spark._ils_table_cache = cache
+        except AttributeError:  # pragma: no cover - slotted session impl
+            pass
+    key = (sf_dir, name)
+    cached = cache.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # ns epoch → µs-precision naive timestamp (matches DuckDB's read).
@@ -75,6 +95,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
             ),
         )
+    cache[key] = df
     return df
 
 
