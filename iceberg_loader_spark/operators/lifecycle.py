@@ -1550,3 +1550,129 @@ def lifecycle_incremental_mv_counts(
         .withColumn("n_increments", F.lit(2))
         .orderBy("l_suppkey")
     )
+
+
+def apply_mv_delta(
+    spark: SparkSession,
+    wh: Warehouse,
+    mv_name: str,
+    delta: DataFrame,
+    key: str,
+    val_cols: tuple[str, ...],
+) -> None:
+    """Apply a signed per-key delta aggregate to a materialized-view table.
+
+    ``delta`` carries one row per affected key with signed additive values
+    (first of ``val_cols`` must be the row count). Keys whose count reaches
+    zero are removed from the MV (delete_by_keys); the rest upsert via
+    merge(). Touches only affected keys: the current MV is semi-filtered
+    with a BROADCAST of the delta's key set before the combine join.
+    """
+    mv = wh.load_table(mv_name)
+    cur_aff = mv.scan(spark).join(
+        F.broadcast(delta.select(key)), key, "left_semi"
+    )
+    combined = (
+        delta.alias("d")
+        .join(cur_aff.alias("c"), key, "left")
+        .select(
+            key,
+            *[
+                (
+                    F.coalesce(F.col(f"c.{c}"), F.lit(0)) + F.col(f"d.{c}")
+                ).cast("bigint").alias(c)
+                for c in val_cols
+            ],
+        )
+    )
+    n_col = val_cols[0]
+    zeroed = combined.filter(F.col(n_col) <= 0)
+    if zeroed.limit(1).count() > 0:
+        mv.delete_by_keys(spark, zeroed.select(key), [key])
+        mv = wh.load_table(mv_name)
+    mv.merge(spark, combined.filter(F.col(n_col) > 0), [key])
+
+
+# --------------------------------------------------------------------------
+# MV maintenance from a SIGNED changelog (the general DBSP z-set form —
+# the append-only refresh above is the special case): after the MV is
+# built, the sales table takes an append AND a copy-on-write predicate
+# DELETE; one changes() read over both commits yields +1/-1 signed rows,
+# whose per-key signed aggregate is applied to the MV — keys whose count
+# reaches zero are removed via delete_by_keys, the rest merge. The final
+# MV is hash-verified against the oracle's full recompute of
+# (batch0 ∪ batch1) minus the deleted rows.
+#
+# Scale: changes() reads only the churned files of each commit (carried
+# CoW rows cancel in the per-commit multiset diff), the signed delta is
+# one partial-agg shuffle over that churn, and the MV combine touches
+# only affected keys (broadcast key semi-join) — refresh cost tracks the
+# churn, never the 100 TB table, and never the MV's full key space.
+# --------------------------------------------------------------------------
+@_register(
+    "lifecycle_mv_cdc_refresh_counts",
+    """
+    SELECT l_suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS sum_cents,
+           2 AS n_increments
+    FROM lineitem
+    WHERE (l_orderkey % 3) IN (0, 1)
+      AND CAST(l_quantity AS BIGINT) < 45
+    GROUP BY l_suppkey
+    ORDER BY l_suppkey
+    """,
+)
+def lifecycle_mv_cdc_refresh_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias(
+            "cents"
+        ),
+    )
+
+    def _signed_agg(df: DataFrame, sign: F.Column) -> DataFrame:
+        return df.groupBy("l_suppkey").agg(
+            F.sum(sign).cast("bigint").alias("n_rows"),
+            F.sum(sign * F.col("qty")).cast("bigint").alias("sum_qty"),
+            F.sum(sign * F.col("cents")).cast("bigint").alias("sum_cents"),
+        )
+
+    wh = _fresh_warehouse()
+    t = Table.create(wh, "db.sales", li.schema)
+    t.append(li.filter(F.col("l_orderkey") % 3 == 0))
+    mv_df = _signed_agg(wh.load_table("db.sales").scan(spark), F.lit(1))
+    Table.create(wh, "db.mv", mv_df.schema).append(mv_df)
+
+    t = wh.load_table("db.sales")
+    base = t.meta.current_version()
+    t.append(li.filter(F.col("l_orderkey") % 3 == 1))
+    t = wh.load_table("db.sales")
+    t.delete_where(spark, "qty >= 45")
+    t = wh.load_table("db.sales")
+
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    delta = _signed_agg(t.changes(spark, base), sign).filter(
+        (F.col("n_rows") != 0)
+        | (F.col("sum_qty") != 0)
+        | (F.col("sum_cents") != 0)
+    )
+    apply_mv_delta(
+        spark, wh, "db.mv", delta, "l_suppkey",
+        ("n_rows", "sum_qty", "sum_cents"),
+    )
+
+    return (
+        wh.load_table("db.mv")
+        .scan(spark)
+        .withColumn("n_increments", F.lit(2))
+        .orderBy("l_suppkey")
+    )
