@@ -4,7 +4,14 @@ Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
 DuckDB at the given sf dir, then compares row count, column names, and
 cell values exactly (columns sorted by name, rows sorted by all columns).
 
-Usage: python tools/verify_local.py [sf_dir] [query ...]
+Usage: python tools/verify_local.py [sf_dir] [query ...] [--vanilla]
+
+``--vanilla`` runs the Spark side under a bare ``SparkSession.builder``
+session (Spark 4 defaults: ANSI on, 200 shuffle partitions, no engine
+confs) — the same session shape the external driver uses. Every query
+must self-apply what it needs (``load_table``/``ensure_compat``); a query
+that silently depends on ``get_spark``'s confs fails HERE instead of in a
+driver sample.
 """
 
 from __future__ import annotations
@@ -96,9 +103,17 @@ def compare(sdf: pd.DataFrame, odf: pd.DataFrame) -> None:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    spark = get_spark("verify_local")
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    if "--vanilla" in sys.argv:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").appName(
+            "verify_vanilla"
+        ).getOrCreate()
+    else:
+        spark = get_spark("verify_local")
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.execute(
