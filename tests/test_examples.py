@@ -148,3 +148,12 @@ def test_incremental_dedup_and_graph_ann_example(tmp_path):
     assert result["n_landed"] >= result["n_incoming"] - result["n_neardup_pairs"]
     # 5 queries x top-3 beam results
     assert result["n_beam_hits"] == 15
+
+
+def test_incremental_mv_refresh_example(tmp_path):
+    mod = _load("incremental_mv_refresh")
+    result = mod.run_example(str(tmp_path))
+    assert result["n_mismatch"] == 0
+    assert result["n_mv_keys"] > 0
+    # the delete touches most suppliers, so the delta covers every key
+    assert result["n_delta_keys"] <= result["n_mv_keys"]
