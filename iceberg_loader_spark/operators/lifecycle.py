@@ -1676,3 +1676,107 @@ def lifecycle_mv_cdc_refresh_counts(
         .withColumn("n_increments", F.lit(2))
         .orderBy("l_suppkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Secondary value index (Hudi metadata-table / record-index shape): a
+# point lookup on a NON-partition key normally touches every file —
+# min/max zone maps are useless when each file's key range spans the
+# domain (interleaved layout below). The index is itself a warehouse
+# TABLE mapping key → file, so it is snapshot-versioned and maintained
+# INCREMENTALLY: the post-build append indexes only the new file
+# (scan_incremental), never re-scanning the table. The probe consults
+# the index, reads only the matched files, and the per-user aggregates
+# are hash-verified; one probe user lives exclusively in the
+# incrementally-indexed file, so a stale index loses that user's rows
+# and flips the result. The query also RAISES unless the index pruned
+# (scanned < total files) — the pruning claim is executed, not asserted
+# in prose.
+#
+# Scale: index build is one distinct shuffle of (key, file) — O(data)
+# once; each maintenance step is O(new files); each point lookup is
+# O(index-bucket + matched files). At 100 TB that is the difference
+# between a full-table scan and reading a handful of files.
+# --------------------------------------------------------------------------
+@_register(
+    "lifecycle_value_index_counts",
+    """
+    SELECT user_id, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           5 AS n_files_total,
+           2 AS n_files_scanned
+    FROM events
+    WHERE user_id IN (7, 9)
+    GROUP BY user_id, event_type
+    ORDER BY user_id, event_type
+    """,
+)
+def lifecycle_value_index_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    wh = _fresh_warehouse()
+    t = Table.create(wh, "db.ev", ev.schema)
+    # interleaved layout: file k holds users ≡ k (mod 5) — every file's
+    # user_id min/max spans ~the whole domain, so zone maps cannot prune
+    for k in range(4):
+        t = wh.load_table("db.ev")
+        t.append(ev.filter(F.col("user_id") % 5 == k).coalesce(1))
+
+    def _index_rows(df: DataFrame) -> DataFrame:
+        return df.select(
+            "user_id", F.input_file_name().alias("file_uri")
+        ).distinct()
+
+    t = wh.load_table("db.ev")
+    idx = Table.create(
+        wh, "db.ev_idx", _index_rows(t.scan(spark)).schema
+    )
+    idx.append(_index_rows(t.scan(spark)))
+
+    # incremental maintenance: the 5th file is indexed from the delta
+    # scan alone — the existing table is never re-read
+    base = t.meta.current_version()
+    t.append(ev.filter(F.col("user_id") % 5 == 4).coalesce(1))
+    t = wh.load_table("db.ev")
+    wh.load_table("db.ev_idx").append(
+        _index_rows(t.scan_incremental(spark, base))
+    )
+
+    # point probe: user 7 lives in the bulk-indexed file 2, user 9 ONLY
+    # in the incrementally-indexed file 4
+    probe = [7, 9]
+    hits = (
+        wh.load_table("db.ev_idx")
+        .scan(spark)
+        .filter(F.col("user_id").isin(probe))
+        .select("file_uri")
+        .distinct()
+        .collect()
+    )
+    n_total = len(t.snapshot().files)
+    files = sorted(r["file_uri"] for r in hits)
+    if not files or len(files) >= n_total:
+        raise RuntimeError(
+            f"value index failed to prune: {len(files)} of {n_total} files"
+        )
+    return (
+        spark.read.schema(ev.schema)
+        .parquet(*files)
+        .filter(F.col("user_id").isin(probe))
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .withColumn("n_files_total", F.lit(n_total))
+        .withColumn("n_files_scanned", F.lit(len(files)))
+        .orderBy("user_id", "event_type")
+    )
