@@ -1730,39 +1730,27 @@ def lifecycle_value_index_counts(
         t = wh.load_table("db.ev")
         t.append(ev.filter(F.col("user_id") % 5 == k).coalesce(1))
 
-    def _index_rows(df: DataFrame) -> DataFrame:
-        return df.select(
-            "user_id", F.input_file_name().alias("file_uri")
-        ).distinct()
+    from iceberg_loader_spark.tables.index import (
+        build_value_index,
+        probe_files,
+        update_value_index,
+    )
 
     t = wh.load_table("db.ev")
-    idx = Table.create(
-        wh, "db.ev_idx", _index_rows(t.scan(spark)).schema
-    )
-    idx.append(_index_rows(t.scan(spark)))
+    build_value_index(spark, wh, "db.ev", "db.ev_idx", "user_id")
 
     # incremental maintenance: the 5th file is indexed from the delta
     # scan alone — the existing table is never re-read
     base = t.meta.current_version()
     t.append(ev.filter(F.col("user_id") % 5 == 4).coalesce(1))
+    update_value_index(spark, wh, "db.ev", "db.ev_idx", "user_id", base)
     t = wh.load_table("db.ev")
-    wh.load_table("db.ev_idx").append(
-        _index_rows(t.scan_incremental(spark, base))
-    )
 
     # point probe: user 7 lives in the bulk-indexed file 2, user 9 ONLY
     # in the incrementally-indexed file 4
     probe = [7, 9]
-    hits = (
-        wh.load_table("db.ev_idx")
-        .scan(spark)
-        .filter(F.col("user_id").isin(probe))
-        .select("file_uri")
-        .distinct()
-        .collect()
-    )
+    files = probe_files(spark, wh, "db.ev_idx", "user_id", probe)
     n_total = len(t.snapshot().files)
-    files = sorted(r["file_uri"] for r in hits)
     if not files or len(files) >= n_total:
         raise RuntimeError(
             f"value index failed to prune: {len(files)} of {n_total} files"
