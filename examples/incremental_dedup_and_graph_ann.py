@@ -64,10 +64,19 @@ def run_example(warehouse_path: str | None = None) -> dict:
     pairs = incremental_minhash_candidates(spark, SF_DIR)
     n_pairs = pairs.count()
 
-    # suppress the NEWER side of every candidate pair: b_id is always
-    # the larger id, so dropping incoming docs that appear as b_id keeps
-    # one canonical member per near-dup group
-    suppressed = pairs.select(F.col("b_id").alias("doc_id")).distinct()
+    # suppress the NEW member of every candidate pair. a_id/b_id are
+    # ordered by id, NOT by age — for a new_old pair the incoming doc can
+    # sit on either side, so pick the side that is in the incoming batch
+    # (the historical member is the canonical keeper already in the
+    # index). For new_new pairs both are incoming: keep the smaller id.
+    incoming_ids = incoming.select("doc_id")
+    both_sides = pairs.filter(F.col("pair_kind") == "new_old").select(
+        F.explode(F.array("a_id", "b_id")).alias("doc_id")
+    ).join(incoming_ids, "doc_id", "left_semi")
+    new_new_losers = pairs.filter(F.col("pair_kind") == "new_new").select(
+        F.col("b_id").alias("doc_id")
+    )
+    suppressed = both_sides.unionByName(new_new_losers).distinct()
     novel = incoming.join(suppressed, "doc_id", "left_anti").drop("bucket")
     t = Table.create(wh, "db.curated_incoming", novel.schema)
     t.append(novel)

@@ -1867,12 +1867,16 @@ def entity_linkage_deletion_blocks(
         .select(F.col("a.ck").alias("a_key"), F.col("b.ck").alias("b_key"))
         .distinct()
     )
+    # size-based join choice, NOT a broadcast hint: at test scale
+    # Catalyst broadcasts the small name projection on stats; at a scale
+    # where the dimension no longer fits it degrades to a shuffle join
+    # of (key, name) pairs instead of failing a forced broadcast
     na = cust.select(F.col("ck").alias("a_key"), F.col("name").alias("name_a"))
     nb = cust.select(F.col("ck").alias("b_key"), F.col("name").alias("name_b"))
     dist = F.levenshtein("name_a", "name_b")
     return (
-        cand_ids.join(F.broadcast(na), "a_key")
-        .join(F.broadcast(nb), "b_key")
+        cand_ids.join(na, "a_key")
+        .join(nb, "b_key")
         .filter(dist <= 1)
         .select(
             "a_key", "b_key", "name_a", "name_b",

@@ -1519,30 +1519,10 @@ def lifecycle_incremental_mv_counts(
         delta = _agg(
             wh.load_table("db.sales").scan_incremental(spark, base)
         )
-        mv = wh.load_table("db.mv")
-        cur_aff = mv.scan(spark).join(
-            F.broadcast(delta.select("l_suppkey")), "l_suppkey", "left_semi"
+        apply_mv_delta(
+            spark, wh, "db.mv", delta, "l_suppkey",
+            ("n_rows", "sum_qty", "sum_cents"),
         )
-        combined = (
-            delta.alias("d")
-            .join(cur_aff.alias("c"), "l_suppkey", "left")
-            .select(
-                "l_suppkey",
-                (
-                    F.coalesce(F.col("c.n_rows"), F.lit(0))
-                    + F.col("d.n_rows")
-                ).cast("bigint").alias("n_rows"),
-                (
-                    F.coalesce(F.col("c.sum_qty"), F.lit(0))
-                    + F.col("d.sum_qty")
-                ).cast("bigint").alias("sum_qty"),
-                (
-                    F.coalesce(F.col("c.sum_cents"), F.lit(0))
-                    + F.col("d.sum_cents")
-                ).cast("bigint").alias("sum_cents"),
-            )
-        )
-        mv.merge(spark, combined, ["l_suppkey"])
 
     return (
         wh.load_table("db.mv")
@@ -1568,11 +1548,17 @@ def apply_mv_delta(
     merge(). Touches only affected keys: the current MV is semi-filtered
     with a BROADCAST of the delta's key set before the combine join.
     """
+    from iceberg_loader_spark.tables.materialize import materialize
+
     mv = wh.load_table(mv_name)
     cur_aff = mv.scan(spark).join(
         F.broadcast(delta.select(key)), key, "left_semi"
     )
-    combined = (
+    # materialize once: the delta is typically a changes() changelog —
+    # without this the zero-check, the key delete, and the merge would
+    # each replay the whole changelog pipeline (and its compounded
+    # lineage would ride every downstream task binary)
+    combined, _release = materialize(
         delta.alias("d")
         .join(cur_aff.alias("c"), key, "left")
         .select(
@@ -1585,12 +1571,15 @@ def apply_mv_delta(
             ],
         )
     )
-    n_col = val_cols[0]
-    zeroed = combined.filter(F.col(n_col) <= 0)
-    if zeroed.limit(1).count() > 0:
-        mv.delete_by_keys(spark, zeroed.select(key), [key])
-        mv = wh.load_table(mv_name)
-    mv.merge(spark, combined.filter(F.col(n_col) > 0), [key])
+    try:
+        n_col = val_cols[0]
+        zeroed = combined.filter(F.col(n_col) <= 0)
+        if zeroed.limit(1).count() > 0:
+            mv.delete_by_keys(spark, zeroed.select(key), [key])
+            mv = wh.load_table(mv_name)
+        mv.merge(spark, combined.filter(F.col(n_col) > 0), [key])
+    finally:
+        _release()
 
 
 # --------------------------------------------------------------------------

@@ -33,12 +33,27 @@ def _index_rows(df: DataFrame, key_col: str) -> DataFrame:
     ).distinct()
 
 
+def _reject_mor(t: Table, action: str) -> None:
+    """The index maps keys to RAW parquet files and probe consumers read
+    those files directly — pending merge-on-read state would (a) make
+    ``input_file_name()`` unreliable under the scan's anti-join and
+    (b) resurrect MoR-deleted rows at probe time. Require compaction
+    (which materializes the deletes) before indexing."""
+    snap = t.snapshot()
+    if snap.delete_predicates or snap.delete_files:
+        raise ValueError(
+            f"cannot {action} value index on {t.identifier!r}: table has "
+            "pending merge-on-read deletes; run compaction first"
+        )
+
+
 def build_value_index(
     spark: SparkSession, wh: Warehouse, table_name: str, index_name: str,
     key_col: str,
 ) -> Table:
     """Create the index table and bulk-index the current snapshot."""
     t = wh.load_table(table_name)
+    _reject_mor(t, "build")
     rows = _index_rows(t.scan(spark), key_col)
     idx = Table.create(wh, index_name, rows.schema)
     idx.append(rows)
@@ -52,6 +67,7 @@ def update_value_index(
     """Index only the files appended after ``from_version`` (delta scan —
     the existing table is never re-read)."""
     t = wh.load_table(table_name)
+    _reject_mor(t, "update")
     rows = _index_rows(t.scan_incremental(spark, from_version), key_col)
     wh.load_table(index_name).append(rows)
     return wh.load_table(index_name)

@@ -49,34 +49,21 @@ def apply_changelog(
         # the insert is the surviving state
         F.when(F.col("_change_type") == "insert", 0).otherwise(1),
     )
-    winners_plan = (
+    from iceberg_loader_spark.tables.materialize import materialize
+
+    # Materialize AND truncate lineage (see tables/materialize.py). The
+    # changelog plan compounds per commit (each changes() leg is an
+    # exceptAll over that commit's churned files), and the apply legs
+    # below re-plan it inside merge's dup-check and the key delete —
+    # with plain persist() the full nested lineage still rides every
+    # task binary, and a long commit range deserializes MBs of nested
+    # closures PER TASK (observed: a 4.9 MiB task binary OOMing a
+    # default-1g-heap session).
+    winners, _release = materialize(
         changes.withColumn("_rnk", F.row_number().over(w))
         .filter(F.col("_rnk") == 1)
         .drop("_rnk")
     )
-    # Materialize AND truncate lineage. The changelog plan compounds per
-    # commit (each changes() leg is an exceptAll over that commit's
-    # churned files), and the apply legs below re-plan it inside merge's
-    # dup-check and the key delete — with plain persist() the full
-    # nested lineage still rides every task binary, and a long commit
-    # range deserializes MBs of nested closures PER TASK (observed: a
-    # 4.9 MiB task binary OOMing a default-1g-heap session).
-    # localCheckpoint cuts the plan at the winner set, so downstream
-    # tasks ship only "read these blocks". Under
-    # SPARK_GRAFT_MATERIALIZE=persist (the executor-loss-safe cluster
-    # mode, same switch as operators/dedup._materialize) lineage is kept
-    # for recomputability — the cluster that wants that recomputability
-    # also has real executor heaps.
-    import os as _os
-
-    if _os.environ.get("SPARK_GRAFT_MATERIALIZE") == "persist":
-        from pyspark.storagelevel import StorageLevel
-
-        winners = winners_plan.persist(StorageLevel.MEMORY_AND_DISK)
-        _cleanup = winners.unpersist
-    else:
-        winners = winners_plan.localCheckpoint(eager=True)
-        _cleanup = lambda: None  # noqa: E731 - blocks die with the RDD ref
     try:
         # one aggregate decides both legs (and populates the cache the
         # apply legs reuse) instead of two separate count jobs
@@ -100,5 +87,5 @@ def apply_changelog(
             ).select(*key_cols)
             target.delete_by_keys(spark, deletes, key_cols)
     finally:
-        _cleanup()
+        _release()
     return {"upserted_keys": n_upserts, "deleted_keys": n_deletes}

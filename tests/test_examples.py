@@ -155,5 +155,4 @@ def test_incremental_mv_refresh_example(tmp_path):
     result = mod.run_example(str(tmp_path))
     assert result["n_mismatch"] == 0
     assert result["n_mv_keys"] > 0
-    # the delete touches most suppliers, so the delta covers every key
-    assert result["n_delta_keys"] <= result["n_mv_keys"]
+    assert result["n_delta_keys"] > 0

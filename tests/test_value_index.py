@@ -54,3 +54,13 @@ def test_index_build_update_probe(spark, tmp_path):
         .collect()
     )
     assert [(r["k"], r["v"]) for r in got] == [(1, 10)]
+
+
+def test_index_rejects_pending_mor_deletes(spark, tmp_path):
+    import pytest
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    t = _mk(spark, wh, [(1, 10), (2, 20)])
+    t.delete_where(spark, "k == 2", mode="mor")
+    with pytest.raises(ValueError, match="merge-on-read"):
+        build_value_index(spark, wh, "db.t", "db.idx", "k")
