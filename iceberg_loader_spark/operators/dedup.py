@@ -2013,3 +2013,121 @@ def cross_doc_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("max_span_tokens") >= _XSPAN_L)
         .orderBy("a_key", "b_key")
     )
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — the MOSS
+# algorithm): hash every k-gram, then in each window of w consecutive
+# hashes select the MINIMUM — the selected set is a guaranteed cover
+# (any shared run of >= w+k-1 tokens shares at least one selected
+# print) at ~2/(w+1) the density of full k-gram shingling. Pairs are
+# then scored by shared selected prints. This is the third fingerprint
+# family next to MinHash (probabilistic set overlap) and cross-doc
+# spans (exact maximal runs): winnowing gives deterministic coverage
+# with a tunable density bound.
+#
+# Scale: the per-doc hash array and windowed min are map-only array
+# expressions (no shuffle until the per-print explode); hot prints
+# (> _WN_CAP docs — boilerplate) are dropped before the self-join; the
+# pair aggregate shuffles (print, doc_id) pairs only — 32-byte keys,
+# never text.
+# --------------------------------------------------------------------------
+_WN_K = 5  # k-gram width (tokens)
+_WN_W = 4  # winnowing window (hashes)
+_WN_CAP = 20  # drop prints shared by more docs (boilerplate)
+_WN_T = 10  # report pairs sharing at least this many selected prints
+
+
+@_register(
+    "winnowing_neardup_pairs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             list_transform(range(1, len(t) - {_WN_K - 2}),
+               i -> md5(array_to_string(t[i:i+{_WN_K - 1}], ' '))) AS hs
+      FROM toks WHERE len(t) >= {_WN_K}
+    ),
+    prints AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(hs) - {_WN_W - 2}),
+               i -> list_min(hs[i:i+{_WN_W - 1}]))) AS fp
+      FROM h WHERE len(hs) >= {_WN_W}
+    ),
+    fpx AS (SELECT doc_id, unnest(fp) AS p FROM prints),
+    hot AS (
+      SELECT p FROM (SELECT p, COUNT(*) AS nd FROM fpx GROUP BY p)
+      WHERE nd > {_WN_CAP}
+    ),
+    fpc AS (SELECT * FROM fpx WHERE p NOT IN (SELECT p FROM hot)),
+    shared AS (
+      SELECT a.doc_id AS a_key, b.doc_id AS b_key,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM fpc a JOIN fpc b ON a.p = b.p AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp FROM fpc GROUP BY doc_id
+    )
+    SELECT s.a_key, s.b_key, s.n_shared, sa.n_fp AS n_fp_a, sb.n_fp AS n_fp_b
+    FROM shared s JOIN sizes sa ON sa.doc_id = s.a_key
+                  JOIN sizes sb ON sb.doc_id = s.b_key
+    WHERE s.n_shared >= {_WN_T}
+    ORDER BY a_key, b_key
+    """,
+)
+def winnowing_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ts = _token_arrays(docs).filter(F.size("ts") >= _WN_K)
+    hs = F.transform(
+        F.sequence(F.lit(1), F.size("ts") - F.lit(_WN_K - 1)),
+        lambda i: F.md5(
+            F.array_join(F.slice(F.col("ts"), i, F.lit(_WN_K)), " ")
+        ),
+    )
+    with_h = ts.select("doc_id", hs.alias("hs")).filter(
+        F.size("hs") >= _WN_W
+    )
+    fp = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("hs") - F.lit(_WN_W - 1)),
+            lambda i: F.array_min(F.slice(F.col("hs"), i, F.lit(_WN_W))),
+        )
+    )
+    fpx = _materialize(
+        with_h.select("doc_id", F.explode(fp).alias("p"))
+    )
+    hot = (
+        fpx.groupBy("p")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") > _WN_CAP)
+        .select("p")
+    )
+    fpc = _materialize(fpx.join(F.broadcast(hot), "p", "left_anti"))
+    shared = (
+        fpc.alias("a")
+        .join(
+            fpc.alias("b"),
+            (F.col("a.p") == F.col("b.p"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("a_key"),
+            F.col("b.doc_id").alias("b_key"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= _WN_T)
+    )
+    sizes = fpc.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_fp")
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_key"), F.col("n_fp").alias("n_fp_a"))
+    sb = sizes.select(F.col("doc_id").alias("b_key"), F.col("n_fp").alias("n_fp_b"))
+    return (
+        shared.join(sa, "a_key")
+        .join(sb, "b_key")
+        .select("a_key", "b_key", "n_shared", "n_fp_a", "n_fp_b")
+        .orderBy("a_key", "b_key")
+    )
