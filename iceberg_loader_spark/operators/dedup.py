@@ -2131,3 +2131,86 @@ def winnowing_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_key", "b_key", "n_shared", "n_fp_a", "n_fp_b")
         .orderBy("a_key", "b_key")
     )
+
+
+# --------------------------------------------------------------------------
+# Fingerprint-family agreement audit: the three near-dup detectors above
+# (MinHash/LSH — probabilistic set overlap; winnowing — guaranteed-cover
+# selected prints; cross-doc spans — exact maximal runs) answer the same
+# question with different guarantees. This query MEASURES their pairwise
+# and three-way agreement as row counts instead of leaving the
+# relationship as prose — the same "measured, not claimed" posture as
+# ann_recall_ivf. The oracle recomputes every family from scratch by
+# composing the three registered oracle texts as CTEs, so the agreement
+# numbers themselves are hash-verified.
+#
+# Scale: each family's pair set is the (already bounded) output of its
+# own pipeline; the intersections are joins on (a, b) pair keys —
+# trivially small relative to the corpus. In-session the MinHash
+# fragment is memoized, so the audit adds no second signature pass.
+# --------------------------------------------------------------------------
+def _register_fingerprint_agreement() -> None:
+    oracle = f"""
+    WITH mh_raw AS ({ORACLES["minhash_lsh_candidates"]}),
+    wn_raw AS ({ORACLES["winnowing_neardup_pairs"]}),
+    sp_raw AS ({ORACLES["cross_doc_span_pairs"]}),
+    mh AS (SELECT a_id AS a, b_id AS b FROM mh_raw),
+    wn AS (SELECT a_key AS a, b_key AS b FROM wn_raw),
+    sp AS (SELECT a_key AS a, b_key AS b FROM sp_raw)
+    SELECT * FROM (
+      SELECT 'minhash' AS pair_set, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM mh
+      UNION ALL
+      SELECT 'winnowing', CAST(COUNT(*) AS BIGINT) FROM wn
+      UNION ALL
+      SELECT 'spans', CAST(COUNT(*) AS BIGINT) FROM sp
+      UNION ALL
+      SELECT 'minhash&winnowing', CAST(COUNT(*) AS BIGINT)
+      FROM mh JOIN wn USING (a, b)
+      UNION ALL
+      SELECT 'minhash&spans', CAST(COUNT(*) AS BIGINT)
+      FROM mh JOIN sp USING (a, b)
+      UNION ALL
+      SELECT 'winnowing&spans', CAST(COUNT(*) AS BIGINT)
+      FROM wn JOIN sp USING (a, b)
+      UNION ALL
+      SELECT 'all3', CAST(COUNT(*) AS BIGINT)
+      FROM mh JOIN wn USING (a, b) JOIN sp USING (a, b)
+    )
+    ORDER BY pair_set
+    """
+
+    @_register("fingerprint_family_agreement", oracle)
+    def fingerprint_family_agreement(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        mh = _minhash_scored_pairs(spark, sf_dir).select(
+            F.col("a_id").alias("a"), F.col("b_id").alias("b")
+        )
+        wn = winnowing_neardup_pairs(spark, sf_dir).select(
+            F.col("a_key").alias("a"), F.col("b_key").alias("b")
+        )
+        sp = cross_doc_span_pairs(spark, sf_dir).select(
+            F.col("a_key").alias("a"), F.col("b_key").alias("b")
+        )
+
+        def _n(name: str, df: DataFrame) -> DataFrame:
+            return df.agg(
+                F.count("*").cast("bigint").alias("n_pairs")
+            ).select(F.lit(name).alias("pair_set"), "n_pairs")
+
+        rows = [
+            _n("minhash", mh),
+            _n("winnowing", wn),
+            _n("spans", sp),
+            _n("minhash&winnowing", mh.join(wn, ["a", "b"])),
+            _n("minhash&spans", mh.join(sp, ["a", "b"])),
+            _n("winnowing&spans", wn.join(sp, ["a", "b"])),
+            _n("all3", mh.join(wn, ["a", "b"]).join(sp, ["a", "b"])),
+        ]
+        out = rows[0]
+        for r in rows[1:]:
+            out = out.unionByName(r)
+        return out.orderBy("pair_set")
+
+
+_register_fingerprint_agreement()
