@@ -23,6 +23,7 @@ import logging
 import os
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from iceberg_loader_spark.tables.format import (
     ConcurrentModification,
@@ -109,8 +110,11 @@ def expire_snapshots(
         return {"expired": 0, "remaining": -1, "deleted_files": 0, "error": str(e)}
 
 
+_ZORDER_BITS = 10
+
+
 def _zorder_column(
-    df, cols: list[str], stats: dict[str, list], bits: int = 10
+    df, cols: list[str], stats: dict[str, list], bits: int = _ZORDER_BITS
 ):
     """Z-value expression: per-column uniform bucket id in [0, 2^bits),
     bit-interleaved across columns (Morton order).
@@ -121,8 +125,6 @@ def _zorder_column(
     a different cost class; callers get a loud error instead of silent
     bad clustering.
     """
-    from pyspark.sql import functions as F
-
     bucket_exprs = []
     for c in cols:
         if c not in stats:
@@ -208,7 +210,46 @@ def rewrite_data_files(
                 else:
                     stats[c] = [lo, hi]
         z = _zorder_column(df, zorder_by, stats)
-        df = df.repartitionByRange(target, z).sortWithinPartitions(z)
+        # Split the z DOMAIN uniformly instead of range-sampling row
+        # quantiles: RangePartitioner's reservoir sample is seeded by
+        # rdd.id, so in a long-lived session the sampled boundaries
+        # drift between runs — file k must ALWAYS cover exactly the
+        # k-th z-interval or the per-file min/max guarantees (e.g. "the
+        # top z-quartile file excludes low keys") become probabilistic,
+        # and its weight balancing silently MERGES skew-light intervals
+        # (observed: 4 requested files, 3 produced). The domain split
+        # trades perfectly even file sizes under skew for deterministic,
+        # contiguous per-file z-ranges — the property the pruning story
+        # rests on.
+        #
+        # Interval → partition placement must also be exact: hash
+        # partitioning on the interval id could collide two intervals
+        # into one file. Each id is therefore remapped to a CARRIER int
+        # whose Murmur3 hash lands in exactly partition id — found by a
+        # tiny deterministic driver-side search (Spark's int hash is a
+        # fixed function), so repartition(target, carrier) is a plain
+        # hash shuffle with a perfect placement, no sampling anywhere.
+        zspan = 2 ** (_ZORDER_BITS * len(zorder_by))
+        slot = {}
+        for r in spark.range(0, 64 * target).select(
+            F.col("id").cast("int").alias("c"),
+            F.pmod(F.hash(F.col("id").cast("int")), F.lit(target)).alias("p"),
+        ).collect():
+            slot.setdefault(r["p"], r["c"])
+        if len(slot) < target:  # pragma: no cover - 64x oversampled search
+            raise RuntimeError("carrier search did not cover all partitions")
+        carrier = (
+            "CASE _zf "
+            + " ".join(f"WHEN {k} THEN {slot[k]}" for k in range(target))
+            + " END"
+        )
+        df = (
+            df.withColumn("_zv", z)
+            .withColumn("_zf", F.expr(f"_zv * {target} DIV {zspan}"))
+            .repartition(target, F.expr(carrier).cast("int"))
+            .sortWithinPartitions("_zv")
+            .drop("_zv", "_zf")
+        )
     elif sort_by and not spec:
         # range partition on the sort key -> near-disjoint per-file ranges
         df = df.repartitionByRange(target, *sort_by).sortWithinPartitions(
