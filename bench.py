@@ -22,6 +22,11 @@ from iceberg_loader_spark.operators import all_queries
 from iceberg_loader_spark.sources.tables import load_table
 
 
+DETAIL_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+)
+
+
 def _cpu_stat() -> dict[str, int] | None:
     """Aggregate jiffies from /proc/stat's first line (Linux only).
 
@@ -103,10 +108,7 @@ def main() -> None:
         "sf": sf_val,
         "host": host,
     }
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
-    with open(detail_path, "w") as f:
+    with open(DETAIL_PATH, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
     slowest = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
