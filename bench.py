@@ -44,6 +44,32 @@ def _cpu_stat() -> dict[str, int] | None:
         return None
 
 
+def _clear_session_memos(spark) -> None:
+    """Drop session-scoped shared-fragment memos (NOT the plan-only
+    table-read memo) so each timed query rebuilds its own fragments."""
+    memo = getattr(spark, "_ils_fragment_memo", None)
+    if memo:
+        memo.clear()
+
+
+def _release_all_blocks(spark) -> int:
+    """Unpersist every persisted/checkpointed RDD in the context, NOW.
+
+    Deterministic replacement for the gc→py4j-finalizer→ContextCleaner
+    chain. Safe between bench queries: the just-timed query has fully
+    evaluated (count()), the fragment memo was cleared, and nothing else
+    holds a lineage-truncated frame across iterations.
+    """
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        ids = list(jmap.keys())
+        for k in ids:
+            jmap[k].unpersist(False)
+        return len(ids)
+    except Exception:  # pragma: no cover - py4j surface drift
+        return -1
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -75,14 +101,24 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
-        # UNTIMED inter-query cleanup: drop dead py4j refs so the
-        # ContextCleaner can release the localCheckpoint / broadcast
-        # blocks earlier queries pinned — without this, executor-memory
-        # pressure and GC churn grow over the ~150-query run and
-        # late-position queries read 2-5x slower than solo (measured;
-        # the skew is run-order, not query, dependent).
-        gc.collect()
+        # UNTIMED inter-query cleanup — two contracts at once:
+        #  1. HONESTY: each timed query pays its own full pipeline cost.
+        #     Session-scoped shared-fragment memos (e.g. the minhash
+        #     scored-pairs frame reused by 4 queries) are cleared so no
+        #     query is timed against another query's cached blocks. The
+        #     load_table plan memo stays: it holds an analyzed plan, not
+        #     data blocks, and the warm-up already grants footer/listing
+        #     warmth as session infrastructure.
+        #  2. DETERMINISM: every persisted / localCheckpoint block is
+        #     unpersisted NOW via getPersistentRDDs, not whenever GC +
+        #     ContextCleaner get around to it — without this, block-
+        #     manager pressure grows over the ~237-query run and
+        #     late-position checkpoint-dense queries read many times
+        #     slower than solo (measured; run-order-dependent skew).
+        _clear_session_memos(spark)
+        _release_all_blocks(spark)
         spark.catalog.clearCache()
+        gc.collect()
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf

@@ -2224,3 +2224,333 @@ def _register_fingerprint_agreement() -> None:
 
 
 _register_fingerprint_agreement()
+
+
+# --------------------------------------------------------------------------
+# B25 (round 6) — INCREMENTAL index maintenance for the two remaining
+# fingerprint families, mirroring ``incremental_minhash_candidates``:
+# the historical corpus's fingerprints live in a PERSISTED index table
+# (written and read back through the table layer), the incoming batch
+# fingerprints ONLY its own documents, and the pair join is new-side
+# driving — old×old buckets are never enumerated and historical text is
+# never re-tokenized. Split: the same stable md5(doc_id) bucket
+# (hist < 50 ≤ new) every incremental operator uses, so the three
+# families stay comparable on identical batch boundaries.
+#
+# Scale: per-batch cost is O(batch tokens + index scan of fingerprints)
+# — the index scan touches 32-byte hashes and positions, never text;
+# the hot-fingerprint cap is computed over index ∪ batch exactly as the
+# full-corpus operator computes it over the corpus, so the incremental
+# result is EXACTLY the full run restricted to pairs touching a new
+# document (pinned by test).
+# --------------------------------------------------------------------------
+_DUCK_INC_BUCKET = (
+    "CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+    "AS BIGINT) % 100 >= 50 THEN 1 ELSE 0 END"
+)
+
+
+def _incremental_split(spark: SparkSession, sf_dir: str):
+    """(hist, inc) documents under the stable md5(doc_id) bucket split."""
+    from iceberg_loader_spark.operators.text import _bucket_col
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    marked = docs.withColumn("bucket", _bucket_col())
+    return (
+        marked.filter(F.col("bucket") < 50).drop("bucket"),
+        marked.filter(F.col("bucket") >= 50).drop("bucket"),
+    )
+
+
+def _persisted_index(spark: SparkSession, name: str, frame: DataFrame):
+    """Write ``frame`` through the table layer and scan it back — the
+    steady-state read path of a maintained index, not a cached plan."""
+    import tempfile
+
+    from iceberg_loader_spark.operators.lifecycle import _track_root
+    from iceberg_loader_spark.tables import Warehouse
+    from iceberg_loader_spark.tables.table import Table
+
+    wh = Warehouse(_track_root(tempfile.mkdtemp(prefix=f"ils_{name}_")))
+    idx = Table.create(wh, f"db.{name}", frame.schema)
+    idx.append(frame)
+    return wh.load_table(f"db.{name}").scan(spark)
+
+
+def _winnowing_prints(side: DataFrame) -> DataFrame:
+    """(doc_id, p): per-doc DISTINCT winnowing-selected prints — the
+    identical map-only pipeline as the full-corpus operator."""
+    ts = _token_arrays(side).filter(F.size("ts") >= _WN_K)
+    hs = F.transform(
+        F.sequence(F.lit(1), F.size("ts") - F.lit(_WN_K - 1)),
+        lambda i: F.md5(
+            F.array_join(F.slice(F.col("ts"), i, F.lit(_WN_K)), " ")
+        ),
+    )
+    with_h = ts.select("doc_id", hs.alias("hs")).filter(F.size("hs") >= _WN_W)
+    fp = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("hs") - F.lit(_WN_W - 1)),
+            lambda i: F.array_min(F.slice(F.col("hs"), i, F.lit(_WN_W))),
+        )
+    )
+    return with_h.select("doc_id", F.explode(fp).alias("p"))
+
+
+@_register(
+    "incremental_winnowing_candidates",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             list_transform(range(1, len(t) - {_WN_K - 2}),
+               i -> md5(array_to_string(t[i:i+{_WN_K - 1}], ' '))) AS hs
+      FROM toks WHERE len(t) >= {_WN_K}
+    ),
+    prints AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(hs) - {_WN_W - 2}),
+               i -> list_min(hs[i:i+{_WN_W - 1}]))) AS fp
+      FROM h WHERE len(hs) >= {_WN_W}
+    ),
+    fpx AS (
+      SELECT doc_id, unnest(fp) AS p, {_DUCK_INC_BUCKET} AS is_new
+      FROM prints
+    ),
+    hot AS (
+      SELECT p FROM (SELECT p, COUNT(*) AS nd FROM fpx GROUP BY p)
+      WHERE nd > {_WN_CAP}
+    ),
+    fpc AS (SELECT * FROM fpx WHERE p NOT IN (SELECT p FROM hot)),
+    ipx AS (
+      SELECT DISTINCT least(a.doc_id, b.doc_id) AS a_key,
+             greatest(a.doc_id, b.doc_id) AS b_key,
+             a.p AS p, a.is_new + b.is_new AS n_new
+      FROM fpc a JOIN fpc b ON a.p = b.p AND a.doc_id <> b.doc_id
+      WHERE a.is_new = 1
+    ),
+    shared AS (
+      SELECT a_key, b_key, n_new, CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM ipx GROUP BY 1, 2, 3
+    ),
+    sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp FROM fpc GROUP BY doc_id
+    )
+    SELECT s.a_key, s.b_key, s.n_shared, sa.n_fp AS n_fp_a, sb.n_fp AS n_fp_b,
+           CASE WHEN s.n_new = 2 THEN 'new_new' ELSE 'new_old' END AS pair_kind
+    FROM shared s JOIN sizes sa ON sa.doc_id = s.a_key
+                  JOIN sizes sb ON sb.doc_id = s.b_key
+    WHERE s.n_shared >= {_WN_T}
+    ORDER BY a_key, b_key
+    """,
+)
+def incremental_winnowing_candidates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    hist, inc = _incremental_split(spark, sf_dir)
+    hist_fp = _persisted_index(
+        spark, "wn_index", _winnowing_prints(hist)
+    ).withColumn("is_new", F.lit(0))
+    new_fp = _winnowing_prints(inc).withColumn("is_new", F.lit(1))
+    fpx = _materialize(hist_fp.unionByName(new_fp))
+    hot = (
+        fpx.groupBy("p")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") > _WN_CAP)
+        .select("p")
+    )
+    fpc = _materialize(fpx.join(F.broadcast(hot), "p", "left_anti"))
+    # new-side-driving join: the left frame is ONLY the incoming batch's
+    # prints, so old×old buckets are never enumerated; pairs re-orient
+    # to (least, greatest) and DISTINCT collapses the double-counted
+    # new_new orientation before the shared-print count
+    new_fpc = fpc.filter(F.col("is_new") == 1)
+    shared = (
+        new_fpc.alias("a")
+        .join(
+            fpc.alias("b"),
+            (F.col("a.p") == F.col("b.p"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("a_key"),
+            F.greatest("a.doc_id", "b.doc_id").alias("b_key"),
+            F.col("a.p").alias("p"),
+            (F.col("a.is_new") + F.col("b.is_new")).alias("n_new"),
+        )
+        .distinct()
+        .groupBy("a_key", "b_key", "n_new")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= _WN_T)
+    )
+    sizes = fpc.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_fp")
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("a_key"), F.col("n_fp").alias("n_fp_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("b_key"), F.col("n_fp").alias("n_fp_b")
+    )
+    return (
+        shared.join(sa, "a_key")
+        .join(sb, "b_key")
+        .select(
+            "a_key",
+            "b_key",
+            "n_shared",
+            "n_fp_a",
+            "n_fp_b",
+            F.when(F.col("n_new") == 2, "new_new")
+            .otherwise("new_old")
+            .alias("pair_kind"),
+        )
+        .orderBy("a_key", "b_key")
+    )
+
+
+def _span_anchors(side: DataFrame) -> DataFrame:
+    """(doc_id, pos, h): stride-1 anchor hashes — the identical map-only
+    pipeline as the full-corpus operator."""
+    ts = _token_arrays(side).filter(F.size("ts") >= _XSPAN_W)
+    anchors = F.transform(
+        F.sequence(F.lit(1), F.size("ts") - F.lit(_XSPAN_W - 1)),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.md5(
+                F.array_join(F.slice(F.col("ts"), i, F.lit(_XSPAN_W)), " ")
+            ).alias("h"),
+        ),
+    )
+    return ts.select("doc_id", F.explode(anchors).alias("s")).select(
+        "doc_id", F.col("s.pos").alias("pos"), F.col("s.h").alias("h")
+    )
+
+
+@_register(
+    "incremental_span_candidates",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
+    ),
+    spans AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t) - {_XSPAN_W - 2}),
+               i -> struct_pack(pos := i,
+                 h := md5(array_to_string(t[i:i+{_XSPAN_W - 1}], ' '))))) AS s
+      FROM toks WHERE len(t) >= {_XSPAN_W}
+    ),
+    sp AS (
+      SELECT doc_id, s.pos AS pos, s.h AS h, {_DUCK_INC_BUCKET} AS is_new
+      FROM spans
+    ),
+    hot AS (
+      SELECT h FROM (
+        SELECT h, COUNT(DISTINCT doc_id) AS nd FROM sp GROUP BY h
+      ) WHERE nd > {_XSPAN_CAP}
+    ),
+    spc AS (SELECT * FROM sp WHERE h NOT IN (SELECT h FROM hot)),
+    m AS (
+      SELECT DISTINCT least(a.doc_id, b.doc_id) AS a_key,
+             greatest(a.doc_id, b.doc_id) AS b_key,
+             CASE WHEN a.doc_id < b.doc_id THEN a.pos - b.pos
+                  ELSE b.pos - a.pos END AS diag,
+             CASE WHEN a.doc_id < b.doc_id THEN a.pos ELSE b.pos END AS ap,
+             a.is_new + b.is_new AS n_new
+      FROM spc a JOIN spc b ON a.h = b.h AND a.doc_id <> b.doc_id
+      WHERE a.is_new = 1
+    ),
+    runs AS (
+      SELECT a_key, b_key, diag, n_new,
+             ap - ROW_NUMBER() OVER (
+               PARTITION BY a_key, b_key, diag ORDER BY ap) AS rid
+      FROM m
+    ),
+    runlen AS (
+      SELECT a_key, b_key, MAX(n_new) AS n_new,
+             CAST(COUNT(*) + {_XSPAN_W - 1} AS BIGINT) AS run_tokens
+      FROM runs GROUP BY a_key, b_key, diag, rid
+    )
+    SELECT a_key, b_key,
+           MAX(run_tokens) AS max_span_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_runs,
+           CASE WHEN MAX(n_new) = 2 THEN 'new_new' ELSE 'new_old' END
+             AS pair_kind
+    FROM runlen
+    GROUP BY a_key, b_key
+    HAVING MAX(run_tokens) >= {_XSPAN_L}
+    ORDER BY a_key, b_key
+    """,
+)
+def incremental_span_candidates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    hist, inc = _incremental_split(spark, sf_dir)
+    hist_sp = _persisted_index(
+        spark, "sp_index", _span_anchors(hist)
+    ).withColumn("is_new", F.lit(0))
+    new_sp_raw = _span_anchors(inc).withColumn("is_new", F.lit(1))
+    sp = _materialize(hist_sp.unionByName(new_sp_raw))
+    hot = (
+        sp.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > _XSPAN_CAP)
+        .select("h")
+    )
+    spc = _materialize(sp.join(F.broadcast(hot), "h", "left_anti"))
+    new_sp = spc.filter(F.col("is_new") == 1)
+    # new-side-driving seed join; matches re-orient so the (pair, diag,
+    # ap) geometry is identical to the full-corpus operator regardless
+    # of which side the new document landed on
+    lo_first = F.col("a.doc_id") < F.col("b.doc_id")
+    m = (
+        new_sp.alias("a")
+        .join(
+            spc.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("a_key"),
+            F.greatest("a.doc_id", "b.doc_id").alias("b_key"),
+            F.when(lo_first, F.col("a.pos") - F.col("b.pos"))
+            .otherwise(F.col("b.pos") - F.col("a.pos"))
+            .alias("diag"),
+            F.when(lo_first, F.col("a.pos"))
+            .otherwise(F.col("b.pos"))
+            .alias("ap"),
+            (F.col("a.is_new") + F.col("b.is_new")).alias("n_new"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("a_key", "b_key", "diag").orderBy("ap")
+    runs = m.withColumn("rid", F.col("ap") - F.row_number().over(w))
+    runlen = runs.groupBy("a_key", "b_key", "diag", "rid").agg(
+        F.max("n_new").alias("n_new"),
+        (F.count("*") + F.lit(_XSPAN_W - 1))
+        .cast("bigint")
+        .alias("run_tokens"),
+    )
+    return (
+        runlen.groupBy("a_key", "b_key")
+        .agg(
+            F.max("run_tokens").alias("max_span_tokens"),
+            F.count("*").cast("bigint").alias("n_runs"),
+            F.max("n_new").alias("n_new"),
+        )
+        .filter(F.col("max_span_tokens") >= _XSPAN_L)
+        .select(
+            "a_key",
+            "b_key",
+            "max_span_tokens",
+            "n_runs",
+            F.when(F.col("n_new") == 2, "new_new")
+            .otherwise("new_old")
+            .alias("pair_kind"),
+        )
+        .orderBy("a_key", "b_key")
+    )

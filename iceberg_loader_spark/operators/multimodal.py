@@ -178,20 +178,10 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Decode stubs — the plumbing contract for real codecs.
+# Decode path. The real ``decode_media`` (pure-Python WAV/RIFF + PPM/P6
+# codecs) is defined further down, next to the codecs it dispatches to.
+# ``fake_decode`` remains for mimes with no in-container codec.
 # --------------------------------------------------------------------------
-def decode_media(payload: bytes, mime: str):
-    """Decode an image/audio/video payload. STUB: no codecs in container.
-
-    The production implementation would dispatch on ``mime`` to
-    PIL/libav/etc. inside the same mapInPandas batch loop used by
-    :func:`_sample_frames`.
-    """
-    raise NotImplementedError(
-        f"no codec available for {mime!r}; install decode deps"
-    )
-
-
 def fake_decode(payload: bytes, mime: str) -> dict:
     """Deterministic stand-in for decode: byte-level pseudo-features."""
     buf = bytes(payload)

@@ -825,7 +825,15 @@ def _pc_train(
     scoring) keeps every margins frame lazy — each is consumed exactly
     once by the miss filter — and never computes the post-final-update
     margins at all.
+
+    Superseded round weights are released eagerly: round r+1's
+    ``_materialize`` consumes round r's weight blocks at build time, so
+    freeing them immediately keeps the query's peak block storage O(1)
+    in rounds instead of O(rounds) — materialization hygiene for the
+    most checkpoint-dense query family in the registry.
     """
+    from iceberg_loader_spark.tables.materialize import release_blocks
+
     w = _materialize(
         fl.groupBy("bucket").agg(F.sum(F.col("y") * F.col("cnt")).alias("w"))
     )
@@ -845,8 +853,9 @@ def _pc_train(
             .groupBy("bucket")
             .agg(F.sum(F.col("y") * F.col("cnt")).alias("d"))
         )
+        prev_w = w
         w = _materialize(
-            w.join(upd, "bucket", "left").select(
+            prev_w.join(upd, "bucket", "left").select(
                 "bucket",
                 (
                     F.lit(_PC_DAMP) * F.col("w")
@@ -854,6 +863,11 @@ def _pc_train(
                 ).alias("w"),
             )
         )
+        # the eager materialize above just consumed prev_w; no later
+        # consumer reads it (margins for this round were materialized or
+        # fully folded into `upd`), so free its blocks now (a no-op when
+        # _materialize is identity-patched: nothing was pinned)
+        release_blocks(prev_w)
     return w, margins
 
 
@@ -943,3 +957,142 @@ def perceptron_holdout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "acc_bps"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 6 — the retrieval stack composed END-TO-END under one oracle
+# gate: chunking → lexical pool (BM25) → semantic pool → RRF fusion →
+# hard-negative mining for the fused survivors, reported as per-stage
+# survivor counts plus a value-sensitive checksum of the mined
+# negatives. Each stage is the REGISTERED operator's own pipeline (the
+# oracle recomposes the registered SQL as CTEs), so this key catches
+# cross-stage drift no per-operator gate can see — the curation funnel
+# (dedup.curation_funnel_counts) proved the pattern; this is its
+# retrieval twin.
+#
+# Scale: every stage inherits its operator's posture (two-phase top-k,
+# broadcast query sides, integer fixed-point); the composition adds only
+# per-stage COUNT aggregates and a ≤10-row anchor broadcast for the
+# negative mining — nothing data-sized beyond what the stages already
+# shuffle.
+# --------------------------------------------------------------------------
+def _register_retrieval_funnel() -> None:
+    from iceberg_loader_spark.operators.similarity import _DUCK_DOT, _DUCK_FP
+
+    oracle = f"""
+    WITH chunks_raw AS ({ORACLES["chunk_documents_overlap"]}),
+    {_BM25_SCORED_CTES},
+    fused_raw AS ({ORACLES["hybrid_rrf_fusion"]}),
+    nfp AS (
+      SELECT vec_id, label,
+             {_DUCK_FP.format(col='embedding')} AS e
+      FROM embeddings
+    ),
+    nnorms AS (
+      SELECT vec_id, label, e, {_DUCK_DOT.format(a='e', b='e')} AS nsq
+      FROM nfp
+    ),
+    npairs AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS neg_id,
+             CAST({_DUCK_DOT.format(a='q.e', b='c.e')} AS DOUBLE)
+               / (SQRT(CAST(q.nsq AS DOUBLE)) * SQRT(CAST(c.nsq AS DOUBLE)))
+               AS cosine
+      FROM nnorms q JOIN nnorms c
+        ON c.vec_id <> q.vec_id AND c.label <> q.label
+      WHERE q.vec_id IN (SELECT doc_id FROM fused_raw)
+    ),
+    negs AS (
+      SELECT q_id, neg_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY cosine DESC, neg_id) AS rnk
+        FROM npairs)
+      WHERE rnk <= 3
+    )
+    SELECT stage, n FROM (
+      SELECT '1_docs' AS stage, CAST(COUNT(*) AS BIGINT) AS n FROM documents
+      UNION ALL SELECT '2_chunks', CAST(COUNT(*) AS BIGINT) FROM chunks_raw
+      UNION ALL SELECT '3_lexical_pool', CAST(COUNT(*) AS BIGINT) FROM scored
+      UNION ALL SELECT '4_semantic_pool', CAST(COUNT(*) AS BIGINT)
+        FROM embeddings WHERE vec_id <> 0
+      UNION ALL SELECT '5_fused_topk', CAST(COUNT(*) AS BIGINT) FROM fused_raw
+      UNION ALL SELECT '6_in_both_channels', CAST(COUNT(*) AS BIGINT)
+        FROM fused_raw WHERE in_lexical AND in_semantic
+      UNION ALL SELECT '7_hard_negatives', CAST(COUNT(*) AS BIGINT) FROM negs
+      UNION ALL SELECT '8_neg_id_checksum', CAST(COALESCE(SUM(neg_id), 0)
+        AS BIGINT) FROM negs
+    )
+    ORDER BY stage
+    """
+
+    @_register("retrieval_funnel_counts", oracle)
+    def retrieval_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from iceberg_loader_spark.operators.similarity import _dot, _fixed_point
+
+        docs = load_table(spark, sf_dir, "documents")
+        chunks = chunk_documents_overlap(spark, sf_dir)
+        lexpool = _bm25_scored(spark, sf_dir)
+        emb = load_table(spark, sf_dir, "embeddings")
+        fused = _materialize(hybrid_rrf_fusion(spark, sf_dir))
+        fp = emb.select(
+            "vec_id", "label", _fixed_point(F.col("embedding")).alias("e")
+        ).withColumn("nsq", _dot(F.col("e"), F.col("e")))
+        anchors = fp.join(
+            fused.select(F.col("doc_id").alias("vec_id")), "vec_id"
+        ).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("label").alias("q_label"),
+            F.col("e").alias("q_e"),
+            F.col("nsq").alias("q_nsq"),
+        )
+        npairs = fp.join(
+            F.broadcast(anchors),
+            (F.col("vec_id") != F.col("q_id"))
+            & (F.col("label") != F.col("q_label")),
+        ).select(
+            "q_id",
+            F.col("vec_id").alias("neg_id"),
+            (
+                _dot(F.col("q_e"), F.col("e")).cast("double")
+                / (
+                    F.sqrt(F.col("q_nsq").cast("double"))
+                    * F.sqrt(F.col("nsq").cast("double"))
+                )
+            ).alias("cosine"),
+        )
+        w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neg_id"))
+        negs = _materialize(
+            npairs.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3)
+            .select("q_id", "neg_id")
+        )
+
+        def _stage(name: str, frame: DataFrame, expr=None) -> DataFrame:
+            agg = (expr if expr is not None else F.count("*")).cast(
+                "bigint"
+            ).alias("n")
+            return frame.agg(agg).select(F.lit(name).alias("stage"), "n")
+
+        rows = [
+            _stage("1_docs", docs),
+            _stage("2_chunks", chunks),
+            _stage("3_lexical_pool", lexpool),
+            _stage("4_semantic_pool", emb.filter(F.col("vec_id") != 0)),
+            _stage("5_fused_topk", fused),
+            _stage(
+                "6_in_both_channels",
+                fused.filter(F.col("in_lexical") & F.col("in_semantic")),
+            ),
+            _stage("7_hard_negatives", negs),
+            _stage(
+                "8_neg_id_checksum",
+                negs,
+                F.coalesce(F.sum("neg_id"), F.lit(0)),
+            ),
+        ]
+        out = rows[0]
+        for r in rows[1:]:
+            out = out.unionByName(r)
+        return out.orderBy("stage")
+
+
+_register_retrieval_funnel()

@@ -1193,10 +1193,10 @@ _PQ_D = 8  # dims per subspace
 _PQ_K = 16  # codes per subspace
 
 
-_DUCK_PQ_CODES = f"""
-    fp AS (
-      SELECT vec_id, {_DUCK_FP.format(col='embedding')} AS e FROM embeddings
-    ),
+# body (cb, pq_pairs, codes) split out so composite oracles that already
+# define an ``fp`` CTE (e.g. via _DUCK_IVF, whose fp is a superset) can
+# reuse the code pipeline without a duplicate-CTE-name clash
+_DUCK_PQ_BODY = f"""
     cb AS (SELECT vec_id AS c_id, e AS c_e FROM fp WHERE vec_id < {_PQ_K}),
     pq_pairs AS (
       SELECT f.vec_id, s.s, c.c_id,
@@ -1213,6 +1213,13 @@ _DUCK_PQ_CODES = f"""
         FROM pq_pairs)
       WHERE rn = 1
     )
+"""
+
+_DUCK_PQ_CODES = f"""
+    fp AS (
+      SELECT vec_id, {_DUCK_FP.format(col='embedding')} AS e FROM embeddings
+    ),
+{_DUCK_PQ_BODY}
 """
 
 
@@ -1946,4 +1953,225 @@ def graph_ann_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _BEAM_TOPK)
         .select("q_id", F.col("node").alias("n_id"), "cosine", "rnk")
         .orderBy("q_id", "rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# Round 6 — recall of the COMPOSED production ANN pipeline (IVF probe →
+# PQ asymmetric-distance ranking), measured against exact cosine:
+# ``ann_recall_ivf`` quantifies the coarse quantizer alone, but a real
+# deployment ranks the probed cells' candidates by ADC over stored
+# codes, stacking BOTH approximations. This key reports per-query
+# recall@3 for nprobe=1 AND nprobe=2 of that full composition — the
+# "measure, don't guess" number a capacity-planning decision actually
+# needs (how much recall does the second probe buy back after PQ?).
+#
+# Scale: candidates stay cell-local (the IVF equi-join); the ADC rank
+# touches 8 codes per candidate, never raw embeddings; the distance
+# tables and probe lists are ≤20-query broadcast payloads. Cells are
+# disjoint per query, so the nprobe=1 candidate set is the probe_rank=1
+# slice of the nprobe=2 set — one ADC pass, two rank windows.
+# --------------------------------------------------------------------------
+@_register(
+    "ann_recall_ivf_pq",
+    f"""
+    WITH {_DUCK_IVF},
+    {_DUCK_PQ_BODY},
+    exact_pairs AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             CAST({_DUCK_DOT.format(a='q.e', b='c.e')} AS DOUBLE)
+               / (SQRT(CAST(q.nsq AS DOUBLE)) * SQRT(CAST(c.nsq AS DOUBLE)))
+               AS cosine
+      FROM norms q JOIN norms c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 20
+    ),
+    exact3 AS (
+      SELECT q_id, n_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                    ORDER BY cosine DESC, n_id) AS rnk
+        FROM exact_pairs)
+      WHERE rnk <= 3
+    ),
+    probes AS (
+      SELECT vec_id AS q_id, c_id AS probe_cell, rnk AS probe_rank FROM (
+        SELECT n.vec_id, c.c_id,
+               ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                 ORDER BY {_DUCK_DOT.format(a='n.e', b='c.c_e')} DESC, c.c_id)
+                 AS rnk
+        FROM norms n CROSS JOIN centroids c
+        WHERE n.vec_id < 20)
+      WHERE rnk <= 2
+    ),
+    dtab AS (
+      SELECT q.vec_id AS q_id, s.s, c.c_id,
+             list_sum(list_transform(range(1, {_PQ_D} + 1),
+               j -> (q.e[s.s * {_PQ_D} + j] - c.c_e[s.s * {_PQ_D} + j])
+                    * (q.e[s.s * {_PQ_D} + j] - c.c_e[s.s * {_PQ_D} + j])))
+               AS d2
+      FROM (SELECT * FROM fp WHERE vec_id < 20) q,
+           (SELECT unnest(range(0, {_PQ_M})) AS s) s, cb c
+    ),
+    cand AS (
+      SELECT p.q_id, p.probe_rank, c.vec_id AS n_id
+      FROM probes p JOIN assigned c
+        ON c.c_id = p.probe_cell AND c.vec_id <> p.q_id
+    ),
+    adc AS (
+      SELECT ca.q_id, MIN(ca.probe_rank) AS probe_rank, ca.n_id,
+             SUM(d.d2) AS adc_d2
+      FROM cand ca
+      JOIN codes n ON n.vec_id = ca.n_id
+      JOIN dtab d ON d.q_id = ca.q_id AND d.s = n.s AND d.c_id = n.code
+      GROUP BY ca.q_id, ca.n_id
+    ),
+    pq1 AS (
+      SELECT q_id, n_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                    ORDER BY adc_d2, n_id) AS rnk
+        FROM adc WHERE probe_rank = 1)
+      WHERE rnk <= 3
+    ),
+    pq2 AS (
+      SELECT q_id, n_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                    ORDER BY adc_d2, n_id) AS rnk
+        FROM adc)
+      WHERE rnk <= 3
+    )
+    SELECT e.q_id, np.nprobe,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           3 AS k
+    FROM (SELECT DISTINCT q_id FROM exact3) e
+    CROSS JOIN (SELECT unnest([1, 2]) AS nprobe) np
+    LEFT JOIN (
+      SELECT x.q_id, 1 AS nprobe, COUNT(*) AS n_hits
+      FROM exact3 x JOIN pq1 i ON x.q_id = i.q_id AND x.n_id = i.n_id
+      GROUP BY x.q_id
+      UNION ALL
+      SELECT x.q_id, 2 AS nprobe, COUNT(*) AS n_hits
+      FROM exact3 x JOIN pq2 i ON x.q_id = i.q_id AND x.n_id = i.n_id
+      GROUP BY x.q_id) h
+    ON e.q_id = h.q_id AND np.nprobe = h.nprobe
+    ORDER BY e.q_id, np.nprobe
+    """,
+)
+def ann_recall_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_loader_spark.operators.dedup import _materialize
+
+    assigned = _ivf_assigned(spark, sf_dir)
+    codes = _pq_codes(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    fp = emb.select(
+        "vec_id", _fixed_point(F.col("embedding")).alias("e")
+    ).withColumn("nsq", _dot(F.col("e"), F.col("e")))
+    centroids = fp.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("c_id"), F.col("e").alias("c_e")
+    )
+    cb = fp.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("c_id"), F.col("e").alias("c_e")
+    )
+    q = fp.filter(F.col("vec_id") < 20)
+
+    # exact reference: top-3 cosine over the whole corpus per query
+    queries = q.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("e").alias("q_e"),
+        F.col("nsq").alias("q_nsq"),
+    )
+    cosine = _dot(F.col("q_e"), F.col("e")).cast("double") / (
+        F.sqrt(F.col("q_nsq").cast("double"))
+        * F.sqrt(F.col("nsq").cast("double"))
+    )
+    w_cos = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    exact3 = _materialize(
+        assigned.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("n_id"), cosine.alias("cosine"))
+        .withColumn("rnk", F.row_number().over(w_cos))
+        .filter(F.col("rnk") <= 3)
+        .select("q_id", "n_id")
+    )
+
+    # IVF probes: each query's top-2 centroid cells
+    w_probe = W.partitionBy("vec_id").orderBy(
+        F.desc(_dot(F.col("e"), F.col("c_e"))), F.asc("c_id")
+    )
+    probes = (
+        q.join(F.broadcast(centroids))
+        .withColumn("rnk", F.row_number().over(w_probe))
+        .filter(F.col("rnk") <= 2)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("c_id").alias("probe_cell"),
+            F.col("rnk").alias("probe_rank"),
+        )
+    )
+    # per-query ADC distance tables (20 × 8 × 16 rows — broadcast)
+    sub = F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("s")
+    dtab = (
+        q.select(F.col("vec_id").alias("q_id"), "e", sub)
+        .join(F.broadcast(cb))
+        .select(
+            "q_id",
+            F.col("s").alias("qs"),
+            F.col("c_id").alias("qc"),
+            _pq_sub_d2().alias("qd2"),
+        )
+    )
+    # cell-local candidates; one ADC pass covers both nprobe settings
+    # (cells are disjoint per query, so probe_rank=1 slices nprobe=1)
+    cand = assigned.join(
+        F.broadcast(probes),
+        (F.col("c_id") == F.col("probe_cell"))
+        & (F.col("vec_id") != F.col("q_id")),
+    ).select("q_id", "probe_rank", F.col("vec_id").alias("n_id"))
+    dtab = dtab.withColumnRenamed("q_id", "dq_id")
+    adc = _materialize(
+        cand.join(codes, cand.n_id == codes.vec_id)
+        .join(
+            F.broadcast(dtab),
+            (F.col("q_id") == F.col("dq_id"))
+            & (F.col("s") == F.col("qs"))
+            & (F.col("code") == F.col("qc")),
+        )
+        .groupBy("q_id", "n_id")
+        .agg(
+            F.min("probe_rank").alias("probe_rank"),
+            F.sum("qd2").alias("adc_d2"),
+        )
+    )
+    w_adc = W.partitionBy("q_id").orderBy("adc_d2", F.asc("n_id"))
+
+    def _recall(top: DataFrame, nprobe: int) -> DataFrame:
+        hits = (
+            exact3.join(top, ["q_id", "n_id"])
+            .groupBy("q_id")
+            .agg(F.count("*").alias("n_hits"))
+        )
+        return (
+            exact3.select("q_id")
+            .distinct()
+            .join(F.broadcast(hits), "q_id", "left")
+            .select(
+                "q_id",
+                F.lit(nprobe).alias("nprobe"),
+                F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+                F.lit(3).alias("k"),
+            )
+        )
+
+    pq1 = (
+        adc.filter(F.col("probe_rank") == 1)
+        .withColumn("rnk", F.row_number().over(w_adc))
+        .filter(F.col("rnk") <= 3)
+        .select("q_id", "n_id")
+    )
+    pq2 = (
+        adc.withColumn("rnk", F.row_number().over(w_adc))
+        .filter(F.col("rnk") <= 3)
+        .select("q_id", "n_id")
+    )
+    return (
+        _recall(pq1, 1)
+        .unionByName(_recall(pq2, 2))
+        .orderBy("q_id", "nprobe")
     )

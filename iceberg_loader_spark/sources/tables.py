@@ -18,6 +18,8 @@ so the 100 TB path is unchanged.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -68,6 +70,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     an immutable logical plan — reuse is free and the cache dies with the
     session object. Mutable paths (warehouse tables) never go through this
     reader; they use :class:`~iceberg_loader_spark.tables.Warehouse`.
+
+    Immutability is *verified*, not assumed: the cached plan pins the
+    parquet file listing at first read, so a hit is honored only while the
+    path's mtime is unchanged — a rewritten/appended path invalidates the
+    entry instead of silently serving a stale listing.
     """
     ensure_compat(spark)
     cache = getattr(spark, "_ils_table_cache", None)
@@ -77,11 +84,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             spark._ils_table_cache = cache
         except AttributeError:  # pragma: no cover - slotted session impl
             pass
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        mtime = None  # non-local path (e.g. s3a://) — cannot verify; trust
     key = (sf_dir, name)
     cached = cache.get(key)
-    if cached is not None:
-        return cached
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if cached is not None and cached[0] == mtime:
+        return cached[1]
+    df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # ns epoch → µs-precision naive timestamp (matches DuckDB's read).
         # Built via timestampadd on an NTZ literal so the result is
@@ -95,7 +107,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
             ),
         )
-    cache[key] = df
+    cache[key] = (mtime, df)
     return df
 
 

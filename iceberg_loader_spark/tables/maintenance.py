@@ -229,7 +229,16 @@ def rewrite_data_files(
         # tiny deterministic driver-side search (Spark's int hash is a
         # fixed function), so repartition(target, carrier) is a plain
         # hash shuffle with a perfect placement, no sampling anywhere.
+        # Interval id = _zv DIV step (divide-FIRST): the naive
+        # `_zv * target DIV zspan` multiplies before dividing, and with
+        # zspan = 2^(10·cols) the product overflows BIGINT once
+        # 10·cols + log2(target) ≥ 63 (e.g. 6 z-order columns with
+        # target ≥ 8) — an ANSI-mode ArithmeticException instead of a
+        # placement. step = ceil(zspan/target) keeps ids in [0, target)
+        # (zspan ≥ 2^10 ≫ target, so every id is reachable); least()
+        # clamps the exact-boundary edge.
         zspan = 2 ** (_ZORDER_BITS * len(zorder_by))
+        zstep = -(-zspan // target)  # ceil
         slot = {}
         for r in spark.range(0, 64 * target).select(
             F.col("id").cast("int").alias("c"),
@@ -245,7 +254,9 @@ def rewrite_data_files(
         )
         df = (
             df.withColumn("_zv", z)
-            .withColumn("_zf", F.expr(f"_zv * {target} DIV {zspan}"))
+            .withColumn(
+                "_zf", F.expr(f"least(_zv DIV {zstep}, {target - 1})")
+            )
             .repartition(target, F.expr(carrier).cast("int"))
             .sortWithinPartitions("_zv")
             .drop("_zv", "_zf")

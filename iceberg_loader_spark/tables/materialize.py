@@ -21,12 +21,54 @@ Two modes, same switch as ``operators/dedup._materialize``:
 
 from __future__ import annotations
 
+import logging
 import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 
-__all__ = ["materialize"]
+__all__ = ["materialize", "release_blocks"]
+
+_LOG = logging.getLogger(__name__)
+_RELEASE_WARNED = False
+
+
+def release_blocks(df: DataFrame) -> bool:
+    """Free the executor blocks backing a materialized frame, NOW.
+
+    Caller contract: every consumer of the frame has already evaluated —
+    a ``localCheckpoint`` frame's lineage is truncated, so a read after
+    release fails loudly (``CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND``), while a
+    ``persist``-mode frame silently recomputes from lineage.
+
+    Returns ``True`` if blocks were freed. Failure is logged (once per
+    process) rather than swallowed: a silent no-op here would accumulate
+    block storage in exactly the long-lived many-changelog scenario this
+    helper exists to bound.
+    """
+    global _RELEASE_WARNED
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            # localCheckpoint frame: the persisted RDD lives inside the
+            # LogicalRDD node (the DataFrame itself is not "cached" as
+            # far as the CacheManager knows, so df.unpersist is a no-op)
+            plan.rdd().unpersist(False)
+        else:
+            # persist-mode frame: the plan is the original tree and the
+            # CacheManager owns the blocks
+            df.unpersist(False)
+        return True
+    except Exception:
+        if not _RELEASE_WARNED:
+            _LOG.warning(
+                "release_blocks: could not free materialized blocks — "
+                "block storage will rely on GC/ContextCleaner until the "
+                "session ends (reported once per process)",
+                exc_info=True,
+            )
+            _RELEASE_WARNED = True
+        return False
 
 
 def materialize(df: DataFrame) -> tuple[DataFrame, Callable[[], None]]:
@@ -35,17 +77,7 @@ def materialize(df: DataFrame) -> tuple[DataFrame, Callable[[], None]]:
 
         out = df.persist(StorageLevel.MEMORY_AND_DISK)
         out.count()  # eager, so every consumer reads the cache
-        return out, lambda: out.unpersist()
+        return out, lambda: release_blocks(out)
 
     out = df.localCheckpoint(eager=True)
-
-    def release() -> None:
-        # the checkpointed RDD lives inside the LogicalRDD node; freeing
-        # it here instead of waiting on the py4j finalizer bounds block
-        # storage across repeated calls
-        try:
-            out._jdf.queryExecution().analyzed().rdd().unpersist(False)
-        except Exception:  # pragma: no cover - best-effort release
-            pass
-
-    return out, release
+    return out, lambda: release_blocks(out)

@@ -170,6 +170,19 @@ def _stat_value(v):
     return None
 
 
+# Manifest-stats collection mode (see Table._collect_entries). Validated at
+# import — a typo silently falling back to the driver loop would re-open the
+# driver-bottleneck path on wide cluster appends.
+_MANIFEST_MODE = os.environ.get("SPARK_GRAFT_MANIFEST", "auto")
+if _MANIFEST_MODE not in ("auto", "driver", "distributed"):
+    raise ValueError(
+        f"unknown SPARK_GRAFT_MANIFEST mode: {_MANIFEST_MODE!r} "
+        "(expected 'auto', 'driver', or 'distributed')"
+    )
+# auto mode: below this many files a Spark job costs more than it saves
+_MANIFEST_DISTRIBUTE_MIN = 16
+
+
 def entry_from_footer(
     abs_path: str, rel_path: str, partition: dict | None = None
 ) -> DataFile:
@@ -773,7 +786,9 @@ class Table:
         if pcols:
             writer = writer.partitionBy(*pcols)
         writer.parquet(staging_abs)
-        entries = self._collect_entries(staging_abs, staging_rel)
+        entries = self._collect_entries(
+            staging_abs, staging_rel, spark=df.sparkSession
+        )
         bloom_cols = self._bloom_keys()
         if bloom_cols and all(c in df.columns for c in bloom_cols):
             # One column-pruned read-back of the staged files builds the
@@ -795,9 +810,25 @@ class Table:
                     }
         return entries
 
-    def _collect_entries(self, staging_abs: str, staging_rel: str) -> list[DataFile]:
-        """Driver-side footer read of newly written files → manifest entries."""
-        entries = []
+    def _collect_entries(
+        self, staging_abs: str, staging_rel: str, spark: SparkSession | None = None
+    ) -> list[DataFile]:
+        """Footer-read newly written files → manifest entries.
+
+        The file LISTING stays on the driver (cheap directory walk; the
+        commit must enumerate its own files anyway), but the per-file
+        footer reads — the O(files) metadata work — fan out as a Spark
+        job once the write is wide enough: a 1000-file append serializing
+        a thousand footer reads on the driver was the one flagged
+        local-only scale shortcut. Mode via ``SPARK_GRAFT_MANIFEST``:
+        ``auto`` (default — distribute at ≥ _MANIFEST_DISTRIBUTE_MIN
+        files), ``driver``, ``distributed``. Executors must see the
+        table's storage paths (trivially true locally; on a cluster the
+        warehouse lives on shared storage by construction). Entry order
+        is identical in both modes: ``parallelize`` + ``collect``
+        preserve input order, so commit metadata is mode-independent.
+        """
+        jobs: list[tuple[str, str, dict]] = []
         for dirpath, _dirnames, filenames in os.walk(staging_abs):
             for fn in sorted(filenames):
                 if not fn.endswith(".parquet"):
@@ -810,10 +841,23 @@ class Table:
                         k, v = seg.split("=", 1)
                         v = urllib.parse.unquote(v)
                         partition[k[3:]] = None if v == _HIVE_NULL else v
-                entries.append(
-                    entry_from_footer(abs_path, rel_path, partition)
-                )
-        return entries
+                jobs.append((abs_path, rel_path, partition))
+        mode = _MANIFEST_MODE
+        if mode == "auto":
+            mode = (
+                "distributed"
+                if spark is not None and len(jobs) >= _MANIFEST_DISTRIBUTE_MIN
+                else "driver"
+            )
+        if mode == "driver" or spark is None:
+            return [entry_from_footer(a, r, p) for a, r, p in jobs]
+        sc = spark.sparkContext
+        n_slices = max(1, min(len(jobs), sc.defaultParallelism))
+        return (
+            sc.parallelize(jobs, n_slices)
+            .map(lambda j: entry_from_footer(j[0], j[1], j[2]))
+            .collect()
+        )
 
     # ---- commit loop -----------------------------------------------------
 

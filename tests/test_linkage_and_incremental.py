@@ -91,3 +91,50 @@ def test_incremental_minhash_pair_kinds(spark):
         want = "new_new" if (is_new(r.a_id) and is_new(r.b_id)) else "new_old"
         assert r.pair_kind == want, (r.a_id, r.b_id)
         assert is_new(r.a_id) or is_new(r.b_id)
+
+
+def _is_new(doc_id: int) -> bool:
+    import hashlib
+
+    h = hashlib.md5(str(doc_id).encode()).hexdigest()
+    return int(h[:8], 16) % 100 >= 50
+
+
+def test_incremental_winnowing_equals_full_run_restriction(spark):
+    """Persisted print index + new-batch-only fingerprinting must produce
+    EXACTLY the full-corpus operator's pairs (with identical shared-print
+    counts and per-doc print sizes) restricted to pairs touching at
+    least one new document."""
+    full = {
+        (r.a_key, r.b_key): (r.n_shared, r.n_fp_a, r.n_fp_b)
+        for r in QUERIES["winnowing_neardup_pairs"](spark, SF_SMOKE).collect()
+        if _is_new(r.a_key) or _is_new(r.b_key)
+    }
+    inc = {}
+    for r in QUERIES["incremental_winnowing_candidates"](
+        spark, SF_SMOKE
+    ).collect():
+        inc[(r.a_key, r.b_key)] = (r.n_shared, r.n_fp_a, r.n_fp_b)
+        want = "new_new" if (_is_new(r.a_key) and _is_new(r.b_key)) else "new_old"
+        assert r.pair_kind == want
+    assert inc == full
+
+
+def test_incremental_spans_equals_full_run_restriction(spark):
+    """Persisted anchor index + new-batch-only anchoring must reproduce
+    the full-corpus maximal-run geometry (max span AND run count) for
+    every pair touching a new document — the orientation re-mapping
+    (least/greatest + diagonal flip) must not perturb the islands."""
+    full = {
+        (r.a_key, r.b_key): (r.max_span_tokens, r.n_runs)
+        for r in QUERIES["cross_doc_span_pairs"](spark, SF_SMOKE).collect()
+        if _is_new(r.a_key) or _is_new(r.b_key)
+    }
+    inc = {}
+    for r in QUERIES["incremental_span_candidates"](
+        spark, SF_SMOKE
+    ).collect():
+        inc[(r.a_key, r.b_key)] = (r.max_span_tokens, r.n_runs)
+        want = "new_new" if (_is_new(r.a_key) and _is_new(r.b_key)) else "new_old"
+        assert r.pair_kind == want
+    assert inc == full

@@ -1,0 +1,78 @@
+"""Deterministic block release — the materialization-hygiene contract.
+
+A long-lived session (bench sweep, changelog apply, perceptron training)
+must be able to free executor block storage NOW, not whenever GC + the
+ContextCleaner get around to it. These tests pin:
+
+* ``release_blocks`` on a localCheckpoint frame actually removes the
+  backing RDD from block storage (the ADVICE item: a silent no-op here
+  would accumulate blocks in exactly the scenario the helper exists for),
+* ``release_blocks`` on a persist-mode frame leaves it recomputable,
+* bench.py's inter-query cleanup returns the context's persistent-RDD
+  count to zero (the VERDICT item: a future query that leaks
+  checkpointed blocks must fail this test).
+"""
+
+from __future__ import annotations
+
+from iceberg_loader_spark.tables.materialize import materialize, release_blocks
+
+
+def _n_persistent(spark) -> int:
+    return len(list(spark.sparkContext._jsc.getPersistentRDDs().keys()))
+
+
+def _storage_rdd_ids(spark) -> set[int]:
+    sc = spark.sparkContext._jsc.sc()
+    return {info.id() for info in sc.getRDDStorageInfo()}
+
+
+def test_release_blocks_frees_local_checkpoint(spark):
+    base = _n_persistent(spark)
+    out, release = materialize(spark.range(1000).selectExpr("id", "id * 2 AS v"))
+    assert out.count() == 1000
+    assert _n_persistent(spark) == base + 1
+    release()
+    assert _n_persistent(spark) == base
+    # the checkpointed RDD must be gone from block storage, not merely
+    # marked — getRDDStorageInfo reports only RDDs with live blocks
+    assert len(_storage_rdd_ids(spark)) <= base
+
+
+def test_release_blocks_persist_mode_recomputes(spark, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE", "persist")
+    out, release = materialize(spark.range(100).selectExpr("id"))
+    assert out.count() == 100
+    release()
+    # persist mode keeps lineage: a read after release recomputes
+    assert out.count() == 100
+
+
+def test_release_blocks_plain_frame_is_safe(spark):
+    # not materialized at all: release must not raise and must not lie
+    df = spark.range(10)
+    assert release_blocks(df) is True  # unpersist no-op path
+
+
+def test_bench_cleanup_returns_block_count_to_baseline(spark):
+    """The bench loop's inter-query cleanup (memo clear + release-all)
+    must leave ZERO pinned RDDs even for a query that materializes
+    intermediates and pins a session-memoized fragment."""
+    import bench
+    from iceberg_loader_spark.operators import dedup
+
+    base = _n_persistent(spark)
+
+    # simulate a checkpoint-dense query: materialize two frames, memoize
+    # one on the session the way _minhash_scored_pairs does
+    f1 = dedup._materialize(spark.range(500).selectExpr("id", "id % 7 AS k"))
+    f2 = dedup._materialize(f1.groupBy("k").count())
+    spark._ils_fragment_memo = {("probe", "sf", "local_checkpoint"): f2}
+    assert f2.count() == 7
+    assert _n_persistent(spark) >= base + 2
+
+    bench._clear_session_memos(spark)
+    released = bench._release_all_blocks(spark)
+    assert released >= 2
+    assert _n_persistent(spark) == 0
+    assert spark._ils_fragment_memo == {}

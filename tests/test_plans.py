@@ -241,3 +241,27 @@ def test_entity_linkage_joins_on_variant_key_not_cross_product(spark):
     plan = plan_of(QUERIES["entity_linkage_deletion_blocks"](spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    "key",
+    [
+        "incremental_winnowing_candidates",
+        "incremental_span_candidates",
+        "incremental_minhash_candidates",
+    ],
+)
+def test_incremental_pair_join_is_new_side_driving(spark, key):
+    """The incremental fingerprint operators' pair join must be
+    new-side-driving: one join input is filtered to the incoming batch
+    (is_new = 1) so old×old buckets are never enumerated, and the join
+    itself is an equi-join on the fingerprint key — no cross product."""
+    plan = plan_of(QUERIES[key](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the new-batch restriction survives into the physical plan as a
+    # filter on the is_new marker feeding exactly one side of the join
+    assert "is_new" in plan
+    import re
+
+    assert re.search(r"is_new#\d+L? = 1", plan), plan[:2000]

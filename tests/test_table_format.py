@@ -689,3 +689,43 @@ def test_delta_manifests_delete_and_merge_chain(spark, tmp_path):
     assert raw2["files_removed"]
     assert t2.scan(spark).count() == docs.count() - (hi - lo + 1)
     assert n_hit >= 0 and raw is not None  # (first table sanity only)
+
+
+def test_manifest_collection_distributed_matches_driver(spark, tmp_path, monkeypatch):
+    """Executor-side manifest stats (SPARK_GRAFT_MANIFEST=distributed)
+    must produce byte-identical entries, in the same order, as the
+    driver-side footer loop — the commit metadata is mode-independent."""
+    from iceberg_loader_spark.tables import table as table_mod
+
+    wh = Warehouse(str(tmp_path))
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("grp", T.StringType()),
+        ]
+    )
+    from iceberg_loader_spark.tables.partitioning import parse_partition_transform
+
+    t = Table.create(
+        wh, "db.mani", schema, partition_spec=[parse_partition_transform("grp")]
+    )
+    df = spark.createDataFrame(
+        [(i, f"g{i % 5}") for i in range(200)], schema=schema
+    )
+
+    monkeypatch.setattr(table_mod, "_MANIFEST_MODE", "distributed")
+    snap = t.append(df)
+    assert sum(e.rows for e in snap.files) == 200
+    # partition values survived the executor round-trip
+    assert {e.partition.get("grp") for e in snap.files} == {
+        f"g{i}" for i in range(5)
+    }
+
+    # re-collect the SAME staged files in both modes: identical entries
+    staging_rel = "/".join(snap.files[0].path.split("/")[:2])  # data/<uuid>
+    staging_abs = os.path.join(t.root, staging_rel)
+    dist = t._collect_entries(staging_abs, staging_rel, spark=spark)
+    monkeypatch.setattr(table_mod, "_MANIFEST_MODE", "driver")
+    drv = t._collect_entries(staging_abs, staging_rel, spark=spark)
+    assert [e.to_json() for e in dist] == [e.to_json() for e in drv]
+    assert len(drv) == len(snap.files)
