@@ -1757,3 +1757,82 @@ def lifecycle_value_index_counts(
         .withColumn("n_files_scanned", F.lit(len(files)))
         .orderBy("user_id", "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Round 6 — METADATA TABLES under the oracle gate (Iceberg's
+# `tbl.snapshots` / `tbl.files` inspection surface, tables/table.py
+# snapshots_df/files_df): two appends with pinned file counts
+# (repartition(4) then repartition(2) — each non-empty partition writes
+# exactly one file), then the history AND the per-version file manifest
+# are read back as DataFrames and verified by content against the
+# source: per-snapshot operation, file count, and cumulative row
+# totals, plus a files_df scan of BOTH versions (the time-travel read
+# path of the manifest itself). Any manifest-accounting drift — a lost
+# file, a wrong total-records summary, a bad sequence stamp — flips a
+# hash-verified number. File BYTES are deliberately excluded: zstd
+# output depends on row placement, which round-robin repartition does
+# not pin across sessions.
+#
+# Scale: metadata-dominated — the data writes are the corpus scanned
+# once each; the metadata frames are O(snapshots + files) driver-built
+# rows, the same order as the commit itself.
+# --------------------------------------------------------------------------
+@_register(
+    "lifecycle_metadata_tables_counts",
+    """
+    WITH c AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+             CAST(SUM(CASE WHEN lang <> 'zh' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nz
+      FROM documents
+    )
+    SELECT version, operation, n_files, total_rows FROM (
+      SELECT CAST(1 AS BIGINT) AS version, 'create' AS operation,
+             CAST(0 AS BIGINT) AS n_files, CAST(0 AS BIGINT) AS total_rows
+        FROM c
+      UNION ALL SELECT 2, 'append', 4, n_nz FROM c
+      UNION ALL SELECT 2, 'files_scan', 4, n_nz FROM c
+      UNION ALL SELECT 3, 'append', 6, n_all FROM c
+      UNION ALL SELECT 3, 'files_scan', 6, n_all FROM c
+    )
+    ORDER BY version, operation
+    """,
+)
+def lifecycle_metadata_tables_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    wh = _fresh_warehouse()
+    t = Table.create(wh, "db.docs", docs.schema)
+    t.append(docs.filter(F.col("lang") != "zh").repartition(4))
+    t = wh.load_table("db.docs")
+    t.append(docs.filter(F.col("lang") == "zh").repartition(2))
+    t = wh.load_table("db.docs")
+    snaps = t.snapshots_df(spark).select(
+        F.col("version").cast("bigint").alias("version"),
+        "operation",
+        F.col("n_files").cast("bigint").alias("n_files"),
+        F.col("total_rows").cast("bigint").alias("total_rows"),
+    )
+
+    def _files_row(version: int) -> DataFrame:
+        return t.files_df(spark, version=version).agg(
+            F.count("*").cast("bigint").alias("n_files"),
+            F.coalesce(F.sum("rows"), F.lit(0))
+            .cast("bigint")
+            .alias("total_rows"),
+        ).select(
+            F.lit(version).cast("bigint").alias("version"),
+            F.lit("files_scan").alias("operation"),
+            "n_files",
+            "total_rows",
+        )
+
+    return (
+        snaps.unionByName(_files_row(2))
+        .unionByName(_files_row(3))
+        .orderBy("version", "operation")
+    )

@@ -505,11 +505,22 @@ _RRF_TOPC = 20  # per-channel candidate depth
     ),
 )
 def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _rrf_fused(spark, sf_dir)
+
+
+def _rrf_fused(
+    spark: SparkSession, sf_dir: str, scored: DataFrame | None = None
+) -> DataFrame:
+    """RRF fusion body; ``scored`` lets a composing caller (the
+    retrieval funnel) pass an already-materialized BM25 frame so the
+    corpus-wide tokenize pipeline runs once, not once per consumer."""
     from iceberg_loader_spark.operators.similarity import _dot, _fixed_point
 
+    if scored is None:
+        scored = _bm25_scored(spark, sf_dir)
     # lexical channel: top-20 BM25, two-phase top-k (no global window)
     lex = _rank_bounded(
-        _bm25_scored(spark, sf_dir).select("doc_id", "bm25_m"),
+        scored.select("doc_id", "bm25_m"),
         "bm25_m",
         "doc_id",
         _RRF_TOPC,
@@ -1030,9 +1041,12 @@ def _register_retrieval_funnel() -> None:
 
         docs = load_table(spark, sf_dir, "documents")
         chunks = chunk_documents_overlap(spark, sf_dir)
-        lexpool = _bm25_scored(spark, sf_dir)
+        # ONE BM25 pass feeds both the pool count and the RRF lexical
+        # channel (the corpus tokenize+explode is the funnel's biggest
+        # single cost; running it twice doubled it)
+        lexpool = _materialize(_bm25_scored(spark, sf_dir))
         emb = load_table(spark, sf_dir, "embeddings")
-        fused = _materialize(hybrid_rrf_fusion(spark, sf_dir))
+        fused = _materialize(_rrf_fused(spark, sf_dir, scored=lexpool))
         fp = emb.select(
             "vec_id", "label", _fixed_point(F.col("embedding")).alias("e")
         ).withColumn("nsq", _dot(F.col("e"), F.col("e")))
@@ -1096,3 +1110,107 @@ def _register_retrieval_funnel() -> None:
 
 
 _register_retrieval_funnel()
+
+
+# --------------------------------------------------------------------------
+# Round 6 — classifier CALIBRATION audit (the reliability-diagram step
+# every production quality-filter deployment runs before picking a
+# decision threshold): the held-out 25% is binned by the perceptron's
+# raw margin into fixed-width score bins and each bin reports its
+# observed positive rate — a calibrated (well, monotone) score shows
+# pos_rate_bps rising with the bin index, and any future change to
+# featurization / training that warps the score-probability relationship
+# moves these hash-verified numbers.
+#
+# Scale: binning is a map-side expression on the already-computed margin
+# (bin boundaries are FIXED, not quantiles — no global sort, unlike an
+# NTILE reliability diagram), followed by one partial-aggregated
+# groupBy over ≤13 bins. Truncating integer division is identical in
+# Spark (div) and DuckDB (//) for negative operands — verified, so raw
+# signed margins bin without an offset dance.
+# --------------------------------------------------------------------------
+_CAL_W = 250  # score-bin width (margins span roughly ±1300 at sf0.01)
+_CAL_B = 6  # clamp to [-_CAL_B, _CAL_B]
+
+
+def _pc_calibration_oracle() -> str:
+    return (
+        "\n    WITH "
+        + _pc_train_ctes(f"WHERE split_bucket < {_PC_SPLIT}")
+        + f""",
+    test AS (
+      SELECT doc_id, y FROM labels0 WHERE split_bucket >= {_PC_SPLIT}
+    ),
+    ttoks AS (
+      SELECT d.doc_id,
+             list_distinct(list_filter(string_split(lower(d.text), ' '),
+                                       t -> t <> '')) AS t
+      FROM documents d JOIN test l ON l.doc_id = d.doc_id
+    ),
+    tgrams AS (SELECT doc_id, unnest(t) AS g FROM ttoks),
+    tfeats AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substring(md5(g), 1, 8))::BIGINT % {_PC_B} AS bucket,
+             1 AS cnt
+      FROM tgrams
+      UNION ALL
+      SELECT doc_id, {_PC_B} AS bucket, 1 AS cnt FROM test
+    ),
+    ts AS (
+      SELECT f.doc_id, l.y, SUM(w{_PC_ROUNDS}.w * f.cnt) AS s
+      FROM tfeats f
+      JOIN test l USING (doc_id)
+      JOIN w{_PC_ROUNDS} USING (bucket)
+      GROUP BY f.doc_id, l.y
+    ),
+    binned AS (
+      SELECT least(greatest(s // {_CAL_W}, -{_CAL_B}), {_CAL_B}) AS bin, y
+      FROM ts
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           CAST((SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) * 10000) // COUNT(*)
+                AS BIGINT) AS pos_rate_bps
+    FROM binned GROUP BY bin ORDER BY bin
+    """
+    )
+
+
+@_register("score_calibration_bins", _pc_calibration_oracle())
+def score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    labels0 = _pc_labels0(docs)
+    train_pool = labels0.filter(F.col("split_bucket") < _PC_SPLIT).select(
+        "doc_id", "t", "y"
+    )
+    w, _ = _pc_train(
+        _pc_feature_frame(_pc_balanced(train_pool)), report_margins=False
+    )
+    test = labels0.filter(F.col("split_bucket") >= _PC_SPLIT).select(
+        "doc_id", "t", "y"
+    )
+    scored = _pc_margins(_pc_feature_frame(test), w)
+    bin_col = F.least(
+        F.greatest(F.expr(f"s div {_CAL_W}"), F.lit(-_CAL_B).cast("bigint")),
+        F.lit(_CAL_B).cast("bigint"),
+    )
+    return (
+        scored.select(bin_col.alias("bin"), "y")
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum((F.col("y") == 1).cast("bigint"))
+            .cast("bigint")
+            .alias("n_pos"),
+        )
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            F.expr("CAST((n_pos * 10000) div n AS BIGINT)").alias(
+                "pos_rate_bps"
+            ),
+        )
+        .orderBy("bin")
+    )

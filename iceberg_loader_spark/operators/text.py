@@ -2076,3 +2076,233 @@ def bpe_encode_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Round 6 — data-mixing weights per source (the Pile/mC4/XLM-R corpus
+# mixing step): two standard rebalancing policies computed side by side,
+# in arithmetic both engines replay exactly —
+#
+# * TEMPERATURE τ=0.5: weight ∝ sqrt(n_docs). The isqrt is spelled
+#   FLOOR(SQRT(n · 10^6)) on an IEEE double in BOTH engines — sqrt is
+#   correctly rounded and n·10^6 stays far under 2^52, so the floor is
+#   engine-identical (documented bound: exact for n ≤ ~2^33; a 100 TB
+#   deployment with more docs per source than that swaps in an integer
+#   Newton isqrt, nothing downstream changes).
+# * CAP 10%: n_kept = min(n_docs, total div 10) — the "no source may
+#   exceed a tenth of the corpus" guard against a single crawl dump
+#   dominating training.
+#
+# Scale: one groupBy(source) partial aggregate over the corpus, then
+# per-source arithmetic against two broadcast scalars (Σ isqrt, Σ kept).
+# Nothing else touches the data.
+# --------------------------------------------------------------------------
+@_register(
+    "source_mixing_weights",
+    """
+    WITH per_src AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ),
+    temp AS (
+      SELECT source, n_docs,
+             CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE) * 1000000)) AS BIGINT)
+               AS w_sqrt
+      FROM per_src
+    ),
+    tot AS (
+      SELECT SUM(w_sqrt) AS sum_sqrt, SUM(n_docs) AS total,
+             GREATEST(SUM(n_docs) // 10, 1) AS cap
+      FROM temp
+    ),
+    capped AS (
+      SELECT t.source, t.n_docs, t.w_sqrt,
+             LEAST(t.n_docs, x.cap) AS n_kept, x.sum_sqrt, x.total
+      FROM temp t CROSS JOIN tot x
+    ),
+    tot2 AS (SELECT SUM(n_kept) AS sum_kept FROM capped)
+    SELECT c.source, c.n_docs, c.w_sqrt,
+           CAST((c.w_sqrt * 10000) // c.sum_sqrt AS BIGINT)
+             AS weight_temp_bps,
+           CAST(c.n_kept AS BIGINT) AS n_kept,
+           CAST((c.n_kept * 10000) // t2.sum_kept AS BIGINT)
+             AS weight_cap_bps
+    FROM capped c CROSS JOIN tot2 t2
+    ORDER BY source
+    """,
+)
+def source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    temp = per_src.withColumn(
+        "w_sqrt",
+        F.expr(
+            "CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE) * 1000000)) AS BIGINT)"
+        ),
+    )
+    tot = temp.agg(
+        F.sum("w_sqrt").alias("sum_sqrt"),
+        F.sum("n_docs").alias("total"),
+        F.greatest(
+            F.expr("SUM(n_docs) div 10"), F.lit(1).cast("bigint")
+        ).alias("cap"),
+    )
+    capped = temp.join(F.broadcast(tot)).withColumn(
+        "n_kept", F.least(F.col("n_docs"), F.col("cap"))
+    )
+    tot2 = capped.agg(F.sum("n_kept").alias("sum_kept"))
+    return (
+        capped.join(F.broadcast(tot2))
+        .select(
+            "source",
+            "n_docs",
+            "w_sqrt",
+            F.expr("CAST((w_sqrt * 10000) div sum_sqrt AS BIGINT)").alias(
+                "weight_temp_bps"
+            ),
+            F.col("n_kept").cast("bigint").alias("n_kept"),
+            F.expr("CAST((n_kept * 10000) div sum_kept AS BIGINT)").alias(
+                "weight_cap_bps"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Round 6 — dataset-card statistics: the numbers a published datasheet
+# (Gebru et al., "Datasheets for Datasets") reports for a text corpus,
+# as ONE hash-verified (metric, value) frame — corpus size, token and
+# char volume, source/language cardinality and concentration, exact-dup
+# rate, and length distribution landmarks. Every value is an exact
+# integer (shares in bps, means ×100) so the card is reproducible
+# bit-for-bit by the oracle.
+#
+# Scale: one token-count scan (map-side size()), one md5 digest
+# aggregate for the dup rate, two small groupBys for concentration —
+# all partial-aggregated; no joins wider than a broadcast scalar.
+# --------------------------------------------------------------------------
+@_register(
+    "dataset_card_stats",
+    f"""
+    WITH per_doc AS (
+      SELECT doc_id, source, lang, n_chars,
+             len({_TOKS_SQL}) AS n_tok,
+             md5(text) AS h
+      FROM documents
+    ),
+    dups AS (
+      SELECT CAST(SUM(cnt - 1) AS BIGINT) AS n_dup_docs
+      FROM (SELECT h, COUNT(*) AS cnt FROM per_doc GROUP BY h)
+    ),
+    src_share AS (
+      SELECT CAST(MAX(n) AS BIGINT) AS max_src_docs FROM (
+        SELECT COUNT(*) AS n FROM per_doc GROUP BY source)
+    ),
+    lang_share AS (
+      SELECT CAST(MAX(n) AS BIGINT) AS max_lang_docs FROM (
+        SELECT COUNT(*) AS n FROM per_doc GROUP BY lang)
+    )
+    SELECT metric, value FROM (
+      SELECT '01_n_docs' AS metric, CAST(COUNT(*) AS BIGINT) AS value
+        FROM per_doc
+      UNION ALL SELECT '02_n_sources', CAST(COUNT(DISTINCT source) AS BIGINT)
+        FROM per_doc
+      UNION ALL SELECT '03_n_langs', CAST(COUNT(DISTINCT lang) AS BIGINT)
+        FROM per_doc
+      UNION ALL SELECT '04_total_tokens', CAST(SUM(n_tok) AS BIGINT)
+        FROM per_doc
+      UNION ALL SELECT '05_total_chars', CAST(SUM(n_chars) AS BIGINT)
+        FROM per_doc
+      UNION ALL SELECT '06_mean_tokens_x100',
+        CAST((SUM(n_tok) * 100) // COUNT(*) AS BIGINT) FROM per_doc
+      UNION ALL SELECT '07_max_doc_tokens', CAST(MAX(n_tok) AS BIGINT)
+        FROM per_doc
+      UNION ALL SELECT '08_exact_dup_docs', n_dup_docs FROM dups
+      UNION ALL SELECT '09_top_source_share_bps',
+        CAST((s.max_src_docs * 10000) // (SELECT COUNT(*) FROM per_doc)
+             AS BIGINT) FROM src_share s
+      UNION ALL SELECT '10_top_lang_share_bps',
+        CAST((l.max_lang_docs * 10000) // (SELECT COUNT(*) FROM per_doc)
+             AS BIGINT) FROM lang_share l
+    )
+    ORDER BY metric
+    """,
+)
+def dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_loader_spark.operators.dedup import _materialize
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(
+        F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+    ).cast("bigint")
+    per_doc = _materialize(
+        docs.select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_chars",
+            n_tok.alias("n_tok"),
+            F.md5("text").alias("h"),
+        )
+    )
+    total = per_doc.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.expr("CAST((SUM(n_tok) * 100) div COUNT(*) AS BIGINT)").alias(
+            "mean_tokens_x100"
+        ),
+        F.max("n_tok").cast("bigint").alias("max_doc_tokens"),
+    )
+    dups = (
+        per_doc.groupBy("h")
+        .agg(F.count("*").alias("cnt"))
+        .agg(F.sum(F.col("cnt") - 1).cast("bigint").alias("n_dup_docs"))
+    )
+    max_src = (
+        per_doc.groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .agg(F.max("n").cast("bigint").alias("max_src_docs"))
+    )
+    max_lang = (
+        per_doc.groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .agg(F.max("n").cast("bigint").alias("max_lang_docs"))
+    )
+    base = (
+        total.join(F.broadcast(dups))
+        .join(F.broadcast(max_src))
+        .join(F.broadcast(max_lang))
+    )
+
+    def _m(name: str, col: F.Column) -> F.Column:
+        return F.struct(F.lit(name).alias("metric"), col.alias("value"))
+
+    metrics = F.array(
+        _m("01_n_docs", F.col("n_docs")),
+        _m("02_n_sources", F.col("n_sources")),
+        _m("03_n_langs", F.col("n_langs")),
+        _m("04_total_tokens", F.col("total_tokens")),
+        _m("05_total_chars", F.col("total_chars")),
+        _m("06_mean_tokens_x100", F.col("mean_tokens_x100")),
+        _m("07_max_doc_tokens", F.col("max_doc_tokens")),
+        _m("08_exact_dup_docs", F.col("n_dup_docs")),
+        _m(
+            "09_top_source_share_bps",
+            F.expr("CAST((max_src_docs * 10000) div n_docs AS BIGINT)"),
+        ),
+        _m(
+            "10_top_lang_share_bps",
+            F.expr("CAST((max_lang_docs * 10000) div n_docs AS BIGINT)"),
+        ),
+    )
+    return (
+        base.select(F.explode(metrics).alias("kv"))
+        .select(F.col("kv.metric").alias("metric"), F.col("kv.value").alias("value"))
+        .orderBy("metric")
+    )

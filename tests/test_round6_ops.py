@@ -1,0 +1,96 @@
+"""Round-6 operator invariants: properties the oracle hash can't state
+directly (cross-row arithmetic identities, composition bounds)."""
+
+from __future__ import annotations
+
+import math
+
+import __spark_entry__ as entrymod
+from iceberg_loader_spark.sources.tables import load_table
+from tests.conftest import SF_SMOKE
+
+QUERIES = entrymod.queries()
+
+
+def test_source_mixing_weights_invariants(spark):
+    rows = QUERIES["source_mixing_weights"](spark, SF_SMOKE).collect()
+    assert rows
+    total = sum(r.n_docs for r in rows)
+    cap = max(total // 10, 1)
+    for r in rows:
+        # exact isqrt: w_sqrt = floor(sqrt(n_docs * 1e6))
+        assert r.w_sqrt == math.isqrt(r.n_docs * 1_000_000)
+        assert r.n_kept == min(r.n_docs, cap)
+        assert 0 <= r.weight_temp_bps <= 10000
+        assert 0 <= r.weight_cap_bps <= 10000
+    # floor-rounded shares: sum within len(rows) bps of exactly 10000
+    for field in ("weight_temp_bps", "weight_cap_bps"):
+        s = sum(getattr(r, field) for r in rows)
+        assert 10000 - len(rows) <= s <= 10000, (field, s)
+
+
+def test_dataset_card_stats_matches_source(spark):
+    card = {
+        r.metric: r.value
+        for r in QUERIES["dataset_card_stats"](spark, SF_SMOKE).collect()
+    }
+    docs = load_table(spark, SF_SMOKE, "documents")
+    n = docs.count()
+    assert card["01_n_docs"] == n
+    assert card["05_total_chars"] == sum(
+        r.n_chars for r in docs.select("n_chars").collect()
+    )
+    assert card["08_exact_dup_docs"] >= 0
+    assert 0 < card["09_top_source_share_bps"] <= 10000
+    assert 0 < card["10_top_lang_share_bps"] <= 10000
+
+
+def test_score_calibration_bins_has_learned_signal(spark):
+    rows = QUERIES["score_calibration_bins"](spark, SF_SMOKE).collect()
+    assert rows == sorted(rows, key=lambda r: r.bin)
+    for r in rows:
+        assert 0 <= r.n_pos <= r.n
+        assert r.pos_rate_bps == (r.n_pos * 10000) // r.n
+    # the weak label is learnable: the highest score bin must be purer
+    # in positives than the lowest (a flat diagram = the model learned
+    # nothing and the key would be testing noise)
+    assert rows[-1].pos_rate_bps > rows[0].pos_rate_bps
+
+
+def test_retrieval_funnel_stage_bounds(spark):
+    stages = {
+        r.stage: r.n
+        for r in QUERIES["retrieval_funnel_counts"](spark, SF_SMOKE).collect()
+    }
+    assert stages["2_chunks"] >= stages["1_docs"]  # stride < doc length
+    assert stages["3_lexical_pool"] <= stages["1_docs"]
+    assert stages["5_fused_topk"] <= 10
+    assert stages["6_in_both_channels"] <= stages["5_fused_topk"]
+    # <=3 negatives per fused anchor that exists in the embeddings table
+    assert stages["7_hard_negatives"] <= 3 * stages["5_fused_topk"]
+    assert stages["8_neg_id_checksum"] >= 0
+
+
+def test_ann_recall_ivf_pq_shape(spark):
+    rows = QUERIES["ann_recall_ivf_pq"](spark, SF_SMOKE).collect()
+    assert len(rows) == 40  # 20 queries x nprobe in {1, 2}
+    by_np = {1: {}, 2: {}}
+    for r in rows:
+        assert r.k == 3 and 0 <= r.n_hits <= 3
+        by_np[r.nprobe][r.q_id] = r.n_hits
+    assert set(by_np[1]) == set(by_np[2])
+    # composed-pipeline recall must be a real measurement, not vacuously
+    # zero: at least one query recalls at least one exact neighbor
+    assert sum(by_np[2].values()) > 0
+
+
+def test_incremental_indexes_report_both_pair_kinds(spark):
+    for key in (
+        "incremental_winnowing_candidates",
+        "incremental_span_candidates",
+    ):
+        kinds = {
+            r.pair_kind for r in QUERIES[key](spark, SF_SMOKE).collect()
+        }
+        assert kinds <= {"new_new", "new_old"}
+        assert kinds, key  # non-vacuous at smoke scale
