@@ -1836,3 +1836,71 @@ def lifecycle_metadata_tables_counts(
         .unionByName(_files_row(3))
         .orderBy("version", "operation")
     )
+
+
+# --------------------------------------------------------------------------
+# Round 6 — BRANCH refs under the oracle gate (Iceberg branch semantics,
+# tables/table.py create_branch/fast_forward_branch): fork a writable
+# branch, run an append AND a copy-on-write delete on it while main
+# stays frozen, then fast-forward. Verified by content at every stage:
+# main-before must equal the untouched base, branch-head and main-after
+# must equal base − deleted + appended, and the replayed history must
+# time-travel (the pre-fork version still reads the base). Any
+# isolation leak (branch write visible on main), lost branch commit, or
+# sequence corruption in the replay flips a hash-verified count.
+#
+# Scale: metadata-dominated — the branch fork is O(1) metadata, the
+# fast-forward replays O(branch commits) manifests; data moves only for
+# the two branch writes themselves.
+# --------------------------------------------------------------------------
+@_register(
+    "lifecycle_branch_counts",
+    """
+    WITH c AS (
+      SELECT CAST(SUM(CASE WHEN lang <> 'zh' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_base,
+             CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zh,
+             CAST(SUM(CASE WHEN lang NOT IN ('zh', 'de') THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_base_no_de
+      FROM documents
+    )
+    SELECT stage, n_docs FROM (
+      SELECT '1_main_before' AS stage, n_base AS n_docs FROM c
+      UNION ALL SELECT '2_branch_head', n_base_no_de + n_zh FROM c
+      UNION ALL SELECT '3_main_after_ff', n_base_no_de + n_zh FROM c
+      UNION ALL SELECT '4_time_travel_prefork', n_base FROM c
+    )
+    ORDER BY stage
+    """,
+)
+def lifecycle_branch_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    wh = _fresh_warehouse()
+    t = Table.create(wh, "db.docs", docs.schema)
+    t.append(docs.filter(F.col("lang") != "zh"))
+    t = wh.load_table("db.docs")
+    fork_v = t.meta.current_version()
+
+    br = t.create_branch("exp")
+    br.append(docs.filter(F.col("lang") == "zh"))
+    t.branch("exp").delete_where(spark, "lang == 'de'")
+
+    main_before = t.scan(spark).count()  # must NOT see branch writes
+    branch_head = t.branch("exp").scan(spark).count()
+    t.fast_forward_branch(t.branch("exp"))
+    t = wh.load_table("db.docs")
+    main_after = t.scan(spark).count()
+    prefork = t.scan(spark, version=fork_v).count()
+
+    rows = [
+        ("1_main_before", main_before),
+        ("2_branch_head", branch_head),
+        ("3_main_after_ff", main_after),
+        ("4_time_travel_prefork", prefork),
+    ]
+    return spark.createDataFrame(
+        rows, "stage string, n_docs long"
+    ).orderBy("stage")

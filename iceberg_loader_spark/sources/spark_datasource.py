@@ -137,8 +137,19 @@ def _resolve_snapshot(root: str, options):
     version = options.get("version")
     tag = options.get("tag")
     as_of = options.get("as_of_ms")
-    if sum(x is not None for x in (version, tag, as_of)) > 1:
-        raise ValueError("version, tag and as_of_ms are mutually exclusive")
+    branch = options.get("branch")
+    if sum(x is not None for x in (version, tag, as_of, branch)) > 1:
+        raise ValueError(
+            "version, tag, as_of_ms and branch are mutually exclusive"
+        )
+    if branch is not None:
+        # branch refs share the data area; the branch chain's head is a
+        # plain snapshot, so the scan path is identical. branch_version
+        # is the schema()-pinned resolution (internal — set below), kept
+        # separate from `version` because it indexes the BRANCH chain.
+        shadow = table.branch(branch)
+        bv = options.get("branch_version")
+        return shadow, shadow.snapshot(None if bv is None else int(bv))
     if tag is not None:
         return table, table.snapshot(table.resolve_tag(tag))
     if as_of is not None:
@@ -590,8 +601,13 @@ class SparkbergDataSource(DataSource):
         )
         # pin the resolved version: reader() must serve the SAME snapshot
         # this schema came from, even if a commit lands in between (and
-        # the reader then skips a second manifest resolution)
-        self.options["version"] = str(snap.version)
+        # the reader then skips a second manifest resolution). A branch
+        # read pins branch_version instead — the pin indexes the branch
+        # chain, and `version` would collide with the exclusivity check.
+        if self.options.get("branch") is not None:
+            self.options["branch_version"] = str(snap.version)
+        else:
+            self.options["version"] = str(snap.version)
         self.options.pop("tag", None)
         self.options.pop("as_of_ms", None)
         return T.StructType.fromJson(snap.schema_json)

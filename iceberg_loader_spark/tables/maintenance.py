@@ -360,18 +360,23 @@ def remove_orphan_files(table: Table, older_than_ms: int | None = None) -> dict:
     } | {
         d["path"] for snap in table.history() for d in snap.delete_files
     }
-    # in-flight write-audit-publish stages reference staged files only
-    # from their shadow metadata chains — treat those as live too
-    wap_root = os.path.join(table.root, Table.WAP_DIR)
-    if os.path.isdir(wap_root):
+    # in-flight write-audit-publish stages AND live branches reference
+    # staged files only from their shadow metadata chains — treat every
+    # file any shadow snapshot references as live too (a branch can
+    # legitimately outlive the 3-hour cutoff; without this its staged
+    # files would be collected as orphans)
+    for shadow_dir in (Table.WAP_DIR, Table.BRANCH_DIR):
+        shadow_root = os.path.join(table.root, shadow_dir)
+        if not os.path.isdir(shadow_root):
+            continue
         from iceberg_loader_spark.tables.format import (
             LocalFSBackend,
             TableMetadata,
         )
 
-        for wap_id in os.listdir(wap_root):
+        for shadow_id in os.listdir(shadow_root):
             backend = LocalFSBackend(
-                table.root, meta_dir=os.path.join(wap_root, wap_id)
+                table.root, meta_dir=os.path.join(shadow_root, shadow_id)
             )
             if not backend.exists():
                 continue

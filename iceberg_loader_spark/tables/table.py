@@ -28,6 +28,7 @@ import json
 import os
 import urllib.parse
 import uuid
+from dataclasses import replace
 from datetime import date, datetime
 
 import pyarrow.parquet as pq
@@ -1663,6 +1664,155 @@ class Table:
             return self.tags()[name]
         except KeyError:
             raise KeyError(f"no such tag: {name}") from None
+
+    # ---- named refs: branches (Iceberg branch refs) -----------------------
+    #
+    # A branch is a WRITABLE named ref: a separate metadata chain under
+    # <root>/_branch/<name>, seeded from the current main snapshot AT THE
+    # SAME VERSION NUMBER, sharing the main table's data area. Any table
+    # operation (append, delete, merge, schema evolution) runs on the
+    # branch handle; main never sees branch state until
+    # ``fast_forward_branch`` replays the branch's commits onto main
+    # 1:1 — version numbers and data sequence numbers line up exactly
+    # because the chains share a numbering origin, so merge-on-read
+    # delete applicability survives the publish unchanged (the property
+    # WAP's squash cannot preserve, which is why WAP stays append-only
+    # and branches exist). Fast-forward requires main unmoved since the
+    # fork (Iceberg's fastForward semantics); a moved main raises
+    # ConcurrentModification — re-branch and re-apply (cherry-pick is
+    # deliberately out of scope, as in Iceberg's CLI).
+
+    BRANCH_DIR = "_branch"
+    _BRANCH_PROPS = ("branch.name", "branch.fork-version")
+
+    def create_branch(self, name: str) -> "Table":
+        """Fork a writable branch of the current snapshot."""
+        from iceberg_loader_spark.tables.format import LocalFSBackend
+
+        if not name or "/" in name or name != name.strip():
+            raise ValueError(f"invalid branch name: {name!r}")
+        meta_dir = os.path.join(self.root, self.BRANCH_DIR, name)
+        backend = LocalFSBackend(self.root, meta_dir=meta_dir)
+        if backend.exists():
+            raise FileExistsError(f"branch {name!r} already exists")
+        snap = self.snapshot()
+        seed = replace(
+            snap,
+            snapshot_id=uuid.uuid4().hex,
+            operation="branch-fork",
+            properties={
+                **snap.properties,
+                "branch.name": name,
+                "branch.fork-version": str(snap.version),
+            },
+            summary={"branch-forked-from": snap.version},
+        )
+        shadow = Table.__new__(Table)
+        shadow.warehouse = self.warehouse
+        shadow.identifier = f"{self.identifier}@branch/{name}"
+        shadow.root = self.root
+        shadow.meta = TableMetadata(self.root, backend=backend)
+        shadow.meta.commit(seed, expected_parent=None)
+        return shadow
+
+    def branch(self, name: str) -> "Table":
+        """Reopen an existing branch handle."""
+        from iceberg_loader_spark.tables.format import LocalFSBackend
+
+        meta_dir = os.path.join(self.root, self.BRANCH_DIR, name)
+        backend = LocalFSBackend(self.root, meta_dir=meta_dir)
+        if not backend.exists():
+            raise KeyError(f"no such branch: {name}")
+        shadow = Table.__new__(Table)
+        shadow.warehouse = self.warehouse
+        shadow.identifier = f"{self.identifier}@branch/{name}"
+        shadow.root = self.root
+        shadow.meta = TableMetadata(self.root, backend=backend)
+        return shadow
+
+    def list_branches(self) -> list[str]:
+        d = os.path.join(self.root, self.BRANCH_DIR)
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            n for n in os.listdir(d) if os.path.isdir(os.path.join(d, n))
+        )
+
+    def fast_forward_branch(self, shadow: "Table") -> Snapshot:
+        """Replay the branch's commits onto main, one snapshot per
+        commit (true fast-forward: identical versions, sequences, and
+        per-commit history — a time traveler cannot tell the commits
+        came through a branch). Branch marker properties are stripped;
+        the branch chain is removed on success."""
+        import shutil
+
+        props = shadow.properties()
+        name = props.get("branch.name")
+        fork_v = int(props.get("branch.fork-version", "-1"))
+        if name is None or fork_v < 0:
+            raise ValueError("not a branch table")
+        head = shadow.snapshot()
+        main_v = self.meta.current_version()
+        if main_v != fork_v:
+            raise ConcurrentModification(
+                f"main table advanced to v{main_v} past branch fork "
+                f"v{fork_v}; re-branch and re-apply"
+            )
+        for v in range(fork_v + 1, head.version + 1):
+            s = shadow.snapshot(v)
+            clean = {
+                k: val
+                for k, val in s.properties.items()
+                if k not in self._BRANCH_PROPS
+            }
+            try:
+                self.meta.commit(
+                    replace(s, properties=clean), expected_parent=v - 1
+                )
+            except CommitConflict as e:
+                raise ConcurrentModification(
+                    f"main table advanced during fast-forward of branch "
+                    f"{name!r} at v{v}: {e}"
+                ) from e
+        shutil.rmtree(
+            os.path.join(self.root, self.BRANCH_DIR, name),
+            ignore_errors=True,
+        )
+        return self.snapshot()
+
+    def abort_branch(self, shadow: "Table") -> dict:
+        """Discard a branch: delete data files it added since the fork
+        (files present in any branch snapshot but not in the fork
+        snapshot) and remove its metadata chain."""
+        import shutil
+
+        props = shadow.properties()
+        name = props.get("branch.name")
+        fork_v = int(props.get("branch.fork-version", "-1"))
+        if name is None or fork_v < 0:
+            raise ValueError("not a branch table")
+        fork_snap = self.snapshot(fork_v)
+        fork_paths = {f.path for f in fork_snap.files} | {
+            df["path"] for df in fork_snap.delete_files
+        }
+        removed = 0
+        seen: set[str] = set()
+        for s in shadow.history():
+            for path in [f.path for f in s.files] + [
+                df["path"] for df in s.delete_files
+            ]:
+                if path in fork_paths or path in seen:
+                    continue
+                seen.add(path)
+                p = os.path.join(self.root, path)
+                if os.path.isfile(p):
+                    os.remove(p)
+                    removed += 1
+        shutil.rmtree(
+            os.path.join(self.root, self.BRANCH_DIR, name),
+            ignore_errors=True,
+        )
+        return {"removed_files": removed}
 
     # ---- write-audit-publish (append-only staging) -----------------------
 

@@ -1,0 +1,160 @@
+"""Branch refs: writable forks with true fast-forward (Iceberg branch
+semantics — cf. reference core has no refs at all; this extends the
+snapshot model of tables/format.py).
+
+The load-bearing property: branch and main share a VERSION NUMBERING
+ORIGIN, so fast-forward replays commits 1:1 and data sequence numbers
+(which scope merge-on-read delete applicability) survive the publish
+unchanged — the thing WAP's append-only squash cannot do.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from iceberg_loader_spark.tables import Warehouse
+from iceberg_loader_spark.tables.format import ConcurrentModification
+from iceberg_loader_spark.tables.table import Table
+
+
+def _schema():
+    return T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("grp", T.StringType()),
+        ]
+    )
+
+
+def _mk(spark, tmp_path, rows):
+    wh = Warehouse(str(tmp_path))
+    t = Table.create(wh, "db.b", _schema())
+    t.append(spark.createDataFrame(rows, schema=_schema()))
+    return wh, wh.load_table("db.b")
+
+
+def test_branch_isolated_until_fast_forward(spark, tmp_path):
+    wh, t = _mk(spark, tmp_path, [(i, "a") for i in range(10)])
+    br = t.create_branch("exp")
+    br.append(spark.createDataFrame([(100, "b"), (101, "b")], schema=_schema()))
+    br = t.branch("exp")  # reopen handle
+    # branch sees 12, main still sees 10
+    assert br.scan(spark).count() == 12
+    assert wh.load_table("db.b").scan(spark).count() == 10
+    assert t.list_branches() == ["exp"]
+
+    main = wh.load_table("db.b")
+    main.fast_forward_branch(br)
+    main = wh.load_table("db.b")
+    assert main.scan(spark).count() == 12
+    assert main.list_branches() == []  # chain cleaned up
+    # branch markers never reach main properties
+    assert "branch.name" not in main.properties()
+
+
+def test_fast_forward_replays_history_one_to_one(spark, tmp_path):
+    wh, t = _mk(spark, tmp_path, [(i, "a") for i in range(10)])
+    v0 = t.meta.current_version()
+    br = t.create_branch("exp")
+    br.append(spark.createDataFrame([(100, "b")], schema=_schema()))
+    t.branch("exp").delete_where(spark, "grp == 'a' and id < 5")
+    main = wh.load_table("db.b")
+    main.fast_forward_branch(t.branch("exp"))
+    main = wh.load_table("db.b")
+    # two commits replayed at the exact versions the branch minted
+    hist = {s.version: s.operation for s in main.history()}
+    assert hist[v0 + 1] == "append"
+    assert hist[v0 + 2] == "delete"
+    assert main.scan(spark).count() == 10 + 1 - 5
+    # time travel through the replayed range works
+    assert main.scan(spark, version=v0 + 1).count() == 11
+    assert main.scan(spark, version=v0).count() == 10
+
+
+def test_fast_forward_preserves_mor_delete_sequences(spark, tmp_path):
+    """A MoR equality-delete committed ON THE BRANCH must, after
+    fast-forward, apply to main's pre-fork files (lower sequence) and
+    spare rows appended after it — sequence scoping intact."""
+    wh, t = _mk(spark, tmp_path, [(1, "a"), (2, "a"), (3, "a")])
+    br = t.create_branch("exp")
+    # MoR merge on the branch: replaces id=2, inserts id=9
+    src = spark.createDataFrame([(2, "z"), (9, "z")], schema=_schema())
+    br.merge(spark, src, ["id"], mode="mor")
+    main = wh.load_table("db.b")
+    main.fast_forward_branch(t.branch("exp"))
+    main = wh.load_table("db.b")
+    got = {(r.id, r.grp) for r in main.scan(spark).collect()}
+    assert got == {(1, "a"), (3, "a"), (2, "z"), (9, "z")}
+    # a later main append with a re-used key is NOT hit by the old delete
+    main.append(spark.createDataFrame([(2, "post")], schema=_schema()))
+    main = wh.load_table("db.b")
+    got2 = {(r.id, r.grp) for r in main.scan(spark).collect()}
+    assert (2, "post") in got2 and (2, "z") in got2
+
+
+def test_fast_forward_conflicts_when_main_moved(spark, tmp_path):
+    wh, t = _mk(spark, tmp_path, [(1, "a")])
+    br = t.create_branch("exp")
+    br.append(spark.createDataFrame([(2, "b")], schema=_schema()))
+    # main advances past the fork
+    t.append(spark.createDataFrame([(3, "c")], schema=_schema()))
+    main = wh.load_table("db.b")
+    with pytest.raises(ConcurrentModification):
+        main.fast_forward_branch(t.branch("exp"))
+    # branch still intact after the failed publish
+    assert t.branch("exp").scan(spark).count() == 2
+
+
+def test_abort_branch_removes_staged_files_only(spark, tmp_path):
+    wh, t = _mk(spark, tmp_path, [(i, "a") for i in range(10)])
+    pre_files = {f.path for f in t.snapshot().files}
+    br = t.create_branch("exp")
+    br.append(spark.createDataFrame([(100, "b")], schema=_schema()))
+    res = wh.load_table("db.b").abort_branch(t.branch("exp"))
+    assert res["removed_files"] >= 1
+    main = wh.load_table("db.b")
+    assert main.list_branches() == []
+    assert main.scan(spark).count() == 10
+    # fork-snapshot files untouched on disk
+    for p in pre_files:
+        assert os.path.isfile(os.path.join(main.root, p))
+
+
+def test_create_branch_name_validation_and_duplicates(spark, tmp_path):
+    wh, t = _mk(spark, tmp_path, [(1, "a")])
+    with pytest.raises(ValueError):
+        t.create_branch("a/b")
+    t.create_branch("x")
+    with pytest.raises(FileExistsError):
+        t.create_branch("x")
+
+
+def test_remove_orphans_spares_branch_staged_files(spark, tmp_path):
+    """A branch can outlive the orphan-scan cutoff; its staged files are
+    referenced only by the branch chain and must be treated as live."""
+    from iceberg_loader_spark.tables.maintenance import remove_orphan_files
+
+    wh, t = _mk(spark, tmp_path, [(1, "a")])
+    br = t.create_branch("exp")
+    br.append(spark.createDataFrame([(2, "b")], schema=_schema()))
+    staged = {
+        f.path
+        for f in t.branch("exp").snapshot().files
+        if f.path not in {x.path for x in t.snapshot().files}
+    }
+    assert staged
+    # cutoff in the future: every unreferenced file is old enough to kill
+    res = remove_orphan_files(
+        wh.load_table("db.b"), older_than_ms=2**62
+    )
+    assert res["removed"] == 0
+    for p in staged:
+        assert os.path.isfile(os.path.join(t.root, p))
+    # the branch still publishes cleanly afterwards
+    main = wh.load_table("db.b")
+    main.fast_forward_branch(t.branch("exp"))
+    assert wh.load_table("db.b").scan(spark).count() == 2

@@ -87,6 +87,26 @@ def test_tag_option(spark, wh):
     assert tagged.count() == 2
 
 
+def test_branch_option(spark, wh):
+    root = wh.table_root("db.ds_branch")
+    spark.range(3).write.format("sparkberg").mode("append").save(root)
+    t = wh.load_table("db.ds_branch")
+    br = t.create_branch("exp")
+    br.append(spark.range(5).selectExpr("id"))
+    # branch read sees fork + branch rows; default read sees main only
+    on_branch = (
+        spark.read.format("sparkberg").option("branch", "exp").load(root)
+    )
+    assert on_branch.count() == 8
+    assert spark.read.format("sparkberg").load(root).count() == 3
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="mutually exclusive"):
+        spark.read.format("sparkberg").option("branch", "exp").option(
+            "version", 1
+        ).load(root).count()
+
+
 def test_filter_pushdown_prunes_files(spark, wh):
     root = wh.table_root("db.ds_prune")
     # two appends -> two files with disjoint k ranges in manifest stats
