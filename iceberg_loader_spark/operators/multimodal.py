@@ -665,3 +665,115 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(_decode_stats_batch, schema=_DECODE_STATS_SCHEMA)
         .orderBy("doc_id", "mime")
     )
+
+
+# --------------------------------------------------------------------------
+# Round 6 — image RESIZE through the real codec: encode each payload as
+# a genuine P6 PPM container, decode it back with the same header
+# parser the decode-stats operator uses (a true codec ROUND-TRIP — any
+# header/raster bug breaks the numbers), then nearest-neighbor
+# downsample the RGB raster 2× in both axes (`raster[::2, ::2, :]` —
+# the resize kernel a thumbnail/feature-extraction pipeline runs) and
+# emit exact integer reductions of the RESIZED raster, including an
+# order-weighted checksum so a transposed or off-by-one-sampled resize
+# cannot hash-match. Oracle replays the byte geometry arithmetically:
+# sampled source index for resized element i is
+# ((i div 24)·2·16 + ((i mod 24) div 3)·2)·3 + (i mod 3) + 1.
+#
+# Scale: Arrow-batched mapInPandas, vectorized numpy inside — map-only,
+# no shuffle; the per-row work is O(raster), the thumbnail shape.
+# --------------------------------------------------------------------------
+_RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("new_w", LongType()),
+        StructField("new_h", LongType()),
+        StructField("resized_sum", LongType()),
+        StructField("resized_peak", LongType()),
+        StructField("checksum", LongType()),
+    ]
+)
+
+
+def _resize_stats_batch(batches):
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            ppm = _encode_ppm(bytes(payload))
+            # decode through the REAL parser (roundtrip, not a shortcut)
+            (w, h, _maxval), off = _ppm_tokens(ppm, 2, 3)
+            off += 1
+            raster = np.frombuffer(
+                ppm, dtype=np.uint8, count=w * h * 3, offset=off
+            ).astype(np.int64).reshape(h, w, 3)
+            rz = raster[::2, ::2, :]
+            flat = rz.reshape(-1)
+            idx = np.arange(flat.size, dtype=np.int64)
+            rows.append(
+                (
+                    int(doc_id),
+                    int(w),
+                    int(h),
+                    int(rz.shape[1]),
+                    int(rz.shape[0]),
+                    int(flat.sum()),
+                    int(flat.max()) if flat.size else 0,
+                    int((idx * flat).sum()),
+                )
+            )
+        yield pd.DataFrame(
+            rows, columns=[f.name for f in _RESIZE_SCHEMA.fields]
+        )
+
+
+@_register(
+    "multimodal_image_resize_stats",
+    f"""
+    WITH d AS (
+      SELECT doc_id, octet_length(encode(text)) AS n,
+             list_transform(range(1, octet_length(encode(text)) + 1),
+                            i -> ascii(substring(text, i, 1))) AS bytes
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, n, bytes,
+             greatest(1, (n + {_PPM_W * 3 - 1}) // {_PPM_W * 3}) AS h
+      FROM d
+    ),
+    r AS (SELECT *, (h + 1) // 2 AS new_h FROM g),
+    v AS (
+      SELECT doc_id, h, new_h,
+             list_transform(range(0, new_h * {(_PPM_W // 2) * 3}),
+               i -> CASE WHEN ((i // {(_PPM_W // 2) * 3}) * 2 * {_PPM_W}
+                              + ((i % {(_PPM_W // 2) * 3}) // 3) * 2) * 3
+                              + (i % 3) + 1 <= n
+                    THEN bytes[((i // {(_PPM_W // 2) * 3}) * 2 * {_PPM_W}
+                              + ((i % {(_PPM_W // 2) * 3}) // 3) * 2) * 3
+                              + (i % 3) + 1]
+                    ELSE 0 END) AS vals
+      FROM r
+    )
+    SELECT doc_id,
+           CAST({_PPM_W} AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST({_PPM_W // 2} AS BIGINT) AS new_w,
+           CAST(new_h AS BIGINT) AS new_h,
+           CAST(list_sum(vals) AS BIGINT) AS resized_sum,
+           CAST(COALESCE(list_max(vals), 0) AS BIGINT) AS resized_peak,
+           CAST(list_sum(list_transform(range(1, len(vals) + 1),
+                i -> (i - 1) * vals[i])) AS BIGINT) AS checksum
+    FROM v
+    ORDER BY doc_id
+    """,
+)
+def multimodal_image_resize_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    mm = with_payload(load_table(spark, sf_dir, "documents"))
+    return (
+        mm.select("doc_id", "payload")
+        .mapInPandas(_resize_stats_batch, schema=_RESIZE_SCHEMA)
+        .orderBy("doc_id")
+    )

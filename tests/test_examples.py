@@ -156,3 +156,15 @@ def test_incremental_mv_refresh_example(tmp_path):
     assert result["n_mismatch"] == 0
     assert result["n_mv_keys"] > 0
     assert result["n_delta_keys"] > 0
+
+
+@pytest.mark.usefixtures("spark")
+def test_branch_release_flow_example(tmp_path):
+    mod = _load("branch_release_flow")
+    res = mod.run_example(str(tmp_path))
+    assert res["main_after"] == res["branch_head"]
+    assert res["previous_release_rows"] == res["main_before"]
+    assert "branch-fork" not in res["history_ops"]  # replay, not fork noise
+    assert res["history_ops"].count("append") == 2
+    assert "delete" in res["history_ops"]
+    assert "release-2" in res["tags"]

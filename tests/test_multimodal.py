@@ -132,3 +132,34 @@ def test_decode_features_match_fake_decode_rowwise(spark):
         assert r.head_hex == want["head"]
         checked += 1
     assert checked > 0
+
+
+def test_image_resize_roundtrip_matches_numpy_reference():
+    """The resize operator's per-row math: encode→decode roundtrip then
+    raster[::2, ::2, :] — checked against a hand-built reference."""
+    import numpy as np
+    import pandas as pd
+
+    data = bytes(range(1, 100))  # 99 bytes → h = ceil(99/48) = 3
+    pdf = pd.DataFrame({"doc_id": [7], "payload": [data]})
+    out = next(mm._resize_stats_batch(iter([pdf])))
+    row = out.iloc[0]
+    raster = np.zeros((3, 16, 3), dtype=np.int64)
+    raster.reshape(-1)[: len(data)] = np.frombuffer(data, dtype=np.uint8)
+    rz = raster[::2, ::2, :]
+    flat = rz.reshape(-1)
+    assert (row.width, row.height, row.new_w, row.new_h) == (16, 3, 8, 2)
+    assert row.resized_sum == flat.sum()
+    assert row.resized_peak == flat.max()
+    assert row.checksum == (np.arange(flat.size) * flat).sum()
+
+
+def test_image_resize_empty_payload():
+    import pandas as pd
+
+    pdf = pd.DataFrame({"doc_id": [1], "payload": [b""]})
+    row = next(mm._resize_stats_batch(iter([pdf]))).iloc[0]
+    # empty payload still yields one 16x1 black image → 8x1 resized zeros
+    assert (row.height, row.new_h, row.resized_sum, row.resized_peak) == (
+        1, 1, 0, 0,
+    )
