@@ -1689,17 +1689,7 @@ _DUCK_INC_MARKED = f"""
 def incremental_minhash_candidates(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    import tempfile
-
-    from iceberg_loader_spark.operators.lifecycle import _track_root
-    from iceberg_loader_spark.operators.text import _bucket_col
-    from iceberg_loader_spark.tables import Warehouse
-    from iceberg_loader_spark.tables.table import Table
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    marked = docs.withColumn("bucket", _bucket_col())
-    hist = marked.filter(F.col("bucket") < 50).drop("bucket")
-    inc = marked.filter(F.col("bucket") >= 50).drop("bucket")
+    hist, inc = _incremental_split(spark, sf_dir)
 
     def sig_cols(side: DataFrame) -> DataFrame:
         """(doc_id, s0..s7): one md5 per shingle, Kirsch-Mitzenmacher
@@ -1723,10 +1713,7 @@ def incremental_minhash_candidates(
     # one-time index build for the historical half, persisted through the
     # table layer and READ BACK — the query's steady-state cost is the
     # incoming side's pipeline plus this index scan
-    wh = Warehouse(_track_root(tempfile.mkdtemp(prefix="ils_mhidx_")))
-    idx = Table.create(wh, "db.mh_index", sig_cols(hist).schema)
-    idx.append(sig_cols(hist))
-    hist_sigs = wh.load_table("db.mh_index").scan(spark).withColumn(
+    hist_sigs = _persisted_index(spark, "mh_index", sig_cols(hist)).withColumn(
         "is_new", F.lit(0)
     )
     inc_sigs = sig_cols(inc).withColumn("is_new", F.lit(1))
@@ -1753,7 +1740,9 @@ def incremental_minhash_candidates(
         *[f"s{h}" for h in range(_N_HASHES)],
         "band.band_id", "band.k1", "band.k2",
     )
-    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    n_docs = load_table(spark, sf_dir, "documents").agg(
+        F.count("*").alias("n_docs")
+    )
     hot = (
         bands.groupBy("band_id", "k1", "k2")
         .agg(F.count("*").alias("bsz"))

@@ -1991,6 +1991,29 @@ class Table:
             "sequence int",
         )
 
+    def partitions_df(
+        self, spark: SparkSession, version: int | None = None
+    ) -> DataFrame:
+        """Per-partition rollup of the file manifest — the
+        `tbl.partitions` metadata table (partition values, file count,
+        row and byte totals). Unpartitioned tables report one row with
+        the empty partition tuple ``{}``."""
+        snap = self.snapshot(version)
+        agg: dict[str, list] = {}
+        for f in snap.files:
+            key = json.dumps(f.partition, sort_keys=True)
+            cur = agg.setdefault(key, [0, 0, 0])
+            cur[0] += 1
+            cur[1] += f.rows
+            cur[2] += f.bytes
+        rows = [
+            (k, v[0], v[1], v[2]) for k, v in sorted(agg.items())
+        ]
+        return spark.createDataFrame(
+            rows,
+            "partition_json string, n_files long, rows long, bytes long",
+        )
+
     # ---- schema evolution (SURVEY A28) -----------------------------------
 
     def add_columns(self, new_fields: list[T.StructField]) -> Snapshot:

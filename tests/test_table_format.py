@@ -729,3 +729,34 @@ def test_manifest_collection_distributed_matches_driver(spark, tmp_path, monkeyp
     drv = t._collect_entries(staging_abs, staging_rel, spark=spark)
     assert [e.to_json() for e in dist] == [e.to_json() for e in drv]
     assert len(drv) == len(snap.files)
+
+
+def test_partitions_metadata_table(spark, tmp_path):
+    from iceberg_loader_spark.tables.partitioning import parse_partition_transform
+
+    wh = Warehouse(str(tmp_path))
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("grp", T.StringType()),
+        ]
+    )
+    t = Table.create(
+        wh, "db.parts", schema, partition_spec=[parse_partition_transform("grp")]
+    )
+    t.append(
+        spark.createDataFrame(
+            [(i, f"g{i % 3}") for i in range(30)], schema=schema
+        )
+    )
+    t = wh.load_table("db.parts")
+    rows = {r.partition_json: r for r in t.partitions_df(spark).collect()}
+    assert len(rows) == 3
+    assert sum(r.rows for r in rows.values()) == 30
+    for r in rows.values():
+        assert r.n_files >= 1 and r.bytes > 0
+    # unpartitioned table: one empty-tuple row
+    u = Table.create(wh, "db.unpart", schema)
+    u.append(spark.createDataFrame([(1, "x")], schema=schema))
+    urows = wh.load_table("db.unpart").partitions_df(spark).collect()
+    assert len(urows) == 1 and urows[0].partition_json == "{}"
