@@ -2543,3 +2543,113 @@ def incremental_span_candidates(
         )
         .orderBy("a_key", "b_key")
     )
+
+
+@_register(
+    "incremental_simhash_candidates",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, {_duck_simhash('toks')} AS simhash,
+             {_DUCK_INC_BUCKET} AS is_new
+      FROM (SELECT doc_id, list_distinct({_DUCK_TOKENS}) AS toks
+            FROM documents)
+    ),
+    halves AS (
+      SELECT doc_id, simhash, is_new, half_id,
+             CASE WHEN half_id = 0 THEN simhash & 65535
+                  ELSE (simhash >> 16) & 65535 END AS half_key
+      FROM sh, (SELECT unnest([0, 1]) AS half_id)
+    ),
+    ipairs AS (
+      SELECT DISTINCT least(a.doc_id, b.doc_id) AS a_id,
+             greatest(a.doc_id, b.doc_id) AS b_id,
+             CASE WHEN a.doc_id < b.doc_id THEN a.simhash
+                  ELSE b.simhash END AS sh_a,
+             CASE WHEN a.doc_id < b.doc_id THEN b.simhash
+                  ELSE a.simhash END AS sh_b,
+             a.is_new + b.is_new AS n_new
+      FROM halves a JOIN halves b
+        ON a.half_id = b.half_id AND a.half_key = b.half_key
+       AND a.doc_id <> b.doc_id
+      WHERE a.is_new = 1
+    )
+    SELECT a_id, b_id, bit_count(xor(sh_a, sh_b)) AS hamming,
+           CASE WHEN n_new = 2 THEN 'new_new' ELSE 'new_old' END AS pair_kind
+    FROM ipairs
+    WHERE bit_count(xor(sh_a, sh_b)) <= 6
+    ORDER BY a_id, b_id
+    """,
+)
+def incremental_simhash_candidates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fourth fingerprint family under the persisted-index posture: the
+    SimHash index stores ONE bigint per historical document (the
+    cheapest of the four indexes — 8 B/doc), the incoming batch hashes
+    only its own tokens, and the half-key LSH join is new-side driving
+    exactly like the MinHash/winnowing/span incrementals."""
+    hist, inc = _incremental_split(spark, sf_dir)
+    hist_sh = _persisted_index(spark, "sh_index", _simhash_df(hist)).withColumn(
+        "is_new", F.lit(0)
+    )
+    inc_sh = _simhash_df(inc).withColumn("is_new", F.lit(1))
+    sh = _materialize(hist_sh.unionByName(inc_sh))
+    halves = _materialize(
+        sh.select(
+            "doc_id",
+            "simhash",
+            "is_new",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(0).alias("half_id"),
+                        F.col("simhash")
+                        .bitwiseAND(F.lit(65535))
+                        .alias("half_key"),
+                    ),
+                    F.struct(
+                        F.lit(1).alias("half_id"),
+                        F.shiftright(F.col("simhash"), 16)
+                        .bitwiseAND(F.lit(65535))
+                        .alias("half_key"),
+                    ),
+                )
+            ).alias("h"),
+        ).select("doc_id", "simhash", "is_new", "h.half_id", "h.half_key")
+    )
+    new_halves = halves.filter(F.col("is_new") == 1)
+    lo_first = F.col("a.doc_id") < F.col("b.doc_id")
+    pairs = (
+        new_halves.alias("a")
+        .join(
+            halves.alias("b"),
+            (F.col("a.half_id") == F.col("b.half_id"))
+            & (F.col("a.half_key") == F.col("b.half_key"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("a_id"),
+            F.greatest("a.doc_id", "b.doc_id").alias("b_id"),
+            F.when(lo_first, F.col("a.simhash"))
+            .otherwise(F.col("b.simhash"))
+            .alias("sh_a"),
+            F.when(lo_first, F.col("b.simhash"))
+            .otherwise(F.col("a.simhash"))
+            .alias("sh_b"),
+            (F.col("a.is_new") + F.col("b.is_new")).alias("n_new"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        pairs.select(
+            "a_id",
+            "b_id",
+            hamming.alias("hamming"),
+            F.when(F.col("n_new") == 2, "new_new")
+            .otherwise("new_old")
+            .alias("pair_kind"),
+        )
+        .filter(F.col("hamming") <= 6)
+        .orderBy("a_id", "b_id")
+    )

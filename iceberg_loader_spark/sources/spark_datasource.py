@@ -374,9 +374,17 @@ def _entry_for_file(root: str, rel_path: str):
 class SparkbergWriter(DataSourceArrowWriter):
     def __init__(self, schema: T.StructType, options, overwrite: bool):
         self._overwrite = overwrite
+        # .option("branch", name): commits land on the branch's metadata
+        # chain (Iceberg's write-to-branch / spark.wap.branch pattern) —
+        # the data area is shared, main stays frozen until fast-forward.
+        # The branch must already exist (Table.create_branch); a missing
+        # chain fails loudly here, never silently writes to main.
+        self._branch = options.get("branch")
         table = self._ensure_table(
             os.path.abspath(_table_root(options)), schema
         )
+        if self._branch is not None:
+            table = table.branch(self._branch)
         self._root = table.root
         spec = table.partition_spec()
         if spec:
@@ -399,6 +407,12 @@ class SparkbergWriter(DataSourceArrowWriter):
             DEFAULT_TABLE_PROPERTIES["write.parquet.compression-codec"],
         )
         self._staging_rel = f"data/ds-{uuid.uuid4().hex}"
+
+    def _commit_table(self):
+        """The table handle commits go through — the branch chain when
+        .option("branch", …) was given, else the main chain."""
+        table = _open_table(self._root)
+        return table.branch(self._branch) if self._branch else table
 
     @staticmethod
     def _ensure_table(root: str, schema: T.StructType):
@@ -448,7 +462,7 @@ class SparkbergWriter(DataSourceArrowWriter):
         ]
         entries = [_entry_for_file(self._root, p) for p in committed]
         added_rows = sum(e.rows for e in entries)
-        table = _open_table(self._root)
+        table = self._commit_table()
         overwrite = self._overwrite
 
         def build(parent):
@@ -543,7 +557,7 @@ class SparkbergStreamWriter(SparkbergWriter, DataSourceStreamArrowWriter):
         committed = [
             p for m in messages if m is not None for p in m.rel_paths
         ]
-        table = _open_table(self._root)
+        table = self._commit_table()
         last = int(table.properties().get(self._MARKER_PROP, "-1"))
         if batchId <= last:
             # replayed micro-batch: its rows are already in the table —

@@ -138,3 +138,22 @@ def test_incremental_spans_equals_full_run_restriction(spark):
         want = "new_new" if (_is_new(r.a_key) and _is_new(r.b_key)) else "new_old"
         assert r.pair_kind == want
     assert inc == full
+
+
+def test_incremental_simhash_equals_full_run_restriction(spark):
+    """The one-bigint-per-doc index variant must reproduce the
+    full-corpus half-key LSH pairs (with identical hamming distances)
+    restricted to pairs touching at least one new document."""
+    full = {
+        (r.a_id, r.b_id): r.hamming
+        for r in QUERIES["simhash_neardup_pairs"](spark, SF_SMOKE).collect()
+        if _is_new(r.a_id) or _is_new(r.b_id)
+    }
+    inc = {}
+    for r in QUERIES["incremental_simhash_candidates"](
+        spark, SF_SMOKE
+    ).collect():
+        inc[(r.a_id, r.b_id)] = r.hamming
+        want = "new_new" if (_is_new(r.a_id) and _is_new(r.b_id)) else "new_old"
+        assert r.pair_kind == want
+    assert inc == full

@@ -519,3 +519,86 @@ def test_stream_tail_source_resumes_offsets_across_restart(
 
     # run 2 must deliver exactly the missed delta — no backfill re-read
     assert _drain() == list(range(5, 10))
+
+
+def test_stream_writer_into_branch_then_fast_forward(spark, wh, tmp_path):
+    """Streaming WAP (Iceberg's spark.wap.branch): micro-batches commit
+    to a BRANCH chain — main stays frozen and serveable — then
+    fast-forward publishes the audited batches with their exactly-once
+    markers intact."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = wh.table_root("db.ds_wap_stream")
+    spark.range(3).selectExpr("id AS k").write.format("sparkberg").mode(
+        "append"
+    ).save(root)
+    t = Table(wh, "db.ds_wap_stream")
+    t.create_branch("audit")
+
+    src = tmp_path / "wap_src"
+    src.mkdir()
+    pq.write_table(pa.table({"k": [10, 11]}), str(src / "a.parquet"))
+    stream = (
+        spark.readStream.schema("k long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        stream.writeStream.format("sparkberg")
+        .option("branch", "audit")
+        .option("checkpointLocation", str(tmp_path / "wap_ckpt"))
+        .start(root)
+    )
+    try:
+        q.processAllAvailable()
+        pq.write_table(pa.table({"k": [12]}), str(src / "b.parquet"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # main frozen; branch holds the streamed rows + marker
+    assert spark.read.format("sparkberg").load(root).count() == 3
+    br = t.branch("audit")
+    assert sorted(r.k for r in br.scan(spark).collect()) == [0, 1, 2, 10, 11, 12]
+    marker = "streaming.sparkberg-writer.default.last-batch-id"
+    assert int(br.properties()[marker]) >= 1
+
+    # fast-forward: rows AND the exactly-once marker reach main
+    t.fast_forward_branch(t.branch("audit"))
+    main = Table(wh, "db.ds_wap_stream")
+    assert sorted(
+        r.k for r in spark.read.format("sparkberg").load(root).collect()
+    ) == [0, 1, 2, 10, 11, 12]
+    assert int(main.properties()[marker]) >= 1
+
+
+def test_batch_writer_into_missing_branch_fails_loudly(spark, wh):
+    root = wh.table_root("db.ds_nobranch")
+    spark.range(2).selectExpr("id AS k").write.format("sparkberg").mode(
+        "append"
+    ).save(root)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="no such branch"):
+        spark.range(3).selectExpr("id AS k").write.format("sparkberg").mode(
+            "append"
+        ).option("branch", "ghost").save(root)
+    # nothing landed on main
+    assert spark.read.format("sparkberg").load(root).count() == 2
+
+
+def test_batch_writer_into_branch(spark, wh):
+    root = wh.table_root("db.ds_branch_w")
+    spark.range(4).selectExpr("id AS k").write.format("sparkberg").mode(
+        "append"
+    ).save(root)
+    t = Table(wh, "db.ds_branch_w")
+    t.create_branch("exp")
+    spark.range(100, 103).selectExpr("id AS k").write.format(
+        "sparkberg"
+    ).mode("append").option("branch", "exp").save(root)
+    assert spark.read.format("sparkberg").load(root).count() == 4
+    assert (
+        spark.read.format("sparkberg").option("branch", "exp").load(root).count()
+        == 7
+    )
