@@ -1753,12 +1753,28 @@ class Table:
             raise ValueError("not a branch table")
         head = shadow.snapshot()
         main_v = self.meta.current_version()
+        resume_from = fork_v
         if main_v != fork_v:
-            raise ConcurrentModification(
-                f"main table advanced to v{main_v} past branch fork "
-                f"v{fork_v}; re-branch and re-apply"
-            )
-        for v in range(fork_v + 1, head.version + 1):
+            # RESUME path: a crashed (or duplicated) fast-forward may have
+            # already replayed a prefix of the branch onto main. If every
+            # main commit past the fork IS the corresponding branch commit
+            # (same snapshot_id), continue the replay after it — the
+            # publish is prefix-durable and idempotent, never partial-lost.
+            # Anything else on main is a real concurrent commit: abort.
+            if main_v > head.version:
+                raise ConcurrentModification(
+                    f"main table advanced to v{main_v} past branch "
+                    f"{name!r} head v{head.version}; re-branch and re-apply"
+                )
+            for v in range(fork_v + 1, main_v + 1):
+                if self.snapshot(v).snapshot_id != shadow.snapshot(v).snapshot_id:
+                    raise ConcurrentModification(
+                        f"main table advanced to v{main_v} past branch "
+                        f"fork v{fork_v} with foreign commits; re-branch "
+                        f"and re-apply"
+                    )
+            resume_from = main_v
+        for v in range(resume_from + 1, head.version + 1):
             s = shadow.snapshot(v)
             clean = {
                 k: val

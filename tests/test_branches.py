@@ -158,3 +158,78 @@ def test_remove_orphans_spares_branch_staged_files(spark, tmp_path):
     main = wh.load_table("db.b")
     main.fast_forward_branch(t.branch("exp"))
     assert wh.load_table("db.b").scan(spark).count() == 2
+
+
+def test_concurrent_appends_to_one_branch_serialize(spark, tmp_path):
+    """The branch chain uses the SAME optimistic CAS commit protocol as
+    main: two threads appending to one branch must both land (retry on
+    CommitConflict), never lose a commit or corrupt the chain."""
+    import threading
+
+    wh, t = _mk(spark, tmp_path, [(0, "a")])
+    t.create_branch("exp")
+    errs: list[Exception] = []
+
+    def _append(lo: int):
+        try:
+            # each thread gets its own handle (no shared mutable state)
+            br = wh.load_table("db.b").branch("exp")
+            br.append(
+                spark.createDataFrame(
+                    [(lo + i, "t") for i in range(5)], schema=_schema()
+                )
+            )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    th = [threading.Thread(target=_append, args=(100 * k,)) for k in (1, 2)]
+    for x in th:
+        x.start()
+    for x in th:
+        x.join()
+    assert errs == []
+    br = t.branch("exp")
+    assert br.scan(spark).count() == 1 + 10
+    # both appends present as separate replayable commits on the branch
+    # chain (the pre-fork base append lives in MAIN's chain)
+    ops = [s.operation for s in br.history()]
+    assert ops == ["branch-fork", "append", "append"]
+    main = wh.load_table("db.b")
+    main.fast_forward_branch(br)
+    assert wh.load_table("db.b").scan(spark).count() == 11
+
+
+def test_fast_forward_resumes_after_partial_replay(spark, tmp_path):
+    """A crash mid-replay leaves main with a PREFIX of the branch's
+    commits; a retried fast-forward must recognize its own replayed
+    snapshots (same snapshot_id) and resume, not abort or double-apply."""
+    from dataclasses import replace as _replace
+
+    wh, t = _mk(spark, tmp_path, [(0, "a")])
+    br = t.create_branch("exp")
+    br.append(spark.createDataFrame([(1, "b")], schema=_schema()))
+    t.branch("exp").append(spark.createDataFrame([(2, "c")], schema=_schema()))
+    br = t.branch("exp")
+    fork_v = int(br.properties()["branch.fork-version"])
+
+    # simulate the crash: replay ONLY the first branch commit onto main
+    s = br.snapshot(fork_v + 1)
+    clean = {
+        k: v for k, v in s.properties.items() if not k.startswith("branch.")
+    }
+    t.meta.commit(_replace(s, properties=clean), expected_parent=fork_v)
+
+    main = wh.load_table("db.b")
+    main.fast_forward_branch(t.branch("exp"))  # must RESUME, not raise
+    main = wh.load_table("db.b")
+    assert main.scan(spark).count() == 3
+    assert main.meta.current_version() == fork_v + 2
+    assert main.list_branches() == []
+
+    # a FOREIGN commit past the fork still aborts the publish
+    t2 = wh.load_table("db.b")
+    br2 = t2.create_branch("exp2")
+    br2.append(spark.createDataFrame([(7, "z")], schema=_schema()))
+    t2.append(spark.createDataFrame([(8, "w")], schema=_schema()))
+    with pytest.raises(ConcurrentModification, match="foreign|advanced"):
+        wh.load_table("db.b").fast_forward_branch(t2.branch("exp2"))
