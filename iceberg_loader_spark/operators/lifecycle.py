@@ -1904,3 +1904,94 @@ def lifecycle_branch_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "stage string, n_docs long"
     ).orderBy("stage")
+
+
+# --------------------------------------------------------------------------
+# Round 6 — STREAMING WAP under the oracle gate (Iceberg's
+# spark.wap.branch): the base corpus lands on main, a writable branch
+# forks, and the zh documents stream through the native sparkberg sink
+# WITH .option("branch") — every micro-batch commits exactly-once onto
+# the branch chain while main stays frozen. The query verifies, by
+# content: (stage 1) main is still exactly the base after the stream
+# finishes, (stage 2) the branch head is base + streamed rows, and
+# (stage 3) after fast-forward main equals the branch — with the
+# exactly-once marker surviving the publish (asserted, so a lost marker
+# fails the query even though the row counts would still match).
+#
+# Scale: one streaming engine fixed cost (same class as
+# lifecycle_stream_sink_counts) + O(branch commits) metadata replay;
+# the publish moves no data.
+# --------------------------------------------------------------------------
+@_register(
+    "lifecycle_branch_stream_counts",
+    """
+    WITH c AS (
+      SELECT CAST(SUM(CASE WHEN lang <> 'zh' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_base,
+             CAST(COUNT(*) AS BIGINT) AS n_all
+      FROM documents
+    )
+    SELECT stage, n_docs FROM (
+      SELECT '1_main_during_stream' AS stage, n_base AS n_docs FROM c
+      UNION ALL SELECT '2_branch_after_stream', n_all FROM c
+      UNION ALL SELECT '3_main_after_publish', n_all FROM c
+    )
+    ORDER BY stage
+    """,
+)
+def lifecycle_branch_stream_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile as _tf
+
+    from iceberg_loader_spark.sources.spark_datasource import register
+
+    register(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    wh = _fresh_warehouse()
+    t = Table.create(wh, "db.docs_wap", docs.schema)
+    t.append(docs.filter(F.col("lang") != "zh"))
+    t = wh.load_table("db.docs_wap")
+    t.create_branch("audit")
+
+    src = _track_root(_tf.mkdtemp(prefix="ils_wap_src_"))
+    docs.filter(F.col("lang") == "zh").repartition(2).write.mode(
+        "overwrite"
+    ).parquet(src)
+    root = wh.table_root("db.docs_wap")
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.format("sparkberg")
+        .option("branch", "audit")
+        .option("checkpointLocation", f"{src}/_ckpt")
+        .start(root)
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    marker = "streaming.sparkberg-writer.default.last-batch-id"
+    main_during = t.scan(spark).count()  # branch commits must be invisible
+    branch_after = t.branch("audit").scan(spark).count()
+    if marker not in t.branch("audit").properties():
+        raise RuntimeError("exactly-once marker missing from branch chain")
+    t.fast_forward_branch(t.branch("audit"))
+    t = wh.load_table("db.docs_wap")
+    main_after = t.scan(spark).count()
+    if marker not in t.properties():
+        raise RuntimeError(
+            "exactly-once marker lost in fast-forward publish"
+        )
+    rows = [
+        ("1_main_during_stream", main_during),
+        ("2_branch_after_stream", branch_after),
+        ("3_main_after_publish", main_after),
+    ]
+    return spark.createDataFrame(rows, "stage string, n_docs long").orderBy(
+        "stage"
+    )

@@ -2175,3 +2175,154 @@ def ann_recall_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_recall(pq2, 2))
         .orderBy("q_id", "nprobe")
     )
+
+
+# --------------------------------------------------------------------------
+# Round 6 — INCREMENTAL embedding near-dup (the fifth modality under the
+# persisted-index posture, joining the four text fingerprint families):
+# the historical corpus's sign-LSH bucket keys live in an index table of
+# SCALARS ONLY — (vec_id, label, sig, nsq), no arrays in the table
+# format — the incoming batch signs only its own vectors against the
+# GLOBAL hyperplanes (model parameters, fixed at index-build time like a
+# PQ codebook), and the bucket join is new-side driving. Candidate
+# verification then FETCHES the raw embeddings by vec_id from the
+# payload table — the production "probe the index, then read the
+# payload for survivors" shape: raw vectors never ride the bucket join.
+#
+# Scale: per-batch cost = batch signing + index scan of 32-byte rows +
+# bucket-local pair enumeration + an equi-join payload fetch of
+# O(candidates) vectors. Old×old buckets are never enumerated.
+# --------------------------------------------------------------------------
+_DUCK_VEC_BUCKET = (
+    "CASE WHEN CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8)) "
+    "AS BIGINT) % 100 >= 50 THEN 1 ELSE 0 END"
+)
+
+
+@_register(
+    "incremental_embedding_neardup",
+    f"""
+    WITH {_DUCK_LSH},
+    marked AS (
+      SELECT vec_id, label, e, nsq, sig, {_DUCK_VEC_BUCKET} AS is_new
+      FROM bucketed
+    ),
+    ip AS (
+      SELECT DISTINCT least(a.vec_id, b.vec_id) AS a_id,
+             greatest(a.vec_id, b.vec_id) AS b_id,
+             CASE WHEN a.vec_id < b.vec_id THEN a.label ELSE b.label END
+               AS a_label,
+             CASE WHEN a.vec_id < b.vec_id THEN b.label ELSE a.label END
+               AS b_label,
+             CAST({_DUCK_DOT.format(a='a.e', b='b.e')} AS DOUBLE)
+               / (SQRT(CAST(a.nsq AS DOUBLE)) * SQRT(CAST(b.nsq AS DOUBLE)))
+               AS cosine,
+             a.is_new + b.is_new AS n_new
+      FROM marked a JOIN marked b
+        ON a.sig = b.sig AND a.vec_id <> b.vec_id
+      WHERE a.is_new = 1
+    )
+    SELECT a_id, b_id, a_label, b_label, cosine,
+           CASE WHEN n_new = 2 THEN 'new_new' ELSE 'new_old' END AS pair_kind
+    FROM ip
+    WHERE cosine >= 0.3
+    ORDER BY a_id, b_id
+    """,
+)
+def incremental_embedding_neardup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from iceberg_loader_spark.operators.dedup import (
+        _materialize,
+        _persisted_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    fp = emb.select(
+        "vec_id", "label", _fixed_point(F.col("embedding")).alias("e")
+    ).withColumn("nsq", _dot(F.col("e"), F.col("e")))
+    vec_bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+        % 100
+    )
+    marked = fp.withColumn("bucket", vec_bucket)
+    hist = marked.filter(F.col("bucket") < 50).drop("bucket")
+    inc = marked.filter(F.col("bucket") >= 50).drop("bucket")
+    # GLOBAL hyperplanes — model parameters shared by index build and
+    # every later batch (identical signatures regardless of which side a
+    # plane vector's id happened to land on)
+    planes = fp.filter(F.col("vec_id") < _N_PLANES).select(
+        F.col("vec_id").alias("plane_id"), F.col("e").alias("p_e")
+    )
+    bit = F.when(
+        _dot(F.col("e"), F.col("p_e")) >= 0,
+        F.expr("shiftleft(cast(1 as bigint), cast(plane_id as int))"),
+    ).otherwise(F.lit(0).cast("bigint"))
+
+    def signed(side: DataFrame) -> DataFrame:
+        sigs = (
+            side.join(F.broadcast(planes))
+            .groupBy("vec_id")
+            .agg(F.sum(bit).alias("sig"))
+        )
+        return side.select("vec_id", "label", "nsq").join(sigs, "vec_id")
+
+    hist_idx = _persisted_index(spark, "emb_index", signed(hist)).withColumn(
+        "is_new", F.lit(0)
+    )
+    new_sigs = signed(inc).withColumn("is_new", F.lit(1))
+    idx = _materialize(hist_idx.unionByName(new_sigs))
+    new_idx = idx.filter(F.col("is_new") == 1)
+    lo_first = F.col("a.vec_id") < F.col("b.vec_id")
+    cand = (
+        new_idx.alias("a")
+        .join(
+            idx.alias("b"),
+            (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.least("a.vec_id", "b.vec_id").alias("a_id"),
+            F.greatest("a.vec_id", "b.vec_id").alias("b_id"),
+            F.when(lo_first, F.col("a.label"))
+            .otherwise(F.col("b.label"))
+            .alias("a_label"),
+            F.when(lo_first, F.col("b.label"))
+            .otherwise(F.col("a.label"))
+            .alias("b_label"),
+            F.when(lo_first, F.col("a.nsq"))
+            .otherwise(F.col("b.nsq"))
+            .alias("a_nsq"),
+            F.when(lo_first, F.col("b.nsq"))
+            .otherwise(F.col("a.nsq"))
+            .alias("b_nsq"),
+            (F.col("a.is_new") + F.col("b.is_new")).alias("n_new"),
+        )
+        .distinct()
+    )
+    # payload fetch for survivors only: raw vectors never rode the
+    # bucket join
+    ea = fp.select(F.col("vec_id").alias("a_id"), F.col("e").alias("e_a"))
+    eb = fp.select(F.col("vec_id").alias("b_id"), F.col("e").alias("e_b"))
+    cosine = _dot(F.col("e_a"), F.col("e_b")).cast("double") / (
+        F.sqrt(F.col("a_nsq").cast("double"))
+        * F.sqrt(F.col("b_nsq").cast("double"))
+    )
+    return (
+        cand.join(ea, "a_id")
+        .join(eb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            "a_label",
+            "b_label",
+            cosine.alias("cosine"),
+            F.when(F.col("n_new") == 2, "new_new")
+            .otherwise("new_old")
+            .alias("pair_kind"),
+        )
+        .filter(F.col("cosine") >= 0.3)
+        .orderBy("a_id", "b_id")
+    )

@@ -283,6 +283,13 @@ def _appended_files(table, from_v: int, to_v: int) -> list:
         snap = table.snapshot(v)
         if snap.operation in _ROW_PRESERVING_OPS:
             continue
+        if snap.operation == "branch-fork":
+            # a branch chain's seed: its files ARE the backfill batch
+            # (its parent_version points into MAIN's chain, which this
+            # handle cannot resolve — and must not: the fork content is
+            # exactly what a from-zero branch tail should emit first)
+            out.extend(snap.files)
+            continue
         if snap.operation != "append":
             raise ValueError(
                 f"sparkberg stream reads an append-only tail; snapshot "
@@ -330,21 +337,31 @@ class SparkbergStreamReader(DataSourceStreamReader):
 
     def __init__(self, schema: T.StructType, options):
         table = _open_table(_table_root(options))
+        # .option("branch", name): tail the BRANCH chain's append log —
+        # offsets are branch versions; lets a pipeline consume staged
+        # micro-batches before (or instead of) the fast-forward publish
+        self._branch = options.get("branch")
+        if self._branch is not None:
+            table = table.branch(self._branch)
         self._root = table.root
         self._schema = schema
         sv = str(options.get("starting_version", "0"))
         cur = table.snapshot().version
         self._initial = cur if sv == "latest" else int(sv)
 
+    def _table(self):
+        table = _open_table(self._root)
+        return table.branch(self._branch) if self._branch else table
+
     def initialOffset(self) -> dict:
         return {"version": self._initial}
 
     def latestOffset(self) -> dict:
         # O(1) pointer read per trigger — no manifest load
-        return {"version": _open_table(self._root).meta.current_version()}
+        return {"version": self._table().meta.current_version()}
 
     def partitions(self, start: dict, end: dict):
-        table = _open_table(self._root)
+        table = self._table()
         files = _appended_files(table, start["version"], end["version"])
         return [
             _FilePartition(os.path.join(self._root, f.path)) for f in files

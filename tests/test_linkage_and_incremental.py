@@ -157,3 +157,32 @@ def test_incremental_simhash_equals_full_run_restriction(spark):
         want = "new_new" if (_is_new(r.a_id) and _is_new(r.b_id)) else "new_old"
         assert r.pair_kind == want
     assert inc == full
+
+
+def test_incremental_embedding_neardup_equals_full_run_restriction(spark):
+    """Scalar-only bucket index + payload fetch must reproduce the
+    full-corpus sign-LSH near-dup pairs (with identical cosines)
+    restricted to pairs touching at least one new vector."""
+    import hashlib
+
+    def vec_is_new(vec_id: int) -> bool:
+        h = hashlib.md5(str(vec_id).encode()).hexdigest()
+        return int(h[:8], 16) % 100 >= 50
+
+    full = {
+        (r.a_id, r.b_id): (r.a_label, r.b_label, r.cosine)
+        for r in QUERIES["embedding_neardup_lsh"](spark, SF_SMOKE).collect()
+        if vec_is_new(r.a_id) or vec_is_new(r.b_id)
+    }
+    inc = {}
+    for r in QUERIES["incremental_embedding_neardup"](
+        spark, SF_SMOKE
+    ).collect():
+        inc[(r.a_id, r.b_id)] = (r.a_label, r.b_label, r.cosine)
+        want = (
+            "new_new"
+            if (vec_is_new(r.a_id) and vec_is_new(r.b_id))
+            else "new_old"
+        )
+        assert r.pair_kind == want
+    assert inc == full

@@ -250,6 +250,7 @@ def test_entity_linkage_joins_on_variant_key_not_cross_product(spark):
         "incremental_span_candidates",
         "incremental_minhash_candidates",
         "incremental_simhash_candidates",
+        "incremental_embedding_neardup",
     ],
 )
 def test_incremental_pair_join_is_new_side_driving(spark, key):

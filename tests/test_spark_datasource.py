@@ -602,3 +602,38 @@ def test_batch_writer_into_branch(spark, wh):
         spark.read.format("sparkberg").option("branch", "exp").load(root).count()
         == 7
     )
+
+
+def test_stream_read_from_branch(spark, wh, tmp_path):
+    """readStream .option("branch", …): tail the branch chain's append
+    log — a pipeline can consume staged micro-batches while main stays
+    frozen (the consumer side of streaming WAP)."""
+    root = wh.table_root("db.ds_branch_tail")
+    spark.range(2).selectExpr("id AS k").write.format("sparkberg").mode(
+        "append"
+    ).save(root)
+    t = Table(wh, "db.ds_branch_tail")
+    br = t.create_branch("stage")
+    br.append(spark.range(10, 13).selectExpr("id AS k"))
+    q = (
+        spark.readStream.format("sparkberg")
+        .option("branch", "stage")
+        .load(root)
+        .writeStream.format("memory")
+        .queryName("branch_tail")
+        .option("checkpointLocation", str(tmp_path / "bt_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(r.k for r in spark.sql("SELECT k FROM branch_tail").collect())
+        assert got == [0, 1, 10, 11, 12]
+        # another branch append arrives; the tail picks up the delta only
+        t.branch("stage").append(spark.range(20, 22).selectExpr("id AS k"))
+        q.processAllAvailable()
+        got = sorted(r.k for r in spark.sql("SELECT k FROM branch_tail").collect())
+        assert got == [0, 1, 10, 11, 12, 20, 21]
+    finally:
+        q.stop()
+    # main never advanced
+    assert spark.read.format("sparkberg").load(root).count() == 2
