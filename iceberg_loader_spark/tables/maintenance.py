@@ -43,6 +43,33 @@ def determine_cutoff_ms(snapshots: list[Snapshot], keep_last: int) -> int | None
     return ordered[keep_last - 1].timestamp_ms - 1
 
 
+def _shadow_live_paths(table: Table) -> set[str]:
+    """Every data/delete-file path any WAP-stage or branch metadata
+    chain references — files the MAIN chain alone cannot account for but
+    which must survive both expiry and the orphan sweep."""
+    live: set[str] = set()
+    for shadow_dir in (Table.WAP_DIR, Table.BRANCH_DIR):
+        shadow_root = os.path.join(table.root, shadow_dir)
+        if not os.path.isdir(shadow_root):
+            continue
+        from iceberg_loader_spark.tables.format import (
+            LocalFSBackend,
+            TableMetadata,
+        )
+
+        for shadow_id in os.listdir(shadow_root):
+            backend = LocalFSBackend(
+                table.root, meta_dir=os.path.join(shadow_root, shadow_id)
+            )
+            if not backend.exists():
+                continue
+            shadow_meta = TableMetadata(table.root, backend=backend)
+            for snap in shadow_meta.snapshots():
+                live |= {f.path for f in snap.files}
+                live |= {d["path"] for d in snap.delete_files}
+    return live
+
+
 def expire_snapshots(
     table: Table,
     keep_last: int | None = None,
@@ -85,9 +112,15 @@ def expire_snapshots(
                 table.meta.backend.write_manifest_replace(
                     s.version, table.meta._resolve_manifest(s.version)
                 )
-        live_paths = {f.path for s in survivors for f in s.files} | {
-            d["path"] for s in survivors for d in s.delete_files
-        }
+        live_paths = (
+            {f.path for s in survivors for f in s.files}
+            | {d["path"] for s in survivors for d in s.delete_files}
+            # a live WAP stage / branch chain may be the ONLY reference
+            # to a file an expired MAIN snapshot also carried (e.g. a
+            # branch forked at a version being expired): expiry must not
+            # break the shadow chain's scans
+            | _shadow_live_paths(table)
+        )
         dead_paths = (
             {f.path for s in expired for f in s.files}
             | {d["path"] for s in expired for d in s.delete_files}
@@ -365,25 +398,7 @@ def remove_orphan_files(table: Table, older_than_ms: int | None = None) -> dict:
     # file any shadow snapshot references as live too (a branch can
     # legitimately outlive the 3-hour cutoff; without this its staged
     # files would be collected as orphans)
-    for shadow_dir in (Table.WAP_DIR, Table.BRANCH_DIR):
-        shadow_root = os.path.join(table.root, shadow_dir)
-        if not os.path.isdir(shadow_root):
-            continue
-        from iceberg_loader_spark.tables.format import (
-            LocalFSBackend,
-            TableMetadata,
-        )
-
-        for shadow_id in os.listdir(shadow_root):
-            backend = LocalFSBackend(
-                table.root, meta_dir=os.path.join(shadow_root, shadow_id)
-            )
-            if not backend.exists():
-                continue
-            shadow_meta = TableMetadata(table.root, backend=backend)
-            for snap in shadow_meta.snapshots():
-                live |= {f.path for f in snap.files}
-                live |= {d["path"] for d in snap.delete_files}
+    live |= _shadow_live_paths(table)
     data_root = os.path.join(table.root, "data")
     removed = kept_recent = 0
     for dirpath, _dirnames, filenames in os.walk(data_root):

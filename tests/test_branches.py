@@ -233,3 +233,30 @@ def test_fast_forward_resumes_after_partial_replay(spark, tmp_path):
     t2.append(spark.createDataFrame([(8, "w")], schema=_schema()))
     with pytest.raises(ConcurrentModification, match="foreign|advanced"):
         wh.load_table("db.b").fast_forward_branch(t2.branch("exp2"))
+
+
+def test_expire_snapshots_spares_branch_referenced_files(spark, tmp_path):
+    """A branch forked at a version main later expires: the fork files
+    may be referenced ONLY by the branch chain after main rewrites them
+    away — expiry must not delete them out from under the branch."""
+    import time
+
+    from iceberg_loader_spark.tables.maintenance import expire_snapshots
+
+    wh, t = _mk(spark, tmp_path, [(1, "a"), (2, "a")])
+    fork_files = {f.path for f in t.snapshot().files}
+    br = t.create_branch("exp")
+    br.append(spark.createDataFrame([(3, "b")], schema=_schema()))
+    # main rewrites everything (overwrite): the fork files now live only
+    # in old main snapshots + the branch chain
+    t.overwrite(spark.createDataFrame([(9, "z")], schema=_schema()))
+    t = wh.load_table("db.b")
+    res = expire_snapshots(t, keep_last=1)
+    assert res["expired"] >= 1 and "error" not in res
+    # the branch still scans: base rows + its append all present
+    got = sorted(
+        (r.id, r.grp) for r in t.branch("exp").scan(spark).collect()
+    )
+    assert got == [(1, "a"), (2, "a"), (3, "b")]
+    for p in fork_files:
+        assert os.path.isfile(os.path.join(t.root, p))
