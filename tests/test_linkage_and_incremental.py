@@ -186,3 +186,40 @@ def test_incremental_embedding_neardup_equals_full_run_restriction(spark):
         )
         assert r.pair_kind == want
     assert inc == full
+
+
+def _winnow_prints(tokens: list[str], k: int, w: int) -> set[str]:
+    """Pure-Python mirror of the operator's winnowing math: md5 of
+    space-joined k-grams, then the min hash of every w-window."""
+    import hashlib
+
+    if len(tokens) < k:
+        return set()
+    hs = [
+        hashlib.md5(" ".join(tokens[i : i + k]).encode()).hexdigest()
+        for i in range(len(tokens) - k + 1)
+    ]
+    if len(hs) < w:
+        return set()
+    return {min(hs[i : i + w]) for i in range(len(hs) - w + 1)}
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.sampled_from("abcdefgh"), min_size=12, max_size=30),
+    st.lists(st.sampled_from("qrstuv"), min_size=0, max_size=8),
+    st.lists(st.sampled_from("wxyz"), min_size=0, max_size=8),
+)
+def test_winnowing_guaranteed_cover_property(shared, pre, post):
+    """Schleimer et al. 2003, theorem the operator's docstring leans on:
+    two documents sharing a token run of >= w + k - 1 tokens share at
+    least one winnowing-selected print (k=5, w=4 — the operator's
+    parameters). Proven over random contexts: the shared run embedded
+    in different prefixes/suffixes must still collide."""
+    K, W = 5, 4
+    assert len(shared) >= W + K - 1
+    a = pre + shared + post
+    b = list(reversed(post)) + shared + list(reversed(pre))
+    pa = _winnow_prints(a, K, W)
+    pb = _winnow_prints(b, K, W)
+    assert pa & pb, (a, b)
