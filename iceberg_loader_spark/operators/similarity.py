@@ -2326,3 +2326,136 @@ def incremental_embedding_neardup(
         .filter(F.col("cosine") >= 0.3)
         .orderBy("a_id", "b_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Round 6 — recall audits for the two ANN families that still lacked
+# one (sign-LSH buckets and the navigable-graph beam search), completing
+# the "measure, don't guess" set: EVERY approximate index in the engine
+# (IVF, IVF+PQ, LSH, graph) now ships a hash-verified recall@k number
+# against exact brute-force, so an accuracy regression in any family is
+# a red oracle row, not a silent quality drift. The oracles recompose
+# the registered family SQL as a CTE, so the audited pipeline is
+# EXACTLY the registered one.
+#
+# Scale: the exact reference side is a fixed query budget broadcast past
+# the corpus map-side (the audit is sampled); intersections join
+# ≤k-row-per-query frames.
+# --------------------------------------------------------------------------
+def _register_ann_recall_audits() -> None:
+    exact_ctes = f"""
+    fpx AS (
+      SELECT vec_id, {_DUCK_FP.format(col='embedding')} AS e FROM embeddings
+    ),
+    normsx AS (
+      SELECT vec_id, e, {_DUCK_DOT.format(a='e', b='e')} AS nsq FROM fpx
+    )"""
+
+    def exact3_sql(nq: int) -> str:
+        return f"""
+    exact_pairs AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             CAST({_DUCK_DOT.format(a='q.e', b='c.e')} AS DOUBLE)
+               / (SQRT(CAST(q.nsq AS DOUBLE)) * SQRT(CAST(c.nsq AS DOUBLE)))
+               AS cosine
+      FROM normsx q JOIN normsx c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {nq}
+    ),
+    exact3 AS (
+      SELECT q_id, n_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                    ORDER BY cosine DESC, n_id) AS rnk
+        FROM exact_pairs)
+      WHERE rnk <= 3
+    )"""
+
+    recall_select = """
+    SELECT e.q_id, COALESCE(h.n_hits, 0) AS n_hits, 3 AS k
+    FROM (SELECT DISTINCT q_id FROM exact3) e
+    LEFT JOIN (
+      SELECT x.q_id, COUNT(*) AS n_hits
+      FROM exact3 x JOIN approx3 i ON x.q_id = i.q_id AND x.n_id = i.n_id
+      GROUP BY x.q_id) h
+    ON e.q_id = h.q_id
+    ORDER BY e.q_id
+    """
+
+    lsh_oracle = f"""
+    WITH approx_raw AS ({ORACLES["ann_lsh_cosine"]}),
+    approx3 AS (SELECT q_id, n_id FROM approx_raw),
+    {exact_ctes},
+    {exact3_sql(20)}
+    {recall_select}
+    """
+
+    graph_oracle = f"""
+    WITH approx_raw AS ({ORACLES["graph_ann_beam_search"]}),
+    approx3 AS (SELECT q_id, n_id FROM approx_raw),
+    {exact_ctes},
+    {exact3_sql(_BEAM_NQ)}
+    {recall_select}
+    """
+
+    def _exact3(spark: SparkSession, sf_dir: str, nq: int) -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        fp = emb.select(
+            "vec_id", _fixed_point(F.col("embedding")).alias("e")
+        ).withColumn("nsq", _dot(F.col("e"), F.col("e")))
+        q = fp.filter(F.col("vec_id") < nq).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("e").alias("q_e"),
+            F.col("nsq").alias("q_nsq"),
+        )
+        cosine = _dot(F.col("q_e"), F.col("e")).cast("double") / (
+            F.sqrt(F.col("q_nsq").cast("double"))
+            * F.sqrt(F.col("nsq").cast("double"))
+        )
+        w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+        return (
+            fp.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+            .select(
+                "q_id", F.col("vec_id").alias("n_id"), cosine.alias("cosine")
+            )
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3)
+            .select("q_id", "n_id")
+        )
+
+    def _recall_frame(exact3: DataFrame, approx3: DataFrame) -> DataFrame:
+        hits = (
+            exact3.join(approx3, ["q_id", "n_id"])
+            .groupBy("q_id")
+            .agg(F.count("*").alias("n_hits"))
+        )
+        return (
+            exact3.select("q_id")
+            .distinct()
+            .join(F.broadcast(hits), "q_id", "left")
+            .select(
+                "q_id",
+                F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+                F.lit(3).alias("k"),
+            )
+            .orderBy("q_id")
+        )
+
+    @_register("ann_recall_lsh", lsh_oracle)
+    def ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from iceberg_loader_spark.operators.dedup import _materialize
+
+        approx3 = ann_lsh_cosine(spark, sf_dir).select("q_id", "n_id")
+        return _recall_frame(
+            _materialize(_exact3(spark, sf_dir, 20)), approx3
+        )
+
+    @_register("ann_recall_graph", graph_oracle)
+    def ann_recall_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from iceberg_loader_spark.operators.dedup import _materialize
+
+        approx3 = graph_ann_beam_search(spark, sf_dir).select("q_id", "n_id")
+        return _recall_frame(
+            _materialize(_exact3(spark, sf_dir, _BEAM_NQ)), approx3
+        )
+
+
+_register_ann_recall_audits()
