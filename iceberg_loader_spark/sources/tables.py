@@ -71,10 +71,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     session object. Mutable paths (warehouse tables) never go through this
     reader; they use :class:`~iceberg_loader_spark.tables.Warehouse`.
 
-    Immutability is *verified*, not assumed: the cached plan pins the
-    parquet file listing at first read, so a hit is honored only while the
-    path's mtime is unchanged — a rewritten/appended path invalidates the
-    entry instead of silently serving a stale listing.
+    Immutability is *verified*, not assumed: the cached plan pins a
+    fingerprint of the path's file listing — every file's (relative name,
+    size, mtime) — at first read, so a hit is honored only while that set
+    is unchanged. This catches in-place rewrites of an existing part file
+    and changes inside nested partition subdirectories, which a bare
+    directory-mtime check would miss (POSIX directory mtime only moves
+    when a DIRECT child is created/removed/renamed).
     """
     ensure_compat(spark)
     cache = getattr(spark, "_ils_table_cache", None)
@@ -85,13 +88,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         except AttributeError:  # pragma: no cover - slotted session impl
             pass
     path = f"{sf_dir}/{name}.parquet"
-    try:
-        mtime = os.stat(path).st_mtime_ns
-    except OSError:
-        mtime = None  # non-local path (e.g. s3a://) — cannot verify; trust
+    fingerprint = _path_fingerprint(path)
     key = (sf_dir, name)
     cached = cache.get(key)
-    if cached is not None and cached[0] == mtime:
+    if cached is not None and cached[0] == fingerprint:
         return cached[1]
     df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
@@ -107,8 +107,35 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
             ),
         )
-    cache[key] = (mtime, df)
+    cache[key] = (fingerprint, df)
     return df
+
+
+def _path_fingerprint(path: str):
+    """Stat-level fingerprint of a local parquet path: for a directory,
+    the sorted tuple of every contained file's (relpath, size, mtime_ns);
+    for a single file, its (size, mtime_ns). ``None`` for non-local paths
+    (e.g. ``s3a://``) — those cannot be verified and are trusted.
+    Testdata directories hold a handful of part files, so the walk is a
+    few stat calls — still ~10× cheaper than re-reading parquet footers."""
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    if not os.path.isdir(path):
+        return (st.st_size, st.st_mtime_ns)
+    entries = []
+    for dirpath, _dirnames, filenames in os.walk(path):
+        for fn in filenames:
+            p = os.path.join(dirpath, fn)
+            try:
+                fst = os.stat(p)
+            except OSError:
+                continue  # raced with a writer; listing differs next call
+            entries.append(
+                (os.path.relpath(p, path), fst.st_size, fst.st_mtime_ns)
+            )
+    return tuple(sorted(entries))
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -44,30 +44,25 @@ def determine_cutoff_ms(snapshots: list[Snapshot], keep_last: int) -> int | None
 
 
 def _shadow_live_paths(table: Table) -> set[str]:
-    """Every data/delete-file path any WAP-stage or branch metadata
-    chain references — files the MAIN chain alone cannot account for but
-    which must survive both expiry and the orphan sweep."""
-    live: set[str] = set()
-    for shadow_dir in (Table.WAP_DIR, Table.BRANCH_DIR):
-        shadow_root = os.path.join(table.root, shadow_dir)
-        if not os.path.isdir(shadow_root):
-            continue
-        from iceberg_loader_spark.tables.format import (
-            LocalFSBackend,
-            TableMetadata,
-        )
+    """Every data/delete-file path referenced by any metadata chain of
+    the table OTHER than the handle's own — files ``table.history()``
+    alone cannot account for but which must survive both expiry and the
+    orphan sweep.
 
-        for shadow_id in os.listdir(shadow_root):
-            backend = LocalFSBackend(
-                table.root, meta_dir=os.path.join(shadow_root, shadow_id)
-            )
-            if not backend.exists():
-                continue
-            shadow_meta = TableMetadata(table.root, backend=backend)
-            for snap in shadow_meta.snapshots():
-                live |= {f.path for f in snap.files}
-                live |= {d["path"] for d in snap.delete_files}
-    return live
+    The caller always computes its own chain's survivors itself, so the
+    exclusion is keyed on the handle's meta_dir: invoked on the MAIN
+    handle this unions every WAP stage and branch (the original
+    behavior); invoked on a BRANCH/WAP handle it also unions the MAIN
+    chain — without that, fork-seed files rewritten out of the branch's
+    survivors (e.g. by a branch copy-on-write delete) but still
+    referenced by main would be classified dead and deleted, breaking
+    main."""
+    from iceberg_loader_spark.tables.format import META_DIR
+
+    own = getattr(
+        table.meta.backend, "meta_dir", os.path.join(table.root, META_DIR)
+    )
+    return table._all_chain_live_paths(exclude_meta_dirs={own})
 
 
 def expire_snapshots(

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import urllib.parse
 import uuid
 from dataclasses import replace
@@ -1685,13 +1686,83 @@ class Table:
     BRANCH_DIR = "_branch"
     _BRANCH_PROPS = ("branch.name", "branch.fork-version")
 
+    # Ref names are path components under <root>/_branch|_wap — whitelist
+    # them. The leading [A-Za-z0-9] rejects "." and ".." outright: "name
+    # '..'" would otherwise resolve meta_dir to the TABLE ROOT, and the
+    # rmtree in fast_forward/abort would delete main's metadata and data.
+    _REF_NAME_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]*$")
+
+    @classmethod
+    def _validate_ref_name(cls, kind: str, name: str) -> str:
+        if (
+            not name
+            or name in (".", "..")
+            or not cls._REF_NAME_RE.match(name)
+            or os.sep in name
+            or (os.altsep and os.altsep in name)
+        ):
+            raise ValueError(f"invalid {kind} name: {name!r}")
+        return name
+
+    def _shadow_dir_checked(self, shadow_dir: str, name: str) -> str:
+        """Resolve <root>/<shadow_dir>/<name>, asserting the realpath is a
+        DIRECT child of <root>/<shadow_dir> — the last line of defense
+        before any rmtree (a traversal that slipped past name validation
+        must never escape the shadow area)."""
+        d = os.path.join(self.root, shadow_dir, name)
+        base = os.path.realpath(os.path.join(self.root, shadow_dir))
+        if os.path.dirname(os.path.realpath(d)) != base:
+            raise ValueError(
+                f"ref dir {d!r} escapes {shadow_dir!r} — refusing"
+            )
+        return d
+
+    def _all_chain_live_paths(
+        self, exclude_meta_dirs: set[str] | None = None
+    ) -> set[str]:
+        """Every data/delete-file path referenced by ANY metadata chain of
+        this table — the MAIN chain plus every WAP stage and branch —
+        except chains whose meta_dir is in ``exclude_meta_dirs``. This is
+        the protective set behind ``abort_branch``/``abort_wap`` and the
+        maintenance sweeps: a path listed here is live on some chain (e.g.
+        main after a crashed partial fast-forward already references a
+        prefix of a branch's files) and must never be deleted."""
+        from iceberg_loader_spark.tables.format import (
+            META_DIR,
+            LocalFSBackend,
+            TableMetadata,
+        )
+
+        exclude = {
+            os.path.realpath(d) for d in (exclude_meta_dirs or ())
+        }
+        chain_dirs = [os.path.join(self.root, META_DIR)]
+        for shadow_dir in (self.WAP_DIR, self.BRANCH_DIR):
+            shadow_root = os.path.join(self.root, shadow_dir)
+            if os.path.isdir(shadow_root):
+                chain_dirs += [
+                    os.path.join(shadow_root, n)
+                    for n in os.listdir(shadow_root)
+                ]
+        live: set[str] = set()
+        for d in chain_dirs:
+            if os.path.realpath(d) in exclude:
+                continue
+            backend = LocalFSBackend(self.root, meta_dir=d)
+            if not backend.exists():
+                continue
+            meta = TableMetadata(self.root, backend=backend)
+            for snap in meta.snapshots():
+                live |= {f.path for f in snap.files}
+                live |= {df["path"] for df in snap.delete_files}
+        return live
+
     def create_branch(self, name: str) -> "Table":
         """Fork a writable branch of the current snapshot."""
         from iceberg_loader_spark.tables.format import LocalFSBackend
 
-        if not name or "/" in name or name != name.strip():
-            raise ValueError(f"invalid branch name: {name!r}")
-        meta_dir = os.path.join(self.root, self.BRANCH_DIR, name)
+        self._validate_ref_name("branch", name)
+        meta_dir = self._shadow_dir_checked(self.BRANCH_DIR, name)
         backend = LocalFSBackend(self.root, meta_dir=meta_dir)
         if backend.exists():
             raise FileExistsError(f"branch {name!r} already exists")
@@ -1719,7 +1790,8 @@ class Table:
         """Reopen an existing branch handle."""
         from iceberg_loader_spark.tables.format import LocalFSBackend
 
-        meta_dir = os.path.join(self.root, self.BRANCH_DIR, name)
+        self._validate_ref_name("branch", name)
+        meta_dir = self._shadow_dir_checked(self.BRANCH_DIR, name)
         backend = LocalFSBackend(self.root, meta_dir=meta_dir)
         if not backend.exists():
             raise KeyError(f"no such branch: {name}")
@@ -1791,7 +1863,7 @@ class Table:
                     f"{name!r} at v{v}: {e}"
                 ) from e
         shutil.rmtree(
-            os.path.join(self.root, self.BRANCH_DIR, name),
+            self._shadow_dir_checked(self.BRANCH_DIR, name),
             ignore_errors=True,
         )
         return self.snapshot()
@@ -1799,7 +1871,14 @@ class Table:
     def abort_branch(self, shadow: "Table") -> dict:
         """Discard a branch: delete data files it added since the fork
         (files present in any branch snapshot but not in the fork
-        snapshot) and remove its metadata chain."""
+        snapshot) and remove its metadata chain.
+
+        A path is deleted ONLY if no OTHER metadata chain references it:
+        after a crashed partial ``fast_forward_branch`` (the publish is
+        documented as prefix-durable with a resume path), MAIN already
+        references a prefix of the branch commits' files — aborting at
+        that point must not remove files live on main. Other branches /
+        WAP stages forked after those commits are protected the same way."""
         import shutil
 
         props = shadow.properties()
@@ -1807,27 +1886,27 @@ class Table:
         fork_v = int(props.get("branch.fork-version", "-1"))
         if name is None or fork_v < 0:
             raise ValueError("not a branch table")
+        branch_dir = self._shadow_dir_checked(self.BRANCH_DIR, name)
         fork_snap = self.snapshot(fork_v)
-        fork_paths = {f.path for f in fork_snap.files} | {
-            df["path"] for df in fork_snap.delete_files
-        }
+        protected = (
+            {f.path for f in fork_snap.files}
+            | {df["path"] for df in fork_snap.delete_files}
+            | self._all_chain_live_paths(exclude_meta_dirs={branch_dir})
+        )
         removed = 0
         seen: set[str] = set()
         for s in shadow.history():
             for path in [f.path for f in s.files] + [
                 df["path"] for df in s.delete_files
             ]:
-                if path in fork_paths or path in seen:
+                if path in protected or path in seen:
                     continue
                 seen.add(path)
                 p = os.path.join(self.root, path)
                 if os.path.isfile(p):
                     os.remove(p)
                     removed += 1
-        shutil.rmtree(
-            os.path.join(self.root, self.BRANCH_DIR, name),
-            ignore_errors=True,
-        )
+        shutil.rmtree(branch_dir, ignore_errors=True)
         return {"removed_files": removed}
 
     # ---- write-audit-publish (append-only staging) -----------------------
@@ -1851,9 +1930,8 @@ class Table:
         from iceberg_loader_spark.tables.format import LocalFSBackend
 
         wap_id = wap_id or uuid.uuid4().hex[:12]
-        if "/" in wap_id or not wap_id:
-            raise ValueError(f"invalid wap id: {wap_id!r}")
-        meta_dir = os.path.join(self.root, self.WAP_DIR, wap_id)
+        self._validate_ref_name("wap id", wap_id)
+        meta_dir = self._shadow_dir_checked(self.WAP_DIR, wap_id)
         backend = LocalFSBackend(self.root, meta_dir=meta_dir)
         if backend.exists():
             raise FileExistsError(f"wap stage {wap_id!r} already exists")
@@ -1947,19 +2025,23 @@ class Table:
         fork_v = int(props.get("wap.fork-version", "-1"))
         if wap_id is None or fork_v < 0:
             raise ValueError("not a wap shadow table")
-        fork_paths = {f.path for f in self.snapshot(fork_v).files}
+        wap_dir = self._shadow_dir_checked(self.WAP_DIR, wap_id)
+        # same protection as abort_branch: a path referenced by MAIN or
+        # any other chain (e.g. a crashed publish already landed it, or a
+        # branch forked after the stage's files were published) is live
+        protected = {
+            f.path for f in self.snapshot(fork_v).files
+        } | self._all_chain_live_paths(exclude_meta_dirs={wap_dir})
         removed = 0
         for s in shadow.history():
             for f in s.files:
-                if f.path in fork_paths:
+                if f.path in protected:
                     continue
                 p = os.path.join(self.root, f.path)
                 if os.path.isfile(p):
                     os.remove(p)
                     removed += 1
-        shutil.rmtree(
-            os.path.join(self.root, self.WAP_DIR, wap_id), ignore_errors=True
-        )
+        shutil.rmtree(wap_dir, ignore_errors=True)
         return {"removed_files": removed}
 
     # ---- metadata tables (Iceberg's `tbl.snapshots` / `tbl.files`) -------

@@ -260,3 +260,94 @@ def test_expire_snapshots_spares_branch_referenced_files(spark, tmp_path):
     assert got == [(1, "a"), (2, "a"), (3, "b")]
     for p in fork_files:
         assert os.path.isfile(os.path.join(t.root, p))
+
+
+def test_branch_name_traversal_rejected(spark, tmp_path):
+    """ADVICE r6: name '..' would resolve the branch meta_dir to the
+    TABLE ROOT, and the rmtree in fast-forward/abort would then delete
+    main's metadata and data. Whitelist validation + a realpath
+    containment assert reject every traversal shape up front."""
+    wh, t = _mk(spark, tmp_path, [(1, "a")])
+    for bad in ("..", ".", "../x", "a/../b", " x", "x ", "", ".hidden"):
+        with pytest.raises(ValueError):
+            t.create_branch(bad)
+        with pytest.raises((ValueError, KeyError)):
+            t.branch(bad)
+        if bad:  # begin_wap(None) generates a fresh id — skip the empty
+            with pytest.raises(ValueError):
+                t.begin_wap(bad)
+    # the table root is intact after all the rejections
+    assert wh.load_table("db.b").scan(spark).count() == 1
+    # legit names still work
+    t.create_branch("ok.name-1_x")
+    assert "ok.name-1_x" in t.list_branches()
+
+
+def test_abort_branch_after_partial_fast_forward_keeps_main_files(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r6: a crashed partial fast-forward leaves MAIN referencing
+    a prefix of the branch commits' files. Aborting the branch at that
+    point must not os.remove files live on main."""
+    wh, t = _mk(spark, tmp_path, [(1, "a")])
+    br = t.create_branch("exp")
+    br.append(spark.createDataFrame([(2, "b")], schema=_schema()))
+    br.append(spark.createDataFrame([(3, "c")], schema=_schema()))
+
+    main = wh.load_table("db.b")
+    real_commit = main.meta.commit
+    calls = {"n": 0}
+
+    def crashy(snap, expected_parent=None):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("simulated crash mid fast-forward")
+        return real_commit(snap, expected_parent=expected_parent)
+
+    monkeypatch.setattr(main.meta, "commit", crashy)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        main.fast_forward_branch(main.branch("exp"))
+
+    # main now references the first branch commit's files
+    main2 = wh.load_table("db.b")
+    landed = {f.path for f in main2.snapshot().files}
+    main2.abort_branch(main2.branch("exp"))
+    # every file main references is still on disk, and main still scans
+    for p in landed:
+        assert os.path.isfile(os.path.join(main2.root, p)), p
+    got = sorted(r.id for r in wh.load_table("db.b").scan(spark).collect())
+    assert got == [1, 2]
+
+
+def test_expire_on_branch_handle_spares_main_files(spark, tmp_path):
+    """ADVICE r6: expire_snapshots invoked on a BRANCH handle must union
+    MAIN's chain into the live set — fork-seed files a branch
+    copy-on-write delete rewrote out of the branch's survivors are still
+    referenced by main."""
+    from iceberg_loader_spark.tables.maintenance import (
+        expire_snapshots,
+        remove_orphan_files,
+    )
+
+    wh, t = _mk(spark, tmp_path, [(1, "a"), (2, "b")])
+    main_files = {f.path for f in t.snapshot().files}
+    br = t.create_branch("exp")
+    # CoW delete on the branch rewrites the seed files out of its chain's
+    # current survivors; several more commits give expiry room to bite
+    br.delete_where(spark, "grp = 'a'", mode="cow")
+    br.append(spark.createDataFrame([(5, "e")], schema=_schema()))
+    br.append(spark.createDataFrame([(6, "f")], schema=_schema()))
+    br = wh.load_table("db.b").branch("exp")
+    res = expire_snapshots(br, keep_last=1)
+    assert "error" not in res
+    res2 = remove_orphan_files(br, older_than_ms=2**62)
+    assert res2["removed"] == 0
+    # main's files survived both sweeps and main still scans
+    main = wh.load_table("db.b")
+    for p in main_files:
+        assert os.path.isfile(os.path.join(main.root, p)), p
+    got = sorted(r.id for r in main.scan(spark).collect())
+    assert got == [1, 2]
+    # the branch's own view is intact too
+    got_br = sorted(r.id for r in main.branch("exp").scan(spark).collect())
+    assert got_br == [2, 5, 6]

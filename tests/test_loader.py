@@ -260,3 +260,31 @@ def test_result_dict_fields(spark, wh):
         "snapshot_id",
         "new_table_created",
     }
+
+
+def test_load_table_cache_invalidates_on_inplace_part_rewrite(spark, tmp_path):
+    """ADVICE r6: POSIX directory mtime only moves when a DIRECT child is
+    created/removed/renamed — an in-place rewrite of an existing part
+    file must still invalidate the memoized plan. The cache now pins a
+    fingerprint of every contained file's (relpath, size, mtime)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_loader_spark.sources.tables import load_table
+
+    sf_dir = str(tmp_path)
+    d = os.path.join(sf_dir, "part.parquet")
+    os.makedirs(d)
+    part = os.path.join(d, "part-00000.parquet")
+    pq.write_table(pa.table({"id": [1, 2]}), part)
+    assert load_table(spark, sf_dir, "part").count() == 2
+    # rewrite the SAME file in place: no child created/removed/renamed,
+    # so the parent directory's mtime is unchanged
+    pq.write_table(pa.table({"id": [1, 2, 3]}), part)
+    assert load_table(spark, sf_dir, "part").count() == 3
+    # unchanged path → cache hit (same DataFrame object)
+    a = load_table(spark, sf_dir, "part")
+    b = load_table(spark, sf_dir, "part")
+    assert a is b
