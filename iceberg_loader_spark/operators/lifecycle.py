@@ -1995,3 +1995,91 @@ def lifecycle_branch_stream_counts(
     return spark.createDataFrame(rows, "stage string, n_docs long").orderBy(
         "stage"
     )
+
+
+# --------------------------------------------------------------------------
+# Round 7 — A4/A5 messy-JSON ingest under the EXTERNAL oracle gate
+# (VERDICT r6 #4): dict rows with nested dicts/lists, mixed-type scalar
+# columns, all-null columns, and per-row missing keys go through
+# ``create_arrow_table_from_data`` (ref utils/arrow.py:19-72 semantics:
+# key-union schema, compact-JSON stringification of dict/list values,
+# stringify fallback for type-incompatible scalars, all-null → string)
+# and the batch-iterator path ``create_record_batches_from_dicts``
+# (arrow.py:137-156; batch_size=2 forces a chunk whose key set is a
+# strict subset, exercising cast_to_schema's NULL fill), land in a real
+# warehouse table via the loader, and are scanned back. The oracle holds
+# the GOLDEN literal cells — any normalization drift (key order, JSON
+# separators, unicode escaping, scalar stringification) flips a
+# hash-verified string.
+#
+# Scale: fixed 8-row metadata-class query; the ingest path itself is the
+# loader's buffered Arrow-batch pipeline (arbitrary batch count, O(batch)
+# memory).
+# --------------------------------------------------------------------------
+_MESSY_A = [
+    {"id": 1, "src": "a", "payload": {"a": 1, "b": "x"}, "tags": [1, 2, 3],
+     "note": "plain", "mixed": 1, "score": 5, "extra": None},
+    {"id": 2, "src": "a",
+     "payload": {"nested": {"k": [True, None]}, "u": "é"},
+     "tags": [], "mixed": "one", "score": 7, "extra": None},
+    {"id": 3, "src": "a", "tags": ["x", "y"], "note": "n3", "extra": None},
+    {"id": 4, "src": "a", "payload": {"c": [1, {"d": 2}]}, "note": None,
+     "score": 11},
+]
+_MESSY_B = [
+    {"id": 5, "src": "b", "payload": {"z": [3.5, "s"]}, "tags": [0],
+     "note": "bb", "mixed": "two", "score": 2, "extra": None},
+    {"id": 6, "src": "b", "payload": {"q": {}}, "tags": [7, 8],
+     "note": "b6", "mixed": 3, "score": 4, "extra": None},
+    {"id": 7, "src": "b", "note": "b7", "score": 6},
+    {"id": 8, "src": "b", "payload": {"w": 0}, "note": "b8"},
+]
+
+
+@_register(
+    "lifecycle_messy_json_counts",
+    """
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), 'a', '{"a":1,"b":"x"}', '[1,2,3]', 'plain',
+       '1', CAST(NULL AS VARCHAR), CAST(5 AS BIGINT)),
+      (2, 'a', '{"nested":{"k":[true,null]},"u":"é"}', '[]', NULL,
+       'one', NULL, 7),
+      (3, 'a', NULL, '["x","y"]', 'n3', NULL, NULL, NULL),
+      (4, 'a', '{"c":[1,{"d":2}]}', NULL, NULL, NULL, NULL, 11),
+      (5, 'b', '{"z":[3.5,"s"]}', '[0]', 'bb', 'two', NULL, 2),
+      (6, 'b', '{"q":{}}', '[7,8]', 'b6', '3', NULL, 4),
+      (7, 'b', NULL, NULL, 'b7', NULL, NULL, 6),
+      (8, 'b', '{"w":0}', NULL, 'b8', NULL, NULL, NULL)
+    ) AS t(id, src, payload, tags, note, mixed, extra, score)
+    ORDER BY id
+    """,
+)
+def lifecycle_messy_json_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_loader_spark.loader import SparkLoader
+    from iceberg_loader_spark.sources.normalize import (
+        create_record_batches_from_dicts,
+    )
+
+    wh = _fresh_warehouse()
+    loader = SparkLoader(spark, wh)
+    r1 = loader.load_data([dict(r) for r in _MESSY_A], "db.messy")
+    r2 = loader.load_data_batches(
+        create_record_batches_from_dicts(
+            iter(dict(r) for r in _MESSY_B), batch_size=2
+        ),
+        "db.messy",
+    )
+    # ingest-report sanity folded into the query (A37): a silently
+    # dropped row or missed batch fails loudly, not as a hash mismatch
+    if r1["rows_loaded"] != 4 or not r1["new_table_created"]:
+        raise RuntimeError(f"messy-json create-load drifted: {r1}")
+    if r2["rows_loaded"] != 4 or r2["batches_processed"] != 2:
+        raise RuntimeError(f"messy-json batch-load drifted: {r2}")
+    return (
+        wh.load_table("db.messy")
+        .scan(spark)
+        .select(
+            "id", "src", "payload", "tags", "note", "mixed", "extra", "score"
+        )
+        .orderBy("id")
+    )

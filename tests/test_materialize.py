@@ -76,3 +76,52 @@ def test_bench_cleanup_returns_block_count_to_baseline(spark):
     assert released >= 2
     assert _n_persistent(spark) == 0
     assert spark._ils_fragment_memo == {}
+
+
+def test_shared_artifact_builds_once_and_invalidates_on_rewrite(
+    spark, tmp_path
+):
+    """The persisted shared-fragment artifact (VERDICT r6 #1): built once
+    per (name, sf_dir, dataset fingerprint), every consumer scans the
+    SAME table back, and an in-place rewrite of the dataset rebuilds
+    instead of serving stale pairs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_loader_spark.operators import dedup
+
+    sf_dir = str(tmp_path)
+    d = tmp_path / "documents.parquet"
+    d.mkdir()
+    part = str(d / "part-0.parquet")
+    pq.write_table(pa.table({"doc_id": [1, 2], "text": ["a b", "c d"]}), part)
+
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.createDataFrame([(1, 7)], "a_id long, n long")
+
+    a = dedup._shared_artifact(spark, sf_dir, "t_probe", build)
+    b = dedup._shared_artifact(spark, sf_dir, "t_probe", build)
+    assert calls["n"] == 1  # second consumer scans, does not rebuild
+    assert a.collect() == b.collect() == [(1, 7)] or [
+        tuple(r) for r in a.collect()
+    ] == [(1, 7)]
+
+    # in-place rewrite of the dataset → new fingerprint → rebuild
+    pq.write_table(
+        pa.table({"doc_id": [1, 2, 3], "text": ["a", "b", "c"]}), part
+    )
+    dedup._shared_artifact(spark, sf_dir, "t_probe", build)
+    assert calls["n"] == 2
+
+    # the plan-fingerprint harness bypass: a patched _materialize must
+    # return the declarative build, never touch the artifact cache
+    orig = dedup._materialize
+    dedup._materialize = lambda df: df
+    try:
+        dedup._shared_artifact(spark, sf_dir, "t_probe", build)
+        assert calls["n"] == 3
+    finally:
+        dedup._materialize = orig
