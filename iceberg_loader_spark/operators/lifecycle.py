@@ -2083,3 +2083,94 @@ def lifecycle_messy_json_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id")
     )
+
+
+# --------------------------------------------------------------------------
+# Round 7 — BRANCH × COMPACTION interplay under the oracle gate (VERDICT
+# r6 #7): ``rewrite_data_files`` on a branch changes file identity, so
+# merge-on-read applicability across the publish is the sharp edge. The
+# flow: fork a branch, append + MoR-delete 'de' on it, COMPACT the
+# branch to 3 files (materializes the 'de' predicate into the rewrite,
+# clears it, inherits the max input sequence), then record a SECOND MoR
+# delete ('fr') after the compaction, and fast-forward. Verified by
+# content at every stage: the branch head and main-after must both read
+# base − de − fr + zh (the live 'fr' predicate must survive the replay
+# and apply to the REWRITTEN files via sequence inheritance), the
+# compacted file count must survive the publish exactly, and pre-fork
+# time travel still reads the untouched base.
+#
+# Scale: metadata-dominated — compaction rewrites the (small) branch
+# content once; the fast-forward replays O(branch commits) manifests
+# and moves no data.
+# --------------------------------------------------------------------------
+@_register(
+    "lifecycle_branch_compaction_counts",
+    """
+    WITH c AS (
+      SELECT CAST(SUM(CASE WHEN lang <> 'zh' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_base,
+             CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zh,
+             CAST(SUM(CASE WHEN lang NOT IN ('zh', 'de', 'fr') THEN 1
+                           ELSE 0 END) AS BIGINT) AS n_keep_nz
+      FROM documents
+    )
+    SELECT stage, n FROM (
+      SELECT '1_main_before' AS stage, n_base AS n FROM c
+      UNION ALL SELECT '2_branch_head', n_keep_nz + n_zh FROM c
+      UNION ALL SELECT '3_branch_files_compacted', 3 FROM c
+      UNION ALL SELECT '4_main_after_ff', n_keep_nz + n_zh FROM c
+      UNION ALL SELECT '5_main_files_after_ff', 3 FROM c
+      UNION ALL SELECT '6_main_live_preds_after_ff', 1 FROM c
+      UNION ALL SELECT '7_time_travel_prefork', n_base FROM c
+    )
+    ORDER BY stage
+    """,
+)
+def lifecycle_branch_compaction_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from iceberg_loader_spark.tables.maintenance import rewrite_data_files
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    wh = _fresh_warehouse()
+    t = Table.create(wh, "db.docs", docs.schema)
+    t.append(docs.filter(F.col("lang") != "zh").repartition(4))
+    t = wh.load_table("db.docs")
+    fork_v = t.meta.current_version()
+    main_before = t.scan(spark).count()
+
+    t.create_branch("exp")
+    t.branch("exp").append(docs.filter(F.col("lang") == "zh").repartition(2))
+    t.branch("exp").delete_where(spark, "lang = 'de'", mode="mor")
+    rewrite_data_files(t.branch("exp"), spark, target_files=3)
+    br = t.branch("exp")
+    if br.snapshot().delete_predicates:
+        raise RuntimeError("compaction left the materialized MoR predicate")
+    # a LIVE predicate recorded after the rewrite: its sequence postdates
+    # the compacted files' inherited sequence, so it must keep applying
+    # to the rewritten rows through the publish
+    br.delete_where(spark, "lang = 'fr'", mode="mor")
+    br = t.branch("exp")
+    branch_head = br.scan(spark).count()
+    branch_files = len(br.snapshot().files)
+
+    t.fast_forward_branch(t.branch("exp"))
+    t = wh.load_table("db.docs")
+    main_after = t.scan(spark).count()
+    main_files = len(t.snapshot().files)
+    main_preds = len(t.snapshot().delete_predicates)
+    prefork = t.scan(spark, version=fork_v).count()
+
+    rows = [
+        ("1_main_before", main_before),
+        ("2_branch_head", branch_head),
+        ("3_branch_files_compacted", branch_files),
+        ("4_main_after_ff", main_after),
+        ("5_main_files_after_ff", main_files),
+        ("6_main_live_preds_after_ff", main_preds),
+        ("7_time_travel_prefork", prefork),
+    ]
+    return spark.createDataFrame(rows, "stage string, n long").orderBy("stage")

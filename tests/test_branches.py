@@ -351,3 +351,53 @@ def test_expire_on_branch_handle_spares_main_files(spark, tmp_path):
     # the branch's own view is intact too
     got_br = sorted(r.id for r in main.branch("exp").scan(spark).collect())
     assert got_br == [2, 5, 6]
+
+
+def test_branch_compaction_replays_through_crashed_fast_forward(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r6 #7: rewrite_data_files on a branch changes file
+    identity; a fast-forward that crashes mid-replay (after the append,
+    before the MoR delete + replace commits land) must RESUME cleanly
+    and preserve MoR applicability — the live post-compaction predicate
+    still applies to the rewritten files on main."""
+    from iceberg_loader_spark.tables.maintenance import rewrite_data_files
+
+    wh, t = _mk(
+        spark, tmp_path, [(i, "a") for i in range(6)] + [(10, "d"), (11, "d")]
+    )
+    t.create_branch("exp")
+    t.branch("exp").append(
+        spark.createDataFrame([(20, "z"), (21, "z")], schema=_schema())
+    )
+    t.branch("exp").delete_where(spark, "grp = 'd'", mode="mor")
+    rewrite_data_files(t.branch("exp"), spark, target_files=2)
+    t.branch("exp").delete_where(spark, "id = 21", mode="mor")  # live pred
+    head_v = t.branch("exp").snapshot().version
+
+    main = wh.load_table("db.b")
+    real_commit = main.meta.commit
+    calls = {"n": 0}
+
+    def crashy(snap, expected_parent=None):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("simulated crash mid fast-forward")
+        return real_commit(snap, expected_parent=expected_parent)
+
+    monkeypatch.setattr(main.meta, "commit", crashy)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        main.fast_forward_branch(main.branch("exp"))
+
+    # RESUME with a fresh handle: replay completes, versions line up
+    main2 = wh.load_table("db.b")
+    main2.fast_forward_branch(main2.branch("exp"))
+    main2 = wh.load_table("db.b")
+    assert main2.meta.current_version() == head_v
+    assert main2.list_branches() == []
+    # content: 6 base + 2 appended − 2 MoR('d') − 1 MoR(id=21)
+    got = sorted(r.id for r in main2.scan(spark).collect())
+    assert got == [0, 1, 2, 3, 4, 5, 20]
+    # the compacted file count and the LIVE predicate survived the publish
+    assert len(main2.snapshot().files) == 2
+    assert len(main2.snapshot().delete_predicates) == 1
