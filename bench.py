@@ -70,27 +70,30 @@ def _release_all_blocks(spark) -> int:
         return -1
 
 
+def _warmup(spark, sf_dir: str) -> None:
+    """Pinned untimed warm-up — session infrastructure, not query work.
+
+    A tiny action so JVM/codegen startup isn't billed to query 1, one
+    count through the real parquet read path (datasource + vectorized-
+    reader class init, footer cache) on the smallest table, one trivial
+    mapInPandas so the Python/Arrow worker pool forks before any timed
+    query, and one scan of the documents text column (page cache +
+    vectorized string read) — it feeds 20+ of the timed queries."""
+    spark.range(1).count()
+    load_table(spark, sf_dir, "region").count()
+    spark.range(4).mapInPandas(lambda it: it, schema="id long").count()
+    load_table(spark, sf_dir, "documents").selectExpr(
+        "sum(octet_length(text)) AS s"
+    ).collect()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
 
     qs = all_queries()
-    # warm-up: tiny action so JVM/codegen startup isn't billed to query 1,
-    # plus one count through the real parquet read path (datasource +
-    # vectorized-reader class init, footer cache) on the smallest table,
-    # plus one trivial mapInPandas so the Python/Arrow worker pool forks
-    # before any timed query (session infrastructure, not query work)
-    spark.range(1).count()
-    load_table(spark, sf_dir, "region").count()
-    spark.range(4).mapInPandas(
-        lambda it: it, schema="id long"
-    ).count()
-    # warm the documents text column (page cache + vectorized string read)
-    # — it feeds 20+ of the timed queries
-    load_table(spark, sf_dir, "documents").selectExpr(
-        "sum(octet_length(text)) AS s"
-    ).collect()
+    _warmup(spark, sf_dir)
 
     import gc
 
@@ -165,5 +168,82 @@ def main() -> None:
     )
 
 
+def _solo_child(key: str) -> None:
+    """Run ONE registered query in THIS process under a bare vanilla
+    session (default config — the external driver's session shape), with
+    the pinned warm-up excluded from the timing, and print one JSON line.
+
+    Invoked only via ``--solo`` below, which gives each key a fresh
+    subprocess — a true cold session (new JVM, empty codegen/footer/page
+    caches beyond what the warm-up grants), so the number is comparable
+    to what the driver would see timing that query alone."""
+    from pyspark.sql import SparkSession
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("bench_solo")
+        .getOrCreate()
+    )
+    qs = all_queries()
+    if key not in qs:
+        print(json.dumps({"query": key, "error": "unknown key"}))
+        sys.exit(2)
+    _warmup(spark, sf_dir)
+    t0 = time.perf_counter()
+    n = qs[key](spark, sf_dir).count()
+    sec = round(time.perf_counter() - t0, 3)
+    print(json.dumps({"query": key, "sec": sec, "rows": n}))
+
+
+def solo_main(keys: list[str]) -> None:
+    """``bench.py --solo <key> [key ...]`` — cold-session single-query
+    instrument (r6 verdict #8): one fresh subprocess + vanilla session
+    per key, pinned warm-up untimed. Prints ONE JSON line."""
+    import subprocess
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    timings: dict[str, float] = {}
+    for key in keys:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--solo-child", key],
+            capture_output=True,
+            text=True,
+        )
+        lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+        try:
+            rec = json.loads(lines[-1])
+            timings[key] = rec.get("sec", -1.0)
+        except (IndexError, ValueError):
+            timings[key] = -1.0
+            sys.stderr.write(
+                f"solo child for {key} failed:\n{proc.stderr[-2000:]}\n"
+            )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    print(
+        json.dumps(
+            {
+                "metric": "solo_query_wall_seconds",
+                "unit": "sec",
+                "sf": sf_val,
+                "value": round(sum(t for t in timings.values() if t > 0), 3),
+                "queries": timings,
+                "note": "fresh vanilla session per key; warm-up untimed",
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
-    main()
+    if "--solo-child" in sys.argv:
+        _solo_child(sys.argv[sys.argv.index("--solo-child") + 1])
+    elif "--solo" in sys.argv:
+        solo_keys = sys.argv[sys.argv.index("--solo") + 1 :]
+        if not solo_keys:
+            sys.stderr.write("usage: bench.py --solo <key> [key ...]\n")
+            sys.exit(2)
+        solo_main(solo_keys)
+    else:
+        main()
