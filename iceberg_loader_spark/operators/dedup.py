@@ -2719,3 +2719,183 @@ def incremental_simhash_candidates(
         .filter(F.col("hamming") <= 6)
         .orderBy("a_id", "b_id")
     )
+
+
+# --------------------------------------------------------------------------
+# B25 — LSH candidate recall audit: the measured-recall row for the
+# MinHash/LSH index, completing the "every approximate index ships a
+# measured recall row" posture the ANN side already has
+# (ann_recall_ivf_pq / ann_recall_lsh / ann_recall_graph). Ground truth
+# is EXACT 3-gram-shingle Jaccard over DF-capped shingle sets (the same
+# capped-set convention as ngram_jaccard_pairs: a production corpus
+# cannot afford hot-shingle pair enumeration, so the truth an operator
+# can actually act on at 100 TB is Jaccard over the capped sets — and
+# both engines mirror the cap exactly). Recall@tau = fraction of true
+# pairs with Jaccard >= tau that the production LSH pipeline (4x2
+# banding, n_match >= 4 keep filter) surfaces, reported at tau = 0.5
+# (the keep threshold — where the S-curve is steepest and recall is
+# genuinely informative) and tau = 0.8 (the near-dup regime — recall
+# here should be near 10000 bps or the banding config is wrong).
+#
+# Scale: the truth side is an inverted-index self-join on rare shingles
+# (DF cap = n_docs/10 mirrored in the oracle) — only pairs sharing a
+# rare shingle ever materialize, same bound ngram_jaccard_pairs carries;
+# the LSH side is band-bucketed; the final join is pair-key equi-join of
+# two bounded pair sets. All integer math — bit-identical cross-engine.
+# --------------------------------------------------------------------------
+_RECALL_TAUS_BPS = (5000, 8000)
+
+
+@_register(
+    "lsh_candidate_recall",
+    f"""
+    WITH {_DUCK_MINHASH_SIGS},
+    {_DUCK_BANDS},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.k1 = b.k1 AND a.k2 = b.k2
+       AND a.doc_id < b.doc_id
+    ),
+    lsh AS (
+      SELECT c.a_id, c.b_id
+      FROM cand c
+      JOIN sigs sa ON sa.doc_id = c.a_id
+      JOIN sigs sb ON sb.doc_id = c.b_id
+      WHERE list_sum(list_transform(range(1, {_N_HASHES + 1}),
+                     i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
+            >= {_N_HASHES // 2}
+    ),
+    g AS (
+      SELECT doc_id, unnest(shingles) AS gram
+      FROM (SELECT doc_id, {_DUCK_SHINGLES3} AS shingles
+            FROM (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents))
+    ),
+    dfr AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY gram),
+    kept AS (
+      SELECT g.doc_id, g.gram FROM g JOIN dfr USING (gram)
+      WHERE dfr.df * {100 // _NGRAM_DF_CAP_PCT} <= (SELECT COUNT(*) FROM documents)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i_cnt
+      FROM kept a JOIN kept b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT i.a_id, i.b_id, i.i_cnt,
+             sa.n + sb.n - i.i_cnt AS u_cnt
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.a_id
+      JOIN sizes sb ON sb.doc_id = i.b_id
+    ),
+    j AS (
+      SELECT t.*,
+             CASE WHEN l.a_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM truth t
+      LEFT JOIN lsh l ON l.a_id = t.a_id AND l.b_id = t.b_id
+    ),
+    per AS (
+      SELECT th.threshold_bps,
+             COALESCE(SUM(CASE WHEN 10000 * j.i_cnt >= th.threshold_bps * j.u_cnt
+                               THEN 1 END), 0) AS n_true,
+             COALESCE(SUM(CASE WHEN 10000 * j.i_cnt >= th.threshold_bps * j.u_cnt
+                               THEN j.hit END), 0) AS n_hit
+      FROM (VALUES {', '.join(f'({t})' for t in _RECALL_TAUS_BPS)})
+           th(threshold_bps)
+      LEFT JOIN j ON TRUE
+      GROUP BY 1
+    )
+    SELECT CAST(threshold_bps AS BIGINT) AS threshold_bps,
+           CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           CAST(CASE WHEN n_true > 0 THEN (10000 * n_hit) // n_true
+                     ELSE -1 END AS BIGINT) AS recall_bps
+    FROM per
+    ORDER BY threshold_bps
+    """,
+)
+def lsh_candidate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of the production MinHash/LSH pipeline against
+    exact capped-shingle Jaccard truth, at tau=0.5 and tau=0.8 (basis
+    points, integer-exact). The oracle recomputes BOTH sides from
+    scratch, so a drifted hash recipe, a broken band join, or a silently
+    weakened keep filter turns the row red — and the non-vacuity test
+    pins n_true >= 1 at sf0.01 so the audit can never pass empty."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = _materialize(_gram_rows(docs, 3))
+    n_docs = docs.groupBy().agg(F.count("*").alias("n_docs"))
+    hot = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") * (100 // _NGRAM_DF_CAP_PCT) > F.col("n_docs"))
+        .select("gram")
+    )
+    kept = _materialize(grams.join(F.broadcast(hot), "gram", "left_anti"))
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        kept.alias("a")
+        .join(
+            kept.alias("b"),
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .agg(F.count("*").alias("i_cnt"))
+    )
+    truth = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("n_a")),
+            "a_id",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("n_b")),
+            "b_id",
+        )
+        .select(
+            "a_id",
+            "b_id",
+            "i_cnt",
+            (F.col("n_a") + F.col("n_b") - F.col("i_cnt")).alias("u_cnt"),
+        )
+    )
+    lsh = _minhash_scored_pairs(spark, sf_dir).select(
+        "a_id", "b_id", F.lit(1).alias("hit")
+    )
+    joined = truth.join(lsh, ["a_id", "b_id"], "left").na.fill({"hit": 0})
+    aggs = []
+    for t in _RECALL_TAUS_BPS:
+        cond = F.lit(10000) * F.col("i_cnt") >= F.lit(t) * F.col("u_cnt")
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)
+            ).alias(f"n_true_{t}")
+        )
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(cond, F.col("hit")).otherwise(0)), F.lit(0)
+            ).alias(f"n_hit_{t}")
+        )
+    wide = joined.agg(*aggs)
+    stack_args = ", ".join(
+        f"CAST({t} AS BIGINT), CAST(n_true_{t} AS BIGINT), "
+        f"CAST(n_hit_{t} AS BIGINT)"
+        for t in _RECALL_TAUS_BPS
+    )
+    return (
+        wide.selectExpr(
+            f"stack({len(_RECALL_TAUS_BPS)}, {stack_args}) "
+            "AS (threshold_bps, n_true, n_hit)"
+        )
+        .selectExpr(
+            "threshold_bps",
+            "n_true",
+            "n_hit",
+            "CAST(CASE WHEN n_true > 0 THEN (10000 * n_hit) div n_true "
+            "ELSE -1 END AS BIGINT) AS recall_bps",
+        )
+        .orderBy("threshold_bps")
+    )

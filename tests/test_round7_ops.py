@@ -1,0 +1,30 @@
+"""Round-7 operator invariants: properties the oracle hash can't state
+directly (non-vacuity floors, cross-threshold monotonicity)."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_SMOKE
+
+QUERIES = entrymod.queries()
+
+
+def test_lsh_candidate_recall_is_non_vacuous_and_monotone(spark):
+    """The LSH recall audit must measure something real: at sf0.01 the
+    planted near-dups guarantee true pairs at both thresholds, counts
+    must be monotone non-increasing in the threshold, hits can never
+    exceed truths, and recall_bps must be a valid basis-point value
+    (the -1 'no truth pairs' sentinel would mean a vacuous audit)."""
+    rows = {
+        r.threshold_bps: r
+        for r in QUERIES["lsh_candidate_recall"](spark, SF_SMOKE).collect()
+    }
+    assert set(rows) == {5000, 8000}
+    for r in rows.values():
+        assert r.n_true >= 1, "vacuous recall audit: no ground-truth pairs"
+        assert 0 <= r.n_hit <= r.n_true
+        assert 0 <= r.recall_bps <= 10000
+        assert r.recall_bps == (10000 * r.n_hit) // r.n_true
+    # a pair with Jaccard >= 0.8 also has Jaccard >= 0.5
+    assert rows[8000].n_true <= rows[5000].n_true
+    assert rows[8000].n_hit <= rows[5000].n_hit

@@ -60,7 +60,16 @@ def _cleanup(spark) -> None:
     gc.collect()
 
 
-def _time_at(spark, keys, sf_dir, repeat):
+def _clear_artifacts() -> None:
+    """Drop the persisted shared-fragment artifact cache so the NEXT
+    consumer query pays the full build — used by --fresh-artifacts to
+    measure build-path scaling instead of steady-state scan scaling."""
+    from iceberg_loader_spark.operators import dedup
+
+    dedup._ARTIFACT_ROOTS.clear()
+
+
+def _time_at(spark, keys, sf_dir, repeat, fresh_artifacts=False):
     qs = all_queries()
     out = {}
     # warm-up mirrors bench.py: real parquet path + Arrow worker fork
@@ -75,6 +84,8 @@ def _time_at(spark, keys, sf_dir, repeat):
     for key in keys:
         best = None
         for _ in range(repeat):
+            if fresh_artifacts:
+                _clear_artifacts()
             t0 = time.perf_counter()
             qs[key](spark, sf_dir).count()
             sec = time.perf_counter() - t0
@@ -97,9 +108,10 @@ def main() -> int:
         )
         keys = [k for k, _ in ranked[:top_n]]
 
+    fresh = "--fresh-artifacts" in argv
     spark = get_spark("scaling_curves")
-    small = _time_at(spark, keys, SF_SMALL, repeat)
-    big = _time_at(spark, keys, SF_BIG, repeat)
+    small = _time_at(spark, keys, SF_SMALL, repeat, fresh_artifacts=fresh)
+    big = _time_at(spark, keys, SF_BIG, repeat, fresh_artifacts=fresh)
 
     rows = []
     for k in keys:
