@@ -399,26 +399,19 @@ def _minhash_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_scored_pairs_build(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    # Physical shape: explode shingles ONCE, md5 each shingle ONCE, then
-    # derive all 8 minhash functions from the two 32-bit halves of that
-    # single digest (Kirsch-Mitzenmacher double hashing: h_i = h1 + i*h2
-    # mod 2^32) and MIN-aggregate per doc. One md5 per shingle instead of
-    # 8 — the dominant CPU term — while the shuffle still carries only
-    # (doc_id, 8 bigint mins) after map-side partial aggregation. The
-    # array-expression spelling (array_min over transforms) would inline
-    # the tokenize+shingle pipeline into every signature element via
-    # projection collapse; the explode keeps it single-evaluated.
-    docs = load_table(spark, sf_dir, "documents")
+def _minhash_sig_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, sig) — the 8-wide minhash signature per document: explode
+    3-gram shingles ONCE, md5 each shingle ONCE, derive all hash
+    functions from the digest's two 32-bit halves (Kirsch-Mitzenmacher
+    double hashing, h_i = h1 + i*h2 mod 2^32) and MIN-aggregate per doc.
+    Shared by the scored-pairs build and the band-tradeoff audit."""
     shingles = _gram_rows(docs, 3)
     halves = shingles.select("doc_id", F.md5("gram").alias("hx")).select(
         "doc_id",
         F.conv(F.substring("hx", 1, 8), 16, 10).cast("bigint").alias("h1"),
         F.conv(F.substring("hx", 9, 8), 16, 10).cast("bigint").alias("h2"),
     )
-    sigs = (
+    return (
         halves.groupBy("doc_id")
         .agg(
             *[
@@ -433,6 +426,22 @@ def _minhash_scored_pairs_build(
             F.array(*[F.col(f"s{h}") for h in range(_N_HASHES)]).alias("sig"),
         )
     )
+
+
+def _minhash_scored_pairs_build(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # Physical shape: explode shingles ONCE, md5 each shingle ONCE, then
+    # derive all 8 minhash functions from the two 32-bit halves of that
+    # single digest (Kirsch-Mitzenmacher double hashing: h_i = h1 + i*h2
+    # mod 2^32) and MIN-aggregate per doc. One md5 per shingle instead of
+    # 8 — the dominant CPU term — while the shuffle still carries only
+    # (doc_id, 8 bigint mins) after map-side partial aggregation. The
+    # array-expression spelling (array_min over transforms) would inline
+    # the tokenize+shingle pipeline into every signature element via
+    # projection collapse; the explode keeps it single-evaluated.
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = _minhash_sig_frame(docs)
     bands = sigs.select(
         "doc_id",
         "sig",
@@ -2746,6 +2755,66 @@ def incremental_simhash_candidates(
 _RECALL_TAUS_BPS = (5000, 8000)
 
 
+def _jaccard_truth_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(a_id, b_id, i_cnt, u_cnt) — exact 3-gram-shingle Jaccard counts
+    for every pair sharing at least one DF-capped shingle (cap =
+    n_docs/10, mirrored in every consuming oracle). The ground-truth
+    side of the LSH recall and band-tradeoff audits."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = _materialize(_gram_rows(docs, 3))
+    n_docs = docs.groupBy().agg(F.count("*").alias("n_docs"))
+    hot = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") * (100 // _NGRAM_DF_CAP_PCT) > F.col("n_docs"))
+        .select("gram")
+    )
+    kept = _materialize(grams.join(F.broadcast(hot), "gram", "left_anti"))
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        kept.alias("a")
+        .join(
+            kept.alias("b"),
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .agg(F.count("*").alias("i_cnt"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("n_a")),
+            "a_id",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("n_b")),
+            "b_id",
+        )
+        .select(
+            "a_id",
+            "b_id",
+            "i_cnt",
+            (F.col("n_a") + F.col("n_b") - F.col("i_cnt")).alias("u_cnt"),
+        )
+    )
+
+
+def _jaccard_truth_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-Jaccard truth pairs, served from the persisted shared
+    artifact (see :func:`_shared_artifact`) — both recall audits scan
+    one materialized truth table instead of re-running the inverted-
+    index join per query."""
+    return _shared_artifact(
+        spark,
+        sf_dir,
+        "jc_truth",
+        lambda: _jaccard_truth_build(spark, sf_dir),
+    )
+
+
 @_register(
     "lsh_candidate_recall",
     f"""
@@ -2822,46 +2891,7 @@ def lsh_candidate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     scratch, so a drifted hash recipe, a broken band join, or a silently
     weakened keep filter turns the row red — and the non-vacuity test
     pins n_true >= 1 at sf0.01 so the audit can never pass empty."""
-    docs = load_table(spark, sf_dir, "documents")
-    grams = _materialize(_gram_rows(docs, 3))
-    n_docs = docs.groupBy().agg(F.count("*").alias("n_docs"))
-    hot = (
-        grams.groupBy("gram")
-        .agg(F.count("*").alias("df"))
-        .crossJoin(F.broadcast(n_docs))
-        .filter(F.col("df") * (100 // _NGRAM_DF_CAP_PCT) > F.col("n_docs"))
-        .select("gram")
-    )
-    kept = _materialize(grams.join(F.broadcast(hot), "gram", "left_anti"))
-    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
-    inter = (
-        kept.alias("a")
-        .join(
-            kept.alias("b"),
-            (F.col("a.gram") == F.col("b.gram"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
-        )
-        .agg(F.count("*").alias("i_cnt"))
-    )
-    truth = (
-        inter.join(
-            sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("n_a")),
-            "a_id",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("n_b")),
-            "b_id",
-        )
-        .select(
-            "a_id",
-            "b_id",
-            "i_cnt",
-            (F.col("n_a") + F.col("n_b") - F.col("i_cnt")).alias("u_cnt"),
-        )
-    )
+    truth = _jaccard_truth_pairs(spark, sf_dir)
     lsh = _minhash_scored_pairs(spark, sf_dir).select(
         "a_id", "b_id", F.lit(1).alias("hit")
     )
@@ -2899,3 +2929,183 @@ def lsh_candidate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold_bps")
     )
+
+
+# --------------------------------------------------------------------------
+# B25 (round 7) — LSH banding-configuration tradeoff, measured: the same
+# 8-wide signature banded three ways — 4 bands x 2 rows (production),
+# 2 x 4 (precision-leaning: a pair must match 4 consecutive hashes to
+# surface), 8 x 1 (recall-leaning: any single matching hash surfaces the
+# pair) — each scored against the SAME exact-Jaccard truth artifact the
+# recall audit uses. Candidate volume, recall@0.5 and precision are
+# reported per config in integer basis points, so the choice of the
+# production banding is a MEASURED decision, not folklore: the S-curve
+# P(candidate) = 1-(1-s^r)^b moves exactly as the table shows.
+#
+# Scale: each config's pair join is band-bucketed with the production
+# hot-bucket cap (max(n_docs/10, 100), mirrored in the oracle); the
+# signature frame and the truth artifact are built once and shared.
+# --------------------------------------------------------------------------
+_BAND_CONFIGS = ((4, 2), (2, 4), (8, 1))
+
+_DUCK_JC_TRUTH = f"""
+    g AS (
+      SELECT doc_id, unnest(shingles) AS gram
+      FROM (SELECT doc_id, {_DUCK_SHINGLES3} AS shingles
+            FROM (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents))
+    ),
+    dfr AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY gram),
+    keptg AS (
+      SELECT g.doc_id, g.gram FROM g JOIN dfr USING (gram)
+      WHERE dfr.df * {100 // _NGRAM_DF_CAP_PCT} <= (SELECT COUNT(*) FROM documents)
+    ),
+    gsizes AS (SELECT doc_id, COUNT(*) AS n FROM keptg GROUP BY doc_id),
+    ginter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i_cnt
+      FROM keptg a JOIN keptg b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truthx AS (
+      SELECT i.a_id, i.b_id, i.i_cnt, sa.n + sb.n - i.i_cnt AS u_cnt
+      FROM ginter i
+      JOIN gsizes sa ON sa.doc_id = i.a_id
+      JOIN gsizes sb ON sb.doc_id = i.b_id
+    ),
+    tp AS (SELECT a_id, b_id FROM truthx WHERE 2 * i_cnt >= u_cnt),
+    nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM tp),
+    bcap AS (SELECT greatest(COUNT(*) // 10, 100) AS v FROM documents)
+"""
+
+
+def _band_tradeoff_oracle() -> str:
+    cfg_ctes, cfg_rows = [], []
+    for nb, nr in _BAND_CONFIGS:
+        tag = f"{nb}x{nr}"
+        cfg_ctes.append(f"""
+    bands_{tag} AS (
+      SELECT doc_id, band_id,
+             array_to_string(list_slice(sig, band_id * {nr} + 1,
+                                        band_id * {nr} + {nr}), '_') AS bkey
+      FROM sigs, (SELECT unnest(range({nb})) AS band_id)
+    ),
+    bk_{tag} AS (
+      SELECT b.* FROM bands_{tag} b
+      JOIN (SELECT band_id, bkey FROM bands_{tag} GROUP BY 1, 2
+            HAVING COUNT(*) <= (SELECT v FROM bcap)) ok
+        USING (band_id, bkey)
+    ),
+    cand_{tag} AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bk_{tag} a JOIN bk_{tag} b
+        ON a.band_id = b.band_id AND a.bkey = b.bkey
+       AND a.doc_id < b.doc_id
+    )""")
+        cfg_rows.append(f"""
+      SELECT '{tag}' AS config,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM cand_{tag}) AS n_candidates,
+             (SELECT n_true FROM nt) AS n_true,
+             (SELECT CAST(COUNT(*) AS BIGINT)
+              FROM cand_{tag} c JOIN tp USING (a_id, b_id)) AS n_hit""")
+    return f"""
+    WITH {_DUCK_MINHASH_SIGS},
+    {_DUCK_JC_TRUTH},
+    {','.join(cfg_ctes)}
+    SELECT config, n_candidates, n_true, n_hit,
+           CAST(CASE WHEN n_true > 0 THEN (10000 * n_hit) // n_true
+                     ELSE -1 END AS BIGINT) AS recall_bps,
+           CAST(CASE WHEN n_candidates > 0
+                     THEN (10000 * n_hit) // n_candidates
+                     ELSE -1 END AS BIGINT) AS precision_bps
+    FROM ({' UNION ALL '.join(cfg_rows)})
+    ORDER BY config
+    """
+
+
+@_register("minhash_band_tradeoff", _band_tradeoff_oracle())
+def minhash_band_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate volume / recall@0.5 / precision for three bandings of
+    the same signature, against the persisted exact-Jaccard truth
+    artifact — all integer basis points, oracle-recomputed from scratch."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = _materialize(_minhash_sig_frame(docs))
+    true_pairs = _materialize(
+        _jaccard_truth_pairs(spark, sf_dir)
+        .filter(F.lit(2) * F.col("i_cnt") >= F.col("u_cnt"))
+        .select("a_id", "b_id")
+    )
+    n_true_frame = true_pairs.agg(F.count("*").cast("bigint").alias("n_true"))
+    n_docs = docs.groupBy().agg(F.count("*").alias("n_docs"))
+    cap = F.greatest(
+        (F.col("n_docs") / F.lit(10)).cast("bigint"), F.lit(100)
+    )
+    out = None
+    for nb, nr in _BAND_CONFIGS:
+        bands = sigs.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("band_id"),
+                            F.array_join(
+                                F.transform(
+                                    F.slice("sig", j * nr + 1, nr),
+                                    lambda x: x.cast("string"),
+                                ),
+                                "_",
+                            ).alias("bkey"),
+                        )
+                        for j in range(nb)
+                    ]
+                )
+            ).alias("b"),
+        ).select("doc_id", "b.band_id", "b.bkey")
+        ok = (
+            bands.groupBy("band_id", "bkey")
+            .agg(F.count("*").alias("m"))
+            .crossJoin(F.broadcast(n_docs))
+            .filter(F.col("m") <= cap)
+            .select("band_id", "bkey")
+        )
+        capped = bands.join(ok, ["band_id", "bkey"], "left_semi")
+        cand = (
+            capped.alias("a")
+            .join(
+                capped.alias("b"),
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.bkey") == F.col("b.bkey"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("a_id"),
+                F.col("b.doc_id").alias("b_id"),
+            )
+            .distinct()
+        )
+        stats = (
+            cand.join(
+                true_pairs.withColumn("tpf", F.lit(1)), ["a_id", "b_id"], "left"
+            )
+            .agg(
+                F.count("*").cast("bigint").alias("n_candidates"),
+                F.coalesce(F.sum("tpf"), F.lit(0))
+                .cast("bigint")
+                .alias("n_hit"),
+            )
+        )
+        row = (
+            stats.crossJoin(F.broadcast(n_true_frame))
+            .selectExpr(
+                f"'{nb}x{nr}' AS config",
+                "n_candidates",
+                "n_true",
+                "n_hit",
+                "CAST(CASE WHEN n_true > 0 THEN (10000 * n_hit) div n_true "
+                "ELSE -1 END AS BIGINT) AS recall_bps",
+                "CAST(CASE WHEN n_candidates > 0 "
+                "THEN (10000 * n_hit) div n_candidates "
+                "ELSE -1 END AS BIGINT) AS precision_bps",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("config")

@@ -28,3 +28,27 @@ def test_lsh_candidate_recall_is_non_vacuous_and_monotone(spark):
     # a pair with Jaccard >= 0.8 also has Jaccard >= 0.5
     assert rows[8000].n_true <= rows[5000].n_true
     assert rows[8000].n_hit <= rows[5000].n_hit
+
+
+def test_band_tradeoff_subset_chain(spark):
+    """2x4 candidates ⊆ 4x2 ⊆ 8x1 by construction (matching 4
+    consecutive hashes implies matching both aligned 2-hash bands;
+    matching a 2-hash band implies matching both single-hash bands), so
+    candidate and hit counts must be monotone across the configs, the
+    truth denominator identical, and every count internally consistent."""
+    rows = {
+        r.config: r
+        for r in QUERIES["minhash_band_tradeoff"](spark, SF_SMOKE).collect()
+    }
+    assert set(rows) == {"2x4", "4x2", "8x1"}
+    n_true = {r.n_true for r in rows.values()}
+    assert len(n_true) == 1 and n_true.pop() >= 1
+    for r in rows.values():
+        assert 0 <= r.n_hit <= min(r.n_true, r.n_candidates)
+        assert 0 <= r.recall_bps <= 10000
+        assert 0 <= r.precision_bps <= 10000
+    assert rows["2x4"].n_candidates <= rows["4x2"].n_candidates
+    assert rows["4x2"].n_candidates <= rows["8x1"].n_candidates
+    assert rows["2x4"].n_hit <= rows["4x2"].n_hit <= rows["8x1"].n_hit
+    assert rows["2x4"].recall_bps <= rows["4x2"].recall_bps
+    assert rows["4x2"].recall_bps <= rows["8x1"].recall_bps

@@ -12,7 +12,8 @@ fingerprinting: it truncates lineage (the plan would show an opaque scan)
 and eagerly executes; with it off the fingerprint covers the whole
 declarative pipeline.
 
-Usage: python tools/plan_fingerprint.py        # regenerate the JSON
+Usage: python tools/plan_fingerprint.py                 # full regenerate
+       python tools/plan_fingerprint.py --only k1,k2    # merge just k1,k2
 """
 
 from __future__ import annotations
@@ -62,7 +63,9 @@ def fingerprint(plan: str) -> dict[str, int]:
     return counts
 
 
-def compute_all(spark, sf_dir: str) -> dict[str, dict[str, int]]:
+def compute_all(
+    spark, sf_dir: str, only: set[str] | None = None
+) -> dict[str, dict[str, int]]:
     from iceberg_loader_spark.operators import all_queries, dedup
 
     orig = dedup._materialize
@@ -70,6 +73,8 @@ def compute_all(spark, sf_dir: str) -> dict[str, dict[str, int]]:
     try:
         out = {}
         for name, fn in sorted(all_queries().items()):
+            if only is not None and name not in only:
+                continue
             df = fn(spark, sf_dir)
             plan = df._sc._jvm.PythonSQLUtils.explainString(
                 df._jdf.queryExecution(), "simple"
@@ -83,9 +88,23 @@ def compute_all(spark, sf_dir: str) -> dict[str, dict[str, int]]:
 def main() -> int:
     from iceberg_loader_spark import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = None
+    argv = list(sys.argv[1:])
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        del argv[i : i + 2]
+    args = [a for a in argv if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
     spark = get_spark("plan_fingerprint")
-    fps = compute_all(spark, sf_dir)
+    fps = compute_all(spark, sf_dir, only=only)
+    if only is not None:
+        # merge-mode: refresh just the named keys; the paired test still
+        # recomputes EVERY query, so a stale untouched entry cannot hide
+        with open(FINGERPRINT_PATH) as f:
+            merged = json.load(f)
+        merged.update(fps)
+        fps = merged
     with open(FINGERPRINT_PATH, "w") as f:
         json.dump(fps, f, indent=1, sort_keys=True)
     print(f"wrote {len(fps)} fingerprints to {FINGERPRINT_PATH}")
