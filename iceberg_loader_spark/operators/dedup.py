@@ -3109,3 +3109,209 @@ def minhash_band_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("config")
+
+
+# --------------------------------------------------------------------------
+# B25 + B23 (round 7) — STREAMING incremental MinHash index maintenance:
+# the continuous-ingestion steady state at 100 TB. The incoming half of
+# the corpus arrives as Structured-Streaming micro-batches
+# (maxFilesPerTrigger=1); each batch (a) fingerprints ONLY its own
+# documents, (b) band-joins its signatures against the CURRENT persisted
+# index ∪ itself (new-side driving — old×old buckets never enumerate),
+# (c) appends the discovered pairs to a results table, and (d) appends
+# its signatures to the index table — so batch 2's docs pair against
+# batch 1's through the index, exactly once.
+#
+# Exactly-once: BOTH appends carry independent batch-id markers
+# (IdempotentTableSink's contract, streaming/sink.py): pairs commit
+# BEFORE the index, so a replayed batch can never pair against an index
+# that already contains it — replay after a crash between the two
+# appends skips the pairs commit (marker) and completes the index
+# append; replay after full commit skips both.
+#
+# The streamed result is BATCH-INVARIANT (pinned by test against
+# incremental_minhash_candidates, whose oracle this query shares): pair
+# membership and pair_kind depend only on the is_inc origin column
+# carried in the index, never on which micro-batch surfaced the pair.
+# Hot-bucket cap = max(corpus/10, 100), the same constant the batch
+# operator uses, applied per batch to (index ∪ batch) bands.
+# --------------------------------------------------------------------------
+@_register(
+    "stream_incremental_minhash_candidates",
+    f"""
+    WITH {_DUCK_MINHASH_SIGS},
+    {_DUCK_INC_MARKED},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+             a.is_new + b.is_new AS n_new
+      FROM ibands a JOIN ibands b
+        ON a.band_id = b.band_id AND a.k1 = b.k1 AND a.k2 = b.k2
+       AND a.doc_id < b.doc_id
+      WHERE a.is_new = 1 OR b.is_new = 1
+    )
+    SELECT p.a_id, p.b_id,
+           CAST(list_sum(list_transform(range(1, {_N_HASHES + 1}),
+                    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
+                AS BIGINT) AS n_match,
+           CASE WHEN p.n_new = 2 THEN 'new_new' ELSE 'new_old' END AS pair_kind
+    FROM pairs p
+    JOIN sigs sa ON sa.doc_id = p.a_id
+    JOIN sigs sb ON sb.doc_id = p.b_id
+    WHERE list_sum(list_transform(range(1, {_N_HASHES + 1}),
+                   i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
+          >= {_N_HASHES // 2}
+    ORDER BY a_id, b_id
+    """,
+)
+def stream_incremental_minhash_candidates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile as _tf
+
+    from iceberg_loader_spark.operators.lifecycle import _track_root
+    from iceberg_loader_spark.tables import Warehouse
+    from iceberg_loader_spark.tables.table import Table
+
+    hist, inc = _incremental_split(spark, sf_dir)
+
+    def sig_frame(side: DataFrame) -> DataFrame:
+        halves = _gram_rows(side, 3).select(
+            "doc_id", F.md5("gram").alias("hx")
+        ).select(
+            "doc_id",
+            F.conv(F.substring("hx", 1, 8), 16, 10).cast("bigint").alias("h1"),
+            F.conv(F.substring("hx", 9, 8), 16, 10).cast("bigint").alias("h2"),
+        )
+        return halves.groupBy("doc_id").agg(
+            *[
+                F.min(
+                    (F.col("h1") + F.lit(h) * F.col("h2")) % F.lit(_MH_MOD)
+                ).alias(f"s{h}")
+                for h in range(_N_HASHES)
+            ]
+        )
+
+    # the cap constant comes from corpus stats, not per-batch state —
+    # identical to the batch operator's max(n_docs/10, 100)
+    n_docs_val = load_table(spark, sf_dir, "documents").count()
+    cap_val = max(n_docs_val // 10, 100)
+
+    wh = Warehouse(_track_root(_tf.mkdtemp(prefix="ils_mh_stream_")))
+    seed = sig_frame(hist).withColumn("is_inc", F.lit(0))
+    idx_t = Table.create(wh, "db.mh_sindex", seed.schema)
+    idx_t.append(seed)
+
+    src = _track_root(_tf.mkdtemp(prefix="ils_mh_stream_src_"))
+    inc.repartition(2).write.mode("overwrite").parquet(src)
+
+    PAIRS_MARK = "streaming.mh-pairs.last-batch-id"
+    IDX_MARK = "streaming.mh-index.last-batch-id"
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        batch_sigs = _materialize(
+            sig_frame(batch_df).withColumn("is_inc", F.lit(1))
+        )
+        pairs_done = wh.table_exists("db.mh_spairs") and batch_id <= int(
+            wh.load_table("db.mh_spairs").properties().get(PAIRS_MARK, "-1")
+        )
+        if not pairs_done:
+            idx = (
+                wh.load_table("db.mh_sindex")
+                .scan(spark)
+                .withColumn("is_batch", F.lit(0))
+            )
+            alls = _materialize(
+                idx.unionByName(batch_sigs.withColumn("is_batch", F.lit(1)))
+            )
+            bands = alls.select(
+                "doc_id", "is_inc", "is_batch",
+                *[F.col(f"s{h}") for h in range(_N_HASHES)],
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(j).alias("band_id"),
+                                F.col(f"s{2 * j}").alias("k1"),
+                                F.col(f"s{2 * j + 1}").alias("k2"),
+                            )
+                            for j in range(_N_BANDS)
+                        ]
+                    )
+                ).alias("band"),
+            ).select(
+                "doc_id", "is_inc", "is_batch",
+                *[f"s{h}" for h in range(_N_HASHES)],
+                "band.band_id", "band.k1", "band.k2",
+            )
+            hot = (
+                bands.groupBy("band_id", "k1", "k2")
+                .agg(F.count("*").alias("bsz"))
+                .filter(F.col("bsz") > F.lit(cap_val))
+                .select("band_id", "k1", "k2")
+            )
+            bands = _materialize(
+                bands.join(F.broadcast(hot), ["band_id", "k1", "k2"], "left_anti")
+            )
+            n_match = sum(
+                F.when(F.col(f"a.s{h}") == F.col(f"b.s{h}"), 1).otherwise(0)
+                for h in range(_N_HASHES)
+            )
+            out = (
+                bands.filter(F.col("is_batch") == 1)
+                .alias("a")
+                .join(
+                    bands.alias("b"),
+                    (F.col("a.band_id") == F.col("b.band_id"))
+                    & (F.col("a.k1") == F.col("b.k1"))
+                    & (F.col("a.k2") == F.col("b.k2"))
+                    & (F.col("a.doc_id") != F.col("b.doc_id")),
+                )
+                .select(
+                    F.least("a.doc_id", "b.doc_id").alias("a_id"),
+                    F.greatest("a.doc_id", "b.doc_id").alias("b_id"),
+                    n_match.alias("n_match"),
+                    (F.col("a.is_inc") + F.col("b.is_inc")).alias("n_inc"),
+                )
+                .distinct()
+                .filter(F.col("n_match") >= _N_HASHES // 2)
+                .select(
+                    "a_id",
+                    "b_id",
+                    F.col("n_match").cast("bigint").alias("n_match"),
+                    F.when(F.col("n_inc") == 2, "new_new")
+                    .otherwise("new_old")
+                    .alias("pair_kind"),
+                )
+            )
+            if not wh.table_exists("db.mh_spairs"):
+                Table.create(wh, "db.mh_spairs", out.schema)
+            wh.load_table("db.mh_spairs").append(
+                out, extra_properties={PAIRS_MARK: str(batch_id)}
+            )
+        idx_done = batch_id <= int(
+            wh.load_table("db.mh_sindex").properties().get(IDX_MARK, "-1")
+        )
+        if not idx_done:
+            wh.load_table("db.mh_sindex").append(
+                batch_sigs, extra_properties={IDX_MARK: str(batch_id)}
+            )
+
+    q = (
+        spark.readStream.schema(inc.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{src}/_ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    pairs_t = wh.load_table("db.mh_spairs")
+    last = int(pairs_t.properties().get(PAIRS_MARK, "-1"))
+    if last < 1:
+        raise RuntimeError(
+            f"stream committed {last + 1} micro-batches; expected >= 2"
+        )
+    return pairs_t.scan(spark).orderBy("a_id", "b_id")

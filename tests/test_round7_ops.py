@@ -52,3 +52,26 @@ def test_band_tradeoff_subset_chain(spark):
     assert rows["2x4"].n_hit <= rows["4x2"].n_hit <= rows["8x1"].n_hit
     assert rows["2x4"].recall_bps <= rows["4x2"].recall_bps
     assert rows["4x2"].recall_bps <= rows["8x1"].recall_bps
+
+
+def test_stream_incremental_minhash_matches_batch_operator(spark):
+    """Batch-invariance: the micro-batch-streamed incremental index run
+    must surface EXACTLY the pairs the single-batch incremental operator
+    finds (which is itself pinned to the full-corpus restriction) — same
+    pair set, same n_match, same pair_kind, regardless of how the
+    incoming half was split into micro-batches."""
+    streamed = (
+        QUERIES["stream_incremental_minhash_candidates"](spark, SF_SMOKE)
+        .select("a_id", "b_id", "n_match", "pair_kind")
+        .collect()
+    )
+    batch = (
+        QUERIES["incremental_minhash_candidates"](spark, SF_SMOKE)
+        .select("a_id", "b_id", "n_match", "pair_kind")
+        .collect()
+    )
+    key = lambda r: (r.a_id, r.b_id)  # noqa: E731
+    assert sorted(map(tuple, streamed), key=lambda t: t[:2]) == sorted(
+        map(tuple, batch), key=lambda t: t[:2]
+    )
+    assert len(streamed) >= 1, "vacuous: no incremental pairs at smoke SF"
