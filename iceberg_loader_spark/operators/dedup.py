@@ -3166,141 +3166,186 @@ def minhash_band_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_incremental_minhash_candidates(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    import tempfile as _tf
+    return _stream_incremental_minhash_run(spark, sf_dir)
 
-    from iceberg_loader_spark.operators.lifecycle import _track_root
-    from iceberg_loader_spark.tables import Warehouse
-    from iceberg_loader_spark.tables.table import Table
 
-    hist, inc = _incremental_split(spark, sf_dir)
+def _stream_sig_frame(side: DataFrame) -> DataFrame:
+    """(doc_id, s0..s7) — the columnar signature frame the streaming
+    indexer stores; identical math to the full-corpus operator."""
+    halves = _gram_rows(side, 3).select(
+        "doc_id", F.md5("gram").alias("hx")
+    ).select(
+        "doc_id",
+        F.conv(F.substring("hx", 1, 8), 16, 10).cast("bigint").alias("h1"),
+        F.conv(F.substring("hx", 9, 8), 16, 10).cast("bigint").alias("h2"),
+    )
+    return halves.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.col("h1") + F.lit(h) * F.col("h2")) % F.lit(_MH_MOD)
+            ).alias(f"s{h}")
+            for h in range(_N_HASHES)
+        ]
+    )
 
-    def sig_frame(side: DataFrame) -> DataFrame:
-        halves = _gram_rows(side, 3).select(
-            "doc_id", F.md5("gram").alias("hx")
-        ).select(
-            "doc_id",
-            F.conv(F.substring("hx", 1, 8), 16, 10).cast("bigint").alias("h1"),
-            F.conv(F.substring("hx", 9, 8), 16, 10).cast("bigint").alias("h2"),
-        )
-        return halves.groupBy("doc_id").agg(
-            *[
-                F.min(
-                    (F.col("h1") + F.lit(h) * F.col("h2")) % F.lit(_MH_MOD)
-                ).alias(f"s{h}")
-                for h in range(_N_HASHES)
-            ]
-        )
 
-    # the cap constant comes from corpus stats, not per-batch state —
-    # identical to the batch operator's max(n_docs/10, 100)
-    n_docs_val = load_table(spark, sf_dir, "documents").count()
-    cap_val = max(n_docs_val // 10, 100)
+class MinHashStreamIndexer:
+    """``foreachBatch`` callable maintaining a persisted MinHash/LSH
+    index with exactly-once semantics.
 
-    wh = Warehouse(_track_root(_tf.mkdtemp(prefix="ils_mh_stream_")))
-    seed = sig_frame(hist).withColumn("is_inc", F.lit(0))
-    idx_t = Table.create(wh, "db.mh_sindex", seed.schema)
-    idx_t.append(seed)
-
-    src = _track_root(_tf.mkdtemp(prefix="ils_mh_stream_src_"))
-    inc.repartition(2).write.mode("overwrite").parquet(src)
+    Per batch: fingerprint ONLY the batch, band-join it against the
+    current index ∪ itself (new-side driving), append discovered pairs
+    to ``db.mh_spairs``, then append the batch's signatures to
+    ``db.mh_sindex`` — each append gated by its own batch-id marker
+    (IdempotentTableSink's contract). Pairs commit BEFORE the index, so
+    a replayed batch can never pair against an index that already
+    contains it: replay after a crash between the two appends skips the
+    pairs commit and completes the index append; replay after full
+    commit skips both. Exposed as a class (not a closure) so tests can
+    drive replay and mid-crash recovery directly."""
 
     PAIRS_MARK = "streaming.mh-pairs.last-batch-id"
     IDX_MARK = "streaming.mh-index.last-batch-id"
 
-    def process(batch_df: DataFrame, batch_id: int) -> None:
-        batch_sigs = _materialize(
-            sig_frame(batch_df).withColumn("is_inc", F.lit(1))
+    def __init__(self, spark: SparkSession, warehouse, cap_val: int):
+        self.spark = spark
+        self.wh = warehouse
+        self.cap_val = cap_val
+
+    def seed(self, hist: DataFrame) -> None:
+        from iceberg_loader_spark.tables.table import Table
+
+        frame = _stream_sig_frame(hist).withColumn("is_inc", F.lit(0))
+        Table.create(self.wh, "db.mh_sindex", frame.schema).append(frame)
+
+    def _batch_pairs(self, batch_sigs: DataFrame) -> DataFrame:
+        idx = (
+            self.wh.load_table("db.mh_sindex")
+            .scan(self.spark)
+            .withColumn("is_batch", F.lit(0))
         )
-        pairs_done = wh.table_exists("db.mh_spairs") and batch_id <= int(
-            wh.load_table("db.mh_spairs").properties().get(PAIRS_MARK, "-1")
+        alls = _materialize(
+            idx.unionByName(batch_sigs.withColumn("is_batch", F.lit(1)))
         )
-        if not pairs_done:
-            idx = (
-                wh.load_table("db.mh_sindex")
-                .scan(spark)
-                .withColumn("is_batch", F.lit(0))
-            )
-            alls = _materialize(
-                idx.unionByName(batch_sigs.withColumn("is_batch", F.lit(1)))
-            )
-            bands = alls.select(
-                "doc_id", "is_inc", "is_batch",
-                *[F.col(f"s{h}") for h in range(_N_HASHES)],
-                F.explode(
-                    F.array(
-                        *[
-                            F.struct(
-                                F.lit(j).alias("band_id"),
-                                F.col(f"s{2 * j}").alias("k1"),
-                                F.col(f"s{2 * j + 1}").alias("k2"),
-                            )
-                            for j in range(_N_BANDS)
-                        ]
-                    )
-                ).alias("band"),
-            ).select(
-                "doc_id", "is_inc", "is_batch",
-                *[f"s{h}" for h in range(_N_HASHES)],
-                "band.band_id", "band.k1", "band.k2",
-            )
-            hot = (
-                bands.groupBy("band_id", "k1", "k2")
-                .agg(F.count("*").alias("bsz"))
-                .filter(F.col("bsz") > F.lit(cap_val))
-                .select("band_id", "k1", "k2")
-            )
-            bands = _materialize(
-                bands.join(F.broadcast(hot), ["band_id", "k1", "k2"], "left_anti")
-            )
-            n_match = sum(
-                F.when(F.col(f"a.s{h}") == F.col(f"b.s{h}"), 1).otherwise(0)
-                for h in range(_N_HASHES)
-            )
-            out = (
-                bands.filter(F.col("is_batch") == 1)
-                .alias("a")
-                .join(
-                    bands.alias("b"),
-                    (F.col("a.band_id") == F.col("b.band_id"))
-                    & (F.col("a.k1") == F.col("b.k1"))
-                    & (F.col("a.k2") == F.col("b.k2"))
-                    & (F.col("a.doc_id") != F.col("b.doc_id")),
+        bands = alls.select(
+            "doc_id", "is_inc", "is_batch",
+            *[F.col(f"s{h}") for h in range(_N_HASHES)],
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("band_id"),
+                            F.col(f"s{2 * j}").alias("k1"),
+                            F.col(f"s{2 * j + 1}").alias("k2"),
+                        )
+                        for j in range(_N_BANDS)
+                    ]
                 )
-                .select(
-                    F.least("a.doc_id", "b.doc_id").alias("a_id"),
-                    F.greatest("a.doc_id", "b.doc_id").alias("b_id"),
-                    n_match.alias("n_match"),
-                    (F.col("a.is_inc") + F.col("b.is_inc")).alias("n_inc"),
-                )
-                .distinct()
-                .filter(F.col("n_match") >= _N_HASHES // 2)
-                .select(
-                    "a_id",
-                    "b_id",
-                    F.col("n_match").cast("bigint").alias("n_match"),
-                    F.when(F.col("n_inc") == 2, "new_new")
-                    .otherwise("new_old")
-                    .alias("pair_kind"),
-                )
+            ).alias("band"),
+        ).select(
+            "doc_id", "is_inc", "is_batch",
+            *[f"s{h}" for h in range(_N_HASHES)],
+            "band.band_id", "band.k1", "band.k2",
+        )
+        hot = (
+            bands.groupBy("band_id", "k1", "k2")
+            .agg(F.count("*").alias("bsz"))
+            .filter(F.col("bsz") > F.lit(self.cap_val))
+            .select("band_id", "k1", "k2")
+        )
+        bands = _materialize(
+            bands.join(F.broadcast(hot), ["band_id", "k1", "k2"], "left_anti")
+        )
+        n_match = sum(
+            F.when(F.col(f"a.s{h}") == F.col(f"b.s{h}"), 1).otherwise(0)
+            for h in range(_N_HASHES)
+        )
+        return (
+            bands.filter(F.col("is_batch") == 1)
+            .alias("a")
+            .join(
+                bands.alias("b"),
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.k1") == F.col("b.k1"))
+                & (F.col("a.k2") == F.col("b.k2"))
+                & (F.col("a.doc_id") != F.col("b.doc_id")),
             )
-            if not wh.table_exists("db.mh_spairs"):
-                Table.create(wh, "db.mh_spairs", out.schema)
-            wh.load_table("db.mh_spairs").append(
-                out, extra_properties={PAIRS_MARK: str(batch_id)}
+            .select(
+                F.least("a.doc_id", "b.doc_id").alias("a_id"),
+                F.greatest("a.doc_id", "b.doc_id").alias("b_id"),
+                n_match.alias("n_match"),
+                (F.col("a.is_inc") + F.col("b.is_inc")).alias("n_inc"),
             )
+            .distinct()
+            .filter(F.col("n_match") >= _N_HASHES // 2)
+            .select(
+                "a_id",
+                "b_id",
+                F.col("n_match").cast("bigint").alias("n_match"),
+                F.when(F.col("n_inc") == 2, "new_new")
+                .otherwise("new_old")
+                .alias("pair_kind"),
+            )
+        )
+
+    def _append_index(self, batch_sigs: DataFrame, batch_id: int) -> None:
         idx_done = batch_id <= int(
-            wh.load_table("db.mh_sindex").properties().get(IDX_MARK, "-1")
+            self.wh.load_table("db.mh_sindex")
+            .properties()
+            .get(self.IDX_MARK, "-1")
         )
         if not idx_done:
-            wh.load_table("db.mh_sindex").append(
-                batch_sigs, extra_properties={IDX_MARK: str(batch_id)}
+            self.wh.load_table("db.mh_sindex").append(
+                batch_sigs, extra_properties={self.IDX_MARK: str(batch_id)}
             )
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from iceberg_loader_spark.tables.table import Table
+
+        batch_sigs = _materialize(
+            _stream_sig_frame(batch_df).withColumn("is_inc", F.lit(1))
+        )
+        pairs_done = self.wh.table_exists("db.mh_spairs") and batch_id <= int(
+            self.wh.load_table("db.mh_spairs")
+            .properties()
+            .get(self.PAIRS_MARK, "-1")
+        )
+        if not pairs_done:
+            out = self._batch_pairs(batch_sigs)
+            if not self.wh.table_exists("db.mh_spairs"):
+                Table.create(self.wh, "db.mh_spairs", out.schema)
+            self.wh.load_table("db.mh_spairs").append(
+                out, extra_properties={self.PAIRS_MARK: str(batch_id)}
+            )
+        self._append_index(batch_sigs, batch_id)
+
+
+def _stream_incremental_minhash_run(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile as _tf
+
+    from iceberg_loader_spark.operators.lifecycle import _track_root
+    from iceberg_loader_spark.tables import Warehouse
+
+    hist, inc = _incremental_split(spark, sf_dir)
+    # the cap constant comes from corpus stats, not per-batch state —
+    # identical to the batch operator's max(n_docs/10, 100)
+    n_docs_val = load_table(spark, sf_dir, "documents").count()
+    wh = Warehouse(_track_root(_tf.mkdtemp(prefix="ils_mh_stream_")))
+    indexer = MinHashStreamIndexer(
+        spark, wh, cap_val=max(n_docs_val // 10, 100)
+    )
+    indexer.seed(hist)
+
+    src = _track_root(_tf.mkdtemp(prefix="ils_mh_stream_src_"))
+    inc.repartition(2).write.mode("overwrite").parquet(src)
 
     q = (
         spark.readStream.schema(inc.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
-        .writeStream.foreachBatch(process)
+        .writeStream.foreachBatch(indexer)
         .option("checkpointLocation", f"{src}/_ckpt")
         .start()
     )
@@ -3309,7 +3354,7 @@ def stream_incremental_minhash_candidates(
     finally:
         q.stop()
     pairs_t = wh.load_table("db.mh_spairs")
-    last = int(pairs_t.properties().get(PAIRS_MARK, "-1"))
+    last = int(pairs_t.properties().get(MinHashStreamIndexer.PAIRS_MARK, "-1"))
     if last < 1:
         raise RuntimeError(
             f"stream committed {last + 1} micro-batches; expected >= 2"

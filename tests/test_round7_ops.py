@@ -75,3 +75,79 @@ def test_stream_incremental_minhash_matches_batch_operator(spark):
         map(tuple, batch), key=lambda t: t[:2]
     )
     assert len(streamed) >= 1, "vacuous: no incremental pairs at smoke SF"
+
+
+def _indexer_fixture(spark, tmp_path, tag):
+    from iceberg_loader_spark.operators.dedup import (
+        MinHashStreamIndexer,
+        _incremental_split,
+    )
+    from iceberg_loader_spark.tables import Warehouse
+
+    hist, inc = _incremental_split(spark, SF_SMOKE)
+    wh = Warehouse(str(tmp_path / f"wh_{tag}"))
+    ix = MinHashStreamIndexer(spark, wh, cap_val=100)
+    ix.seed(hist)
+    b0 = inc.filter("doc_id % 2 = 0")
+    b1 = inc.filter("doc_id % 2 = 1")
+    return ix, wh, b0, b1
+
+
+def _pairs_set(spark, wh):
+    return {
+        (r.a_id, r.b_id, r.n_match, r.pair_kind)
+        for r in wh.load_table("db.mh_spairs").scan(spark).collect()
+    }
+
+
+def test_stream_indexer_replay_is_idempotent(spark, tmp_path):
+    """Replaying a fully committed micro-batch (foreachBatch's
+    at-least-once contract) must change NOTHING: both batch-id markers
+    skip, so pair rows and index rows stay byte-identical."""
+    ix, wh, b0, b1 = _indexer_fixture(spark, tmp_path, "replay")
+    ix(b0, 0)
+    ix(b1, 1)
+    pairs_before = _pairs_set(spark, wh)
+    idx_before = wh.load_table("db.mh_sindex").scan(spark).count()
+    v_pairs = wh.load_table("db.mh_spairs").meta.current_version()
+    v_idx = wh.load_table("db.mh_sindex").meta.current_version()
+
+    ix(b1, 1)  # replay
+    assert _pairs_set(spark, wh) == pairs_before
+    assert wh.load_table("db.mh_sindex").scan(spark).count() == idx_before
+    # no new commits landed at all
+    assert wh.load_table("db.mh_spairs").meta.current_version() == v_pairs
+    assert wh.load_table("db.mh_sindex").meta.current_version() == v_idx
+
+
+def test_stream_indexer_recovers_from_crash_between_appends(spark, tmp_path):
+    """Crash AFTER the pairs commit but BEFORE the index append, then
+    replay: the pairs marker skips the recompute (so the batch can never
+    pair against an index already containing it) and the index append
+    completes — converging to exactly the no-crash outcome."""
+    ref_ix, ref_wh, b0, b1 = _indexer_fixture(spark, tmp_path, "ref")
+    ref_ix(b0, 0)
+    ref_ix(b1, 1)
+    want_pairs = _pairs_set(spark, ref_wh)
+    want_idx = ref_wh.load_table("db.mh_sindex").scan(spark).count()
+
+    ix, wh, b0, b1 = _indexer_fixture(spark, tmp_path, "crash")
+    ix(b0, 0)
+    orig = ix._append_index
+
+    def boom(batch_sigs, batch_id):
+        raise RuntimeError("simulated crash before index append")
+
+    ix._append_index = boom
+    try:
+        ix(b1, 1)
+    except RuntimeError:
+        pass
+    # pairs committed, index stale — exactly the documented crash window
+    assert _pairs_set(spark, wh) == want_pairs
+    assert wh.load_table("db.mh_sindex").scan(spark).count() < want_idx
+
+    ix._append_index = orig
+    ix(b1, 1)  # recovery replay
+    assert _pairs_set(spark, wh) == want_pairs
+    assert wh.load_table("db.mh_sindex").scan(spark).count() == want_idx
