@@ -3360,3 +3360,210 @@ def _stream_incremental_minhash_run(
             f"stream committed {last + 1} micro-batches; expected >= 2"
         )
     return pairs_t.scan(spark).orderBy("a_id", "b_id")
+
+
+# --------------------------------------------------------------------------
+# B25 (round 7) — the INCREMENTAL curation funnel: the steady-state
+# version of the flagship end-to-end composition. Yesterday's corpus
+# exists only as three PERSISTED index tables — content fingerprints
+# (md5 text), near-dup fingerprints (SimHash), and the eval split's
+# 5-gram set — and the incoming batch flows quality gate → language
+# filter → exact dedup VS THE INDEX (first-ingested wins, then min-id
+# within the batch) → near-dup VS THE INDEX (same precedence) →
+# decontamination against (historical ∪ batch) eval grams → split.
+# Per-stage survivor counts, hash-verified by a DuckDB replay of the
+# whole composition.
+#
+# Precedence semantics (deliberate, production-accurate): a batch doc
+# duplicating HISTORY is dropped regardless of doc_id — first-ingested
+# wins — while the full-corpus funnel's keeper is min-doc_id globally.
+# The two agree whenever ingestion order follows doc_id.
+#
+# Scale: the batch never re-reads historical text — history costs three
+# columnar index scans (16 B hash rows); every batch-side stage is the
+# recipe the full funnel proved (map-only gates, hash-keyed windows,
+# hashed-gram collision join). Per-batch cost is O(batch + index scan),
+# the 100 TB continuous-ingestion shape.
+# --------------------------------------------------------------------------
+@_register(
+    "incremental_curation_funnel_counts",
+    f"""
+    WITH bucketed AS (
+      SELECT doc_id, text, lang, n_chars, {_DUCK_TOKENS} AS toks,
+             {_FUNNEL_BUCKET} AS bucket
+      FROM documents
+    ),
+    hist AS (SELECT * FROM bucketed WHERE bucket < 50),
+    inc AS (SELECT * FROM bucketed WHERE bucket >= 50),
+    q AS (SELECT * FROM inc
+          WHERE n_chars BETWEEN 100 AND 10000 AND len(toks) >= 20),
+    l AS (SELECT * FROM q WHERE lang <> 'zh'),
+    histfp AS (SELECT DISTINCT md5(text) AS h FROM hist),
+    e AS (SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+                        ORDER BY doc_id) AS rn
+            FROM l WHERE md5(text) NOT IN (SELECT h FROM histfp))
+          WHERE rn = 1),
+    histsh AS (SELECT DISTINCT {_duck_simhash('toks')} AS simhash
+               FROM (SELECT doc_id, list_distinct(toks) AS toks FROM hist)),
+    shinc AS (SELECT doc_id, {_duck_simhash('toks')} AS simhash
+              FROM (SELECT doc_id, list_distinct(toks) AS toks FROM bucketed
+                    WHERE doc_id IN (SELECT doc_id FROM e))),
+    nd AS (SELECT e.* FROM e JOIN (
+             SELECT doc_id FROM (
+               SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY simhash
+                         ORDER BY doc_id) AS rn
+               FROM shinc
+               WHERE simhash NOT IN (SELECT simhash FROM histsh))
+             WHERE rn = 1) k ON e.doc_id = k.doc_id),
+    grams_inc AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+                    i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                             || ' ' || toks[i+3] || ' ' || toks[i+4]))))
+               AS g
+      FROM inc WHERE len(toks) >= 5
+    ),
+    grams_histev AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+                    i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                             || ' ' || toks[i+3] || ' ' || toks[i+4]))))
+               AS g
+      FROM hist WHERE len(toks) >= 5 AND doc_id % 10 = 0
+    ),
+    ev AS (SELECT DISTINCT g FROM (
+             SELECT g FROM grams_histev
+             UNION ALL
+             SELECT g FROM grams_inc WHERE doc_id % 10 = 0)),
+    contam AS (SELECT DISTINCT gi.doc_id
+               FROM grams_inc gi JOIN ev USING (g)
+               WHERE gi.doc_id % 10 <> 0),
+    d AS (SELECT * FROM nd
+          WHERE doc_id % 10 <> 0
+            AND doc_id NOT IN (SELECT doc_id FROM contam)),
+    split AS (SELECT doc_id, {_FUNNEL_BUCKET} AS sbucket FROM d)
+    SELECT stage, n_docs FROM (
+      SELECT '1_incoming' AS stage, COUNT(*) AS n_docs FROM inc
+      UNION ALL SELECT '2_quality', COUNT(*) FROM q
+      UNION ALL SELECT '3_lang', COUNT(*) FROM l
+      UNION ALL SELECT '4_exact_vs_index', COUNT(*) FROM e
+      UNION ALL SELECT '5_neardup_vs_index', COUNT(*) FROM nd
+      UNION ALL SELECT '6_decontam', COUNT(*) FROM d
+      UNION ALL SELECT '7_train', COUNT(*) FROM split WHERE sbucket < 98
+      UNION ALL SELECT '8_val', COUNT(*) FROM split WHERE sbucket = 98
+      UNION ALL SELECT '9_test', COUNT(*) FROM split WHERE sbucket > 98
+    )
+    ORDER BY stage
+    """,
+)
+def incremental_curation_funnel_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window as _W
+
+    docs = load_table(spark, sf_dir, "documents")
+    marked = docs.withColumn("bucket", _doc_bucket_col())
+    hist = marked.filter(F.col("bucket") < 50).drop("bucket")
+    inc = marked.filter(F.col("bucket") >= 50).drop("bucket")
+
+    def _grams5(side: DataFrame) -> DataFrame:
+        return (
+            _token_arrays(side)
+            .filter(F.size("ts") >= 5)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.array_distinct(F.transform(_gram_expr(5), F.md5))
+                ).alias("g"),
+            )
+        )
+
+    # yesterday's corpus AS the steady state sees it: three persisted
+    # index tables, written and read back through the table layer
+    fp_idx = _persisted_index(
+        spark, "cf_fp", hist.select(F.md5("text").alias("h")).distinct()
+    )
+    sh_idx = _persisted_index(
+        spark, "cf_sh", _simhash_df(hist).select("simhash").distinct()
+    )
+    ev_idx = _persisted_index(
+        spark,
+        "cf_ev",
+        _grams5(hist.filter(F.col("doc_id") % 10 == 0))
+        .select("g")
+        .distinct(),
+    )
+
+    toks_n = F.size(
+        F.filter(
+            F.split(F.lower(F.col("text")), " "),
+            lambda t: F.length(t) > 0,
+        )
+    )
+    flags = _materialize(
+        inc.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.md5("text").alias("h"),
+            toks_n.alias("ntok"),
+        )
+    )
+    q = flags.filter(
+        F.col("n_chars").between(100, 10000) & (F.col("ntok") >= 20)
+    )
+    l = q.filter(F.col("lang") != "zh")
+    e = _materialize(
+        l.join(fp_idx, "h", "left_anti")
+        .withColumn(
+            "rn", F.row_number().over(_W.partitionBy("h").orderBy("doc_id"))
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    sh_inc = _simhash_df(docs.join(e.select("doc_id"), "doc_id"))
+    keepers = (
+        sh_inc.join(sh_idx, "simhash", "left_anti")
+        .withColumn(
+            "rn",
+            F.row_number().over(_W.partitionBy("simhash").orderBy("doc_id")),
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id")
+    )
+    nd = _materialize(e.join(keepers, "doc_id"))
+    g_inc = _materialize(_grams5(inc))
+    ev_all = (
+        ev_idx.select("g")
+        .unionByName(g_inc.filter(F.col("doc_id") % 10 == 0).select("g"))
+        .distinct()
+    )
+    contam = (
+        g_inc.filter(F.col("doc_id") % 10 != 0)
+        .join(ev_all, "g")
+        .select("doc_id")
+        .distinct()
+    )
+    d = _materialize(
+        nd.filter(F.col("doc_id") % 10 != 0).join(contam, "doc_id", "left_anti")
+    )
+    split = d.select("doc_id", _doc_bucket_col().alias("bucket"))
+
+    def _stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count("*").alias("n_docs")).select(
+            F.lit(name).alias("stage"), "n_docs"
+        )
+
+    return (
+        _stage(inc, "1_incoming")
+        .unionByName(_stage(q, "2_quality"))
+        .unionByName(_stage(l, "3_lang"))
+        .unionByName(_stage(e, "4_exact_vs_index"))
+        .unionByName(_stage(nd, "5_neardup_vs_index"))
+        .unionByName(_stage(d, "6_decontam"))
+        .unionByName(_stage(split.filter("bucket < 98"), "7_train"))
+        .unionByName(_stage(split.filter("bucket = 98"), "8_val"))
+        .unionByName(_stage(split.filter("bucket > 98"), "9_test"))
+        .orderBy("stage")
+    )

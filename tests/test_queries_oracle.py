@@ -105,6 +105,12 @@ def test_minhash_oracle_match_under_persist_materialize(spark, duck):
         sdf = QUERIES["minhash_lsh_candidates"](spark, SF_SMOKE).toPandas()
     finally:
         dedup.set_materialize_mode("local_checkpoint")
+        # the persist-mode frames live in the session CacheManager, and
+        # Catalyst substitutes cached subtrees into every LATER plan of
+        # the same fragments — leaking them changes other tests'
+        # fingerprints (measured: dedup_cluster_assign's explain gained
+        # 2-3x operators from InMemoryRelation-inlined cached plans)
+        spark.catalog.clearCache()
     odf = duck.sql(ORACLES["minhash_lsh_candidates"]).df()
     a, b = canon(sdf), canon(odf)
     assert list(a.columns) == list(b.columns)

@@ -151,3 +151,29 @@ def test_stream_indexer_recovers_from_crash_between_appends(spark, tmp_path):
     ix(b1, 1)  # recovery replay
     assert _pairs_set(spark, wh) == want_pairs
     assert wh.load_table("db.mh_sindex").scan(spark).count() == want_idx
+
+
+def test_incremental_funnel_stage_invariants(spark):
+    """Funnel algebra: stage counts monotone non-increasing through
+    6_decontam, split buckets partition the decontam survivors exactly,
+    and every gate does real work at smoke scale (non-vacuity — a filter
+    that silently stopped filtering would leave a stage count equal to
+    its predecessor all the way down)."""
+    c = {
+        r.stage: r.n_docs
+        for r in QUERIES["incremental_curation_funnel_counts"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    order = [
+        "1_incoming", "2_quality", "3_lang",
+        "4_exact_vs_index", "5_neardup_vs_index", "6_decontam",
+    ]
+    assert set(c) == set(order) | {"7_train", "8_val", "9_test"}
+    for a, b in zip(order, order[1:]):
+        assert c[a] >= c[b], (a, b, c)
+    assert c["7_train"] + c["8_val"] + c["9_test"] == c["6_decontam"]
+    assert c["1_incoming"] >= 1 and c["6_decontam"] >= 1
+    # the index gates must actually fire at smoke scale: the planted
+    # near-dups guarantee cross-half simhash collisions
+    assert c["5_neardup_vs_index"] < c["4_exact_vs_index"]

@@ -70,6 +70,10 @@ def compute_all(
 
     orig = dedup._materialize
     dedup._materialize = lambda df: df
+    # fingerprints must be session-state-independent: Catalyst substitutes
+    # any CacheManager entry (e.g. a persist()'d frame a previous caller
+    # left behind) into matching plan subtrees, changing explain output
+    spark.catalog.clearCache()
     try:
         out = {}
         for name, fn in sorted(all_queries().items()):
