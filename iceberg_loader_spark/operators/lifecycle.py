@@ -2267,3 +2267,93 @@ def lifecycle_catalog_http_counts(
         ("6_second_client_scan", n6),
     ]
     return spark.createDataFrame(rows, "stage string, n long").orderBy("stage")
+
+
+# --------------------------------------------------------------------------
+# Round 7 — CHERRY-PICK under the oracle gate (Iceberg's
+# cherrypick_snapshot): the publish path fast-forward cannot handle —
+# main advanced past the fork with its own MoR delete, so the branch's
+# append is applied as a NEW commit whose files take the NEW data
+# sequence. The sharp edge verified by content: the picked rows MATCH
+# the delete predicate main recorded in between ('zh'), yet survive,
+# because the predicate's sequence is lower than theirs — while the
+# original zh rows stay deleted. Replay protection (same snapshot
+# refused twice) is asserted inside the query.
+#
+# Scale: metadata-only — the picked files are shared with the branch
+# (same data area), re-stamped, never copied or rewritten.
+# --------------------------------------------------------------------------
+@_register(
+    "lifecycle_cherry_pick_counts",
+    """
+    WITH c AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+             CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zh
+      FROM documents
+    )
+    SELECT stage, n FROM (
+      SELECT '1_main_before_delete' AS stage, n_all AS n FROM c
+      UNION ALL SELECT '2_main_after_delete', n_all - n_zh FROM c
+      UNION ALL SELECT '3_main_after_pick', n_all FROM c
+      UNION ALL SELECT '4_picked_rows_alive', n_zh FROM c
+      UNION ALL SELECT '5_time_travel_prefork', n_all FROM c
+      UNION ALL SELECT '6_versions_committed', 4 FROM c
+      UNION ALL SELECT '7_duplicate_refused', 1 FROM c
+    )
+    ORDER BY stage
+    """,
+)
+def lifecycle_cherry_pick_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_loader_spark.tables.format import ConcurrentModification
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    wh = _fresh_warehouse()
+    t = Table.create(wh, "db.docs", docs.schema)
+    t.append(docs)  # v2
+    t = wh.load_table("db.docs")
+    fork_v = t.meta.current_version()
+    n_before = t.scan(spark).count()
+
+    t.create_branch("exp")
+    picked_src = docs.filter(F.col("lang") == "zh").select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        "lang",
+        "n_chars",
+    )
+    t.branch("exp").append(picked_src)
+
+    t.delete_where(spark, "lang = 'zh'", mode="mor")  # v3 — main diverges
+    t = wh.load_table("db.docs")
+    n_after_delete = t.scan(spark).count()
+    try:
+        t.fast_forward_branch(t.branch("exp"))
+        raise RuntimeError("fast-forward must refuse a diverged main")
+    except ConcurrentModification:
+        pass
+    t.cherry_pick(t.branch("exp"))  # v4
+    t = wh.load_table("db.docs")
+    n_after_pick = t.scan(spark).count()
+    n_picked_alive = (
+        t.scan(spark).filter(F.col("doc_id") >= 10_000_000).count()
+    )
+    n_prefork = t.scan(spark, version=fork_v).count()
+    versions = t.meta.current_version()
+    try:
+        t.cherry_pick(t.branch("exp"))
+        dup_refused = 0
+    except ValueError:
+        dup_refused = 1
+
+    rows = [
+        ("1_main_before_delete", n_before),
+        ("2_main_after_delete", n_after_delete),
+        ("3_main_after_pick", n_after_pick),
+        ("4_picked_rows_alive", n_picked_alive),
+        ("5_time_travel_prefork", n_prefork),
+        ("6_versions_committed", versions),
+        ("7_duplicate_refused", dup_refused),
+    ]
+    return spark.createDataFrame(rows, "stage string, n long").orderBy("stage")

@@ -1909,6 +1909,87 @@ class Table:
         shutil.rmtree(branch_dir, ignore_errors=True)
         return {"removed_files": removed}
 
+    def cherry_pick(
+        self, shadow: "Table", version: int | None = None
+    ) -> Snapshot:
+        """Apply ONE append commit from a (possibly diverged) branch onto
+        the CURRENT main head — Iceberg's ``cherrypick_snapshot``, for
+        the case fast-forward cannot handle: main advanced past the fork
+        with its own commits.
+
+        Only ``append`` snapshots are cherry-pickable (Iceberg limits
+        cherry-pick to appends and dynamic overwrites for the same
+        reason): a row-level delete/merge's effect depends on the
+        sequence ordering of the chain it was recorded on, so replaying
+        it onto a diverged chain would silently change its meaning.
+
+        Data sequence semantics: the picked files are re-stamped with
+        the NEW main version, so merge-on-read predicates recorded on
+        main BETWEEN the fork and the cherry-pick do NOT apply to the
+        picked rows (they are newer data — exactly Iceberg's
+        sequence-number inheritance on cherry-pick). The data files are
+        shared with the branch (same data area), never copied; a later
+        ``abort_branch`` keeps them alive because the main chain now
+        references them (`_all_chain_live_paths`).
+
+        Replay guard: the source snapshot_id is recorded in the commit
+        summary (``cherry-pick-source``); picking the same snapshot
+        twice raises instead of double-appending the files."""
+        props = shadow.properties()
+        if props.get("branch.name") is None:
+            raise ValueError("not a branch table")
+        s = shadow.snapshot(version)
+        if s.operation != "append":
+            raise ValueError(
+                f"cherry-pick supports append snapshots only, got "
+                f"{s.operation!r} at v{s.version}"
+            )
+        for prior in self.history():
+            if prior.summary.get("cherry-pick-source") == s.snapshot_id:
+                raise ValueError(
+                    f"snapshot {s.snapshot_id} (branch v{s.version}) was "
+                    f"already cherry-picked onto main v{prior.version}"
+                )
+        parent = (
+            shadow.snapshot(s.parent_version)
+            if s.parent_version is not None
+            else None
+        )
+        parent_paths = {f.path for f in parent.files} if parent else set()
+        added = [f for f in s.files if f.path not in parent_paths]
+        added_rows = sum(f.rows for f in added)
+
+        def build(main_head: Snapshot) -> Snapshot:
+            if main_head.schema_json != s.schema_json:
+                raise ValueError(
+                    "cherry-pick schema mismatch: branch snapshot was "
+                    "written under a different schema than main's head"
+                )
+            if main_head.partition_spec != s.partition_spec:
+                raise ValueError(
+                    "cherry-pick partition-spec mismatch between branch "
+                    "snapshot and main head"
+                )
+            new_files = [
+                replace(f, sequence=main_head.version + 1) for f in added
+            ]
+            return new_snapshot(
+                main_head,
+                "append",
+                main_head.schema_json,
+                main_head.partition_spec,
+                main_head.files + new_files,
+                main_head.properties,
+                {
+                    "added-files": len(added),
+                    "added-records": added_rows,
+                    "total-records": main_head.total_rows + added_rows,
+                    "cherry-pick-source": s.snapshot_id,
+                },
+            )
+
+        return self._commit_with_retry(build)
+
     # ---- write-audit-publish (append-only staging) -----------------------
 
     WAP_DIR = "_wap"

@@ -401,3 +401,85 @@ def test_branch_compaction_replays_through_crashed_fast_forward(
     # the compacted file count and the LIVE predicate survived the publish
     assert len(main2.snapshot().files) == 2
     assert len(main2.snapshot().delete_predicates) == 1
+
+
+# ---- cherry-pick (round 7): apply a branch append onto a DIVERGED main ----
+
+
+def test_cherry_pick_onto_diverged_main_with_sequence_semantics(
+    spark, tmp_path
+):
+    """Main advances past the fork with a MoR delete, so fast-forward
+    refuses — cherry-pick applies the branch's append anyway, and the
+    picked files are re-stamped with the NEW main version: the earlier
+    delete predicate (lower sequence) must NOT touch the picked rows
+    even though they match it."""
+    wh, t = _mk(
+        spark, tmp_path, [(i, "a") for i in range(10)] + [(90, "z"), (91, "z")]
+    )
+    br = t.create_branch("exp")
+    br.append(
+        spark.createDataFrame([(200, "z"), (201, "z")], schema=_schema())
+    )
+    # main diverges: MoR-delete every 'z' row (sequence 3 on main)
+    main = wh.load_table("db.b")
+    main.delete_where(spark, "grp = 'z'", mode="mor")
+    main = wh.load_table("db.b")
+    assert main.scan(spark).count() == 10
+    with pytest.raises(ConcurrentModification):
+        main.fast_forward_branch(main.branch("exp"))
+
+    snap = main.cherry_pick(main.branch("exp"))
+    main = wh.load_table("db.b")
+    got = {(r.id, r.grp) for r in main.scan(spark).collect()}
+    # the two picked 'z' rows SURVIVE the grp='z' predicate (newer data
+    # sequence); the two original 'z' rows stay deleted
+    assert {(200, "z"), (201, "z")} <= got
+    assert (90, "z") not in got and (91, "z") not in got
+    assert len(got) == 12
+    assert snap.summary["cherry-pick-source"] == main.branch(
+        "exp"
+    ).snapshot().snapshot_id
+    # picked files carry the new main sequence
+    picked = [f for f in snap.files if f.sequence == snap.version]
+    assert sum(f.rows for f in picked) == 2
+    # time travel on main is untouched
+    assert main.scan(spark, version=2).count() == 12  # before the delete
+
+
+def test_cherry_pick_replay_and_operation_guards(spark, tmp_path):
+    wh, t = _mk(spark, tmp_path, [(i, "a") for i in range(6)])
+    br = t.create_branch("exp")
+    br.append(spark.createDataFrame([(100, "b")], schema=_schema()))
+    main = wh.load_table("db.b")
+    main.append(spark.createDataFrame([(500, "m")], schema=_schema()))
+    main = wh.load_table("db.b")
+    main.cherry_pick(main.branch("exp"))
+    main = wh.load_table("db.b")
+    assert main.scan(spark).count() == 8
+    # picking the SAME branch snapshot again must refuse, not double-add
+    with pytest.raises(ValueError, match="already cherry-picked"):
+        main.cherry_pick(main.branch("exp"))
+    # a non-append branch commit is not cherry-pickable
+    main.branch("exp").delete_where(spark, "grp = 'a'", mode="mor")
+    with pytest.raises(ValueError, match="append snapshots only"):
+        wh.load_table("db.b").cherry_pick(main.branch("exp"))
+
+
+def test_abort_branch_keeps_cherry_picked_files(spark, tmp_path):
+    """After a cherry-pick, the branch's data files are live on MAIN —
+    aborting the branch must not remove them."""
+    wh, t = _mk(spark, tmp_path, [(i, "a") for i in range(5)])
+    br = t.create_branch("exp")
+    br.append(spark.createDataFrame([(300, "c"), (301, "c")], schema=_schema()))
+    main = wh.load_table("db.b")
+    main.append(spark.createDataFrame([(400, "m")], schema=_schema()))
+    main = wh.load_table("db.b")
+    main.cherry_pick(main.branch("exp"))
+    main = wh.load_table("db.b")
+    main.abort_branch(main.branch("exp"))
+    main = wh.load_table("db.b")
+    got = {(r.id, r.grp) for r in main.scan(spark).collect()}
+    assert {(300, "c"), (301, "c"), (400, "m")} <= got
+    assert len(got) == 8
+    assert main.list_branches() == []
