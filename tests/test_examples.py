@@ -168,3 +168,29 @@ def test_branch_release_flow_example(tmp_path):
     assert res["history_ops"].count("append") == 2
     assert "delete" in res["history_ops"]
     assert "release-2" in res["tags"]
+
+
+def test_hotfix_cherry_pick_example(tmp_path, spark):
+    from pyspark.sql import functions as F
+
+    from iceberg_loader_spark.sources.tables import load_table
+
+    mod = _load("hotfix_cherry_pick")
+    result = mod.run_example(str(tmp_path))
+    docs = load_table(spark, mod.SF_DIR, "documents")
+    n_all = docs.count()
+    n_zh = docs.filter(F.col("lang") == "zh").count()
+    n_src0_nonzh = docs.filter(
+        (F.col("source") == "src0") & (F.col("lang") != "zh")
+    ).count()
+    n_zh_src0 = docs.filter(
+        (F.col("source") == "src0") & (F.col("lang") == "zh")
+    ).count()
+    assert result["released_rows"] == n_all - n_zh
+    assert result["after_hotfix"] == n_all - n_zh - n_src0_nonzh
+    # cherry-picked zh rows ALL survive, including the src0 ones the
+    # hotfix predicate textually matches (newer data sequence)
+    assert result["after_cherry_pick"] == result["after_hotfix"] + n_zh
+    assert result["zh_src0_survivors"] == n_zh_src0 > 0
+    assert result["second_client_rows"] == result["after_cherry_pick"]
+    assert result["versions"] == 4
