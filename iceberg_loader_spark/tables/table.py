@@ -1938,7 +1938,15 @@ class Table:
         props = shadow.properties()
         if props.get("branch.name") is None:
             raise ValueError("not a branch table")
+        fork_v = int(props.get("branch.fork-version", "-1"))
         s = shadow.snapshot(version)
+        if s.version <= fork_v:
+            # pre-fork snapshots are SHARED with main: re-adding their
+            # files would double-count every row they contain
+            raise ValueError(
+                f"branch v{s.version} predates the fork (v{fork_v}) — "
+                "its files are already on main"
+            )
         if s.operation != "append":
             raise ValueError(
                 f"cherry-pick supports append snapshots only, got "

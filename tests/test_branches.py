@@ -483,3 +483,13 @@ def test_abort_branch_keeps_cherry_picked_files(spark, tmp_path):
     assert {(300, "c"), (301, "c"), (400, "m")} <= got
     assert len(got) == 8
     assert main.list_branches() == []
+
+
+def test_cherry_pick_refuses_prefork_snapshot(spark, tmp_path):
+    """Pre-fork snapshots are shared with main — re-adding their files
+    would double-count every row they contain."""
+    wh, t = _mk(spark, tmp_path, [(i, "a") for i in range(4)])
+    t.create_branch("exp")
+    main = wh.load_table("db.b")
+    with pytest.raises(ValueError, match="predates the fork"):
+        main.cherry_pick(main.branch("exp"), version=2)  # the shared append
