@@ -399,32 +399,35 @@ def _minhash_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sig_frame(docs: DataFrame) -> DataFrame:
-    """(doc_id, sig) — the 8-wide minhash signature per document: explode
-    3-gram shingles ONCE, md5 each shingle ONCE, derive all hash
-    functions from the digest's two 32-bit halves (Kirsch-Mitzenmacher
-    double hashing, h_i = h1 + i*h2 mod 2^32) and MIN-aggregate per doc.
-    Shared by the scored-pairs build and the band-tradeoff audit."""
+def _minhash_sig_cols(docs: DataFrame) -> DataFrame:
+    """(doc_id, s0..s7) — the ONE canonical spelling of the minhash
+    recipe: explode 3-gram shingles ONCE, md5 each shingle ONCE, derive
+    all hash functions from the digest's two 32-bit halves
+    (Kirsch-Mitzenmacher double hashing, h_i = h1 + i*h2 mod 2^32) and
+    MIN-aggregate per doc. Every consumer (scored-pairs build,
+    band-tradeoff audit, streaming indexer) derives from this frame so
+    the recipe cannot silently fork."""
     shingles = _gram_rows(docs, 3)
     halves = shingles.select("doc_id", F.md5("gram").alias("hx")).select(
         "doc_id",
         F.conv(F.substring("hx", 1, 8), 16, 10).cast("bigint").alias("h1"),
         F.conv(F.substring("hx", 9, 8), 16, 10).cast("bigint").alias("h2"),
     )
-    return (
-        halves.groupBy("doc_id")
-        .agg(
-            *[
-                F.min(
-                    (F.col("h1") + F.lit(h) * F.col("h2")) % F.lit(_MH_MOD)
-                ).alias(f"s{h}")
-                for h in range(_N_HASHES)
-            ]
-        )
-        .select(
-            "doc_id",
-            F.array(*[F.col(f"s{h}") for h in range(_N_HASHES)]).alias("sig"),
-        )
+    return halves.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.col("h1") + F.lit(h) * F.col("h2")) % F.lit(_MH_MOD)
+            ).alias(f"s{h}")
+            for h in range(_N_HASHES)
+        ]
+    )
+
+
+def _minhash_sig_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, sig) — the array form of :func:`_minhash_sig_cols`."""
+    return _minhash_sig_cols(docs).select(
+        "doc_id",
+        F.array(*[F.col(f"s{h}") for h in range(_N_HASHES)]).alias("sig"),
     )
 
 
@@ -1756,23 +1759,8 @@ def incremental_minhash_candidates(
     hist, inc = _incremental_split(spark, sf_dir)
 
     def sig_cols(side: DataFrame) -> DataFrame:
-        """(doc_id, s0..s7): one md5 per shingle, Kirsch-Mitzenmacher
-        double hashing — identical math to the full-corpus operator."""
-        halves = _gram_rows(side, 3).select(
-            "doc_id", F.md5("gram").alias("hx")
-        ).select(
-            "doc_id",
-            F.conv(F.substring("hx", 1, 8), 16, 10).cast("bigint").alias("h1"),
-            F.conv(F.substring("hx", 9, 8), 16, 10).cast("bigint").alias("h2"),
-        )
-        return halves.groupBy("doc_id").agg(
-            *[
-                F.min(
-                    (F.col("h1") + F.lit(h) * F.col("h2")) % F.lit(_MH_MOD)
-                ).alias(f"s{h}")
-                for h in range(_N_HASHES)
-            ]
-        )
+        """(doc_id, s0..s7): the canonical recipe, columnar form."""
+        return _minhash_sig_cols(side)
 
     # one-time index build for the historical half, persisted through the
     # table layer and READ BACK — the query's steady-state cost is the
@@ -3134,7 +3122,11 @@ def minhash_band_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
 # membership and pair_kind depend only on the is_inc origin column
 # carried in the index, never on which micro-batch surfaced the pair.
 # Hot-bucket cap = max(corpus/10, 100), the same constant the batch
-# operator uses, applied per batch to (index ∪ batch) bands.
+# operator uses — but a stream can only count (index ∪ batch) bucket
+# members, so batch-invariance holds exactly WHEN NO BUCKET CROSSES THE
+# CAP mid-stream; the indexer enforces that precondition with a
+# fail-loud guard (a crossing means mass-duplication pathology and a
+# batch reprocess, never a silently divergent streamed result).
 # --------------------------------------------------------------------------
 @_register(
     "stream_incremental_minhash_candidates",
@@ -3171,22 +3163,9 @@ def stream_incremental_minhash_candidates(
 
 def _stream_sig_frame(side: DataFrame) -> DataFrame:
     """(doc_id, s0..s7) — the columnar signature frame the streaming
-    indexer stores; identical math to the full-corpus operator."""
-    halves = _gram_rows(side, 3).select(
-        "doc_id", F.md5("gram").alias("hx")
-    ).select(
-        "doc_id",
-        F.conv(F.substring("hx", 1, 8), 16, 10).cast("bigint").alias("h1"),
-        F.conv(F.substring("hx", 9, 8), 16, 10).cast("bigint").alias("h2"),
-    )
-    return halves.groupBy("doc_id").agg(
-        *[
-            F.min(
-                (F.col("h1") + F.lit(h) * F.col("h2")) % F.lit(_MH_MOD)
-            ).alias(f"s{h}")
-            for h in range(_N_HASHES)
-        ]
-    )
+    indexer stores: the canonical recipe, columnar form (no arrays in
+    the index table or the shuffle)."""
+    return _minhash_sig_cols(side)
 
 
 class MinHashStreamIndexer:
@@ -3253,6 +3232,23 @@ class MinHashStreamIndexer:
             .filter(F.col("bsz") > F.lit(self.cap_val))
             .select("band_id", "k1", "k2")
         )
+        # FAIL-LOUD cap guard: the batch operator (and this query's
+        # oracle) apply the hot-bucket cap GLOBALLY over the full corpus,
+        # but a stream can only see (index ∪ batch) — if a bucket crosses
+        # the cap mid-stream, pairs committed before the crossing cannot
+        # be retracted and the streamed result would silently diverge
+        # from the batch semantics. Refuse instead (the cap is a
+        # mass-duplication pathology signal, not a routine filter; it
+        # cannot trigger at test scale and a production hit means the
+        # corpus needs the batch reprocess anyway).
+        n_hot = hot.count()
+        if n_hot:
+            raise RuntimeError(
+                f"{n_hot} band buckets crossed the hot-bucket cap "
+                f"({self.cap_val}) mid-stream; per-batch capping would "
+                "diverge from the global-cap batch semantics — reprocess "
+                "with incremental_minhash_candidates"
+            )
         bands = _materialize(
             bands.join(F.broadcast(hot), ["band_id", "k1", "k2"], "left_anti")
         )

@@ -1690,7 +1690,9 @@ class Table:
     # them. The leading [A-Za-z0-9] rejects "." and ".." outright: "name
     # '..'" would otherwise resolve meta_dir to the TABLE ROOT, and the
     # rmtree in fast_forward/abort would delete main's metadata and data.
-    _REF_NAME_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]*$")
+    # \Z, not $: '$' matches before a trailing newline, so 'exp\n' would
+    # pass the whitelist and create a ref directory with a newline in it
+    _REF_NAME_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]*\Z")
 
     @classmethod
     def _validate_ref_name(cls, kind: str, name: str) -> str:
@@ -1952,12 +1954,6 @@ class Table:
                 f"cherry-pick supports append snapshots only, got "
                 f"{s.operation!r} at v{s.version}"
             )
-        for prior in self.history():
-            if prior.summary.get("cherry-pick-source") == s.snapshot_id:
-                raise ValueError(
-                    f"snapshot {s.snapshot_id} (branch v{s.version}) was "
-                    f"already cherry-picked onto main v{prior.version}"
-                )
         parent = (
             shadow.snapshot(s.parent_version)
             if s.parent_version is not None
@@ -1968,6 +1964,18 @@ class Table:
         added_rows = sum(f.rows for f in added)
 
         def build(main_head: Snapshot) -> Snapshot:
+            # replay guard INSIDE build: a CAS-conflict retry (e.g. two
+            # clients racing the same pick through the shared catalog)
+            # re-runs build against the refreshed head, and must see the
+            # winner's cherry-pick-source marker — checking only once
+            # before the commit loop would double-apply the files
+            for prior in self.history():
+                if prior.summary.get("cherry-pick-source") == s.snapshot_id:
+                    raise ValueError(
+                        f"snapshot {s.snapshot_id} (branch v{s.version}) "
+                        f"was already cherry-picked onto main "
+                        f"v{prior.version}"
+                    )
             if main_head.schema_json != s.schema_json:
                 raise ValueError(
                     "cherry-pick schema mismatch: branch snapshot was "

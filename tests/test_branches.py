@@ -493,3 +493,12 @@ def test_cherry_pick_refuses_prefork_snapshot(spark, tmp_path):
     main = wh.load_table("db.b")
     with pytest.raises(ValueError, match="predates the fork"):
         main.cherry_pick(main.branch("exp"), version=2)  # the shared append
+
+
+def test_ref_name_rejects_trailing_newline(spark, tmp_path):
+    """'$' matches before a trailing newline; the whitelist must not
+    (re \\Z anchor) — a ref directory with a newline in its name defeats
+    the 'ref names are clean path components' intent."""
+    wh, t = _mk(spark, tmp_path, [(1, "a")])
+    with pytest.raises(ValueError):
+        t.create_branch("exp\n")

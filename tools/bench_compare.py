@@ -86,7 +86,7 @@ def update_norms(detail: dict, norms: dict[str, float]) -> dict[str, float]:
         if sec <= 0:
             continue
         prev = out.get(name)
-        out[name] = round(min(prev, sec), 3) if prev else sec
+        out[name] = round(min(prev, sec), 3) if prev is not None else sec
     return out
 
 
