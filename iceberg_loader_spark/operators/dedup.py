@@ -3563,3 +3563,135 @@ def incremental_curation_funnel_counts(
         .unionByName(_stage(split.filter("bucket > 98"), "9_test"))
         .orderBy("stage")
     )
+
+
+# --------------------------------------------------------------------------
+# B25 (round 7) — SimHash threshold tradeoff, measured: the production
+# near-dup pipeline keeps hamming <= 6 over 32-bit simhashes with
+# two-16-bit-half LSH blocking. This audit scores thresholds 2/6/10
+# against the SAME exact-Jaccard truth artifact the MinHash audits use:
+# ``coverage_bps`` = fraction of true (Jaccard >= 0.5) pairs whose
+# simhash distance is within the threshold (is hamming<=t a good proxy
+# for the similarity we actually care about?), and ``block_recall_bps``
+# = fraction of those within-threshold pairs the half-blocking join
+# actually surfaces (pigeonhole GUARANTEES a shared half only for
+# hamming <= 1 per half — beyond that blocking is approximate, and this
+# row measures by how much). Candidate membership for a KNOWN pair is
+# computed directly from the two halves — no join through the bucket
+# machinery is needed to audit it.
+#
+# Scale: the truth set is the bounded artifact; the simhash frame is
+# one map-side aggregate per doc; the audit join is pair-keyed.
+# --------------------------------------------------------------------------
+_SH_TAUS = (2, 6, 10)
+
+
+@_register(
+    "simhash_threshold_tradeoff",
+    f"""
+    WITH {_DUCK_JC_TRUTH},
+    sh AS (
+      SELECT doc_id, {_duck_simhash('toks')} AS simhash
+      FROM (SELECT doc_id, list_distinct({_DUCK_TOKENS}) AS toks
+            FROM documents)
+    ),
+    j AS (
+      SELECT t.a_id, t.b_id,
+             bit_count(xor(sa.simhash, sb.simhash)) AS hamming,
+             CASE WHEN (sa.simhash & 65535) = (sb.simhash & 65535)
+                    OR ((sa.simhash >> 16) & 65535)
+                       = ((sb.simhash >> 16) & 65535)
+                  THEN 1 ELSE 0 END AS in_cand
+      FROM tp t
+      JOIN sh sa ON sa.doc_id = t.a_id
+      JOIN sh sb ON sb.doc_id = t.b_id
+    ),
+    per AS (
+      SELECT th.t AS threshold,
+             (SELECT n_true FROM nt) AS n_true,
+             COALESCE(SUM(CASE WHEN j.hamming <= th.t THEN 1 END), 0)
+               AS n_within,
+             COALESCE(SUM(CASE WHEN j.hamming <= th.t THEN j.in_cand END), 0)
+               AS n_surfaced
+      FROM (VALUES {', '.join(f'({t})' for t in _SH_TAUS)}) th(t)
+      LEFT JOIN j ON TRUE
+      GROUP BY 1
+    )
+    SELECT CAST(threshold AS BIGINT) AS threshold,
+           CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_within AS BIGINT) AS n_within,
+           CAST(n_surfaced AS BIGINT) AS n_surfaced,
+           CAST(CASE WHEN n_true > 0 THEN (10000 * n_within) // n_true
+                     ELSE -1 END AS BIGINT) AS coverage_bps,
+           CAST(CASE WHEN n_within > 0 THEN (10000 * n_surfaced) // n_within
+                     ELSE -1 END AS BIGINT) AS block_recall_bps
+    FROM per
+    ORDER BY threshold
+    """,
+)
+def simhash_threshold_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-threshold sweep for the SimHash near-dup pipeline against
+    exact-Jaccard truth — integer basis points, oracle-recomputed from
+    scratch; the production threshold (6) sits between the audited
+    extremes so the choice is a measured decision."""
+    docs = load_table(spark, sf_dir, "documents")
+    truth = _materialize(
+        _jaccard_truth_pairs(spark, sf_dir)
+        .filter(F.lit(2) * F.col("i_cnt") >= F.col("u_cnt"))
+        .select("a_id", "b_id")
+    )
+    sh = _materialize(_simhash_df(docs))
+    j = truth.join(
+        sh.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("sh_a")),
+        "a_id",
+    ).join(
+        sh.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("sh_b")),
+        "b_id",
+    )
+    lo = lambda c: F.col(c).bitwiseAND(F.lit(65535))  # noqa: E731
+    hi = lambda c: F.shiftright(F.col(c), 16).bitwiseAND(F.lit(65535))  # noqa: E731
+    base = j.select(
+        F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+        F.when(
+            (lo("sh_a") == lo("sh_b")) | (hi("sh_a") == hi("sh_b")), 1
+        )
+        .otherwise(0)
+        .alias("in_cand"),
+    )
+    aggs = [F.count("*").cast("bigint").alias("n_true")]
+    for t in _SH_TAUS:
+        within = F.col("hamming") <= t
+        aggs.append(
+            F.coalesce(F.sum(F.when(within, 1).otherwise(0)), F.lit(0))
+            .cast("bigint")
+            .alias(f"n_within_{t}")
+        )
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(within, F.col("in_cand")).otherwise(0)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias(f"n_surfaced_{t}")
+        )
+    wide = base.agg(*aggs)
+    stack_args = ", ".join(
+        f"CAST({t} AS BIGINT), n_true, n_within_{t}, n_surfaced_{t}"
+        for t in _SH_TAUS
+    )
+    return (
+        wide.selectExpr(
+            f"stack({len(_SH_TAUS)}, {stack_args}) "
+            "AS (threshold, n_true, n_within, n_surfaced)"
+        )
+        .selectExpr(
+            "threshold",
+            "n_true",
+            "n_within",
+            "n_surfaced",
+            "CAST(CASE WHEN n_true > 0 THEN (10000 * n_within) div n_true "
+            "ELSE -1 END AS BIGINT) AS coverage_bps",
+            "CAST(CASE WHEN n_within > 0 THEN (10000 * n_surfaced) "
+            "div n_within ELSE -1 END AS BIGINT) AS block_recall_bps",
+        )
+        .orderBy("threshold")
+    )

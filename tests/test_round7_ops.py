@@ -177,3 +177,26 @@ def test_incremental_funnel_stage_invariants(spark):
     # the index gates must actually fire at smoke scale: the planted
     # near-dups guarantee cross-half simhash collisions
     assert c["5_neardup_vs_index"] < c["4_exact_vs_index"]
+
+
+def test_simhash_threshold_tradeoff_invariants(spark):
+    """Monotonicity in the threshold (within/surfaced counts can only
+    grow), surfaced <= within <= true, valid bps everywhere, and
+    non-vacuity: the planted near-dups guarantee within-threshold pairs
+    at the production threshold (6)."""
+    rows = {
+        r.threshold: r
+        for r in QUERIES["simhash_threshold_tradeoff"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert set(rows) == {2, 6, 10}
+    n_true = {r.n_true for r in rows.values()}
+    assert len(n_true) == 1 and n_true.pop() >= 1
+    for r in rows.values():
+        assert 0 <= r.n_surfaced <= r.n_within <= r.n_true
+        assert -1 <= r.coverage_bps <= 10000
+        assert -1 <= r.block_recall_bps <= 10000
+    assert rows[2].n_within <= rows[6].n_within <= rows[10].n_within
+    assert rows[2].n_surfaced <= rows[6].n_surfaced <= rows[10].n_surfaced
+    assert rows[6].n_within >= 1
