@@ -3695,3 +3695,178 @@ def simhash_threshold_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+# --------------------------------------------------------------------------
+# Round 8 — WINNOWING WINDOW-SIZE tradeoff (VERDICT r7 #5): completes the
+# measured-configuration matrix (MinHash banding r7, SimHash threshold
+# r7). Winnowing guarantees any shared k-gram run of length >= w + k − 1
+# yields a shared selected print, at expected selected-print density
+# ~2/(w+1) of the k-gram hashes (Schleimer/Wilkerson/Aiken, SIGMOD'03) —
+# so w trades index size (density) against how SHORT a match the index
+# can still surface. This query measures, for w in {4, 8, 16}: the
+# actual selected density (bps of all k-gram hashes; sits at or below
+# the theoretical bound because identical prints inside one doc are
+# value-deduped), candidate-pair volume at >= 1 shared print under the
+# production hot-print cap, and recall/precision against the SAME
+# persisted exact-Jaccard@0.5 truth artifact the other two tradeoff
+# audits score against — the ensemble decision stays cross-comparable.
+#
+# Scale: the k-gram hash array is computed ONCE (map-only, materialized)
+# and each w re-windows it with array expressions — no re-tokenization;
+# per-w pair joins are print-bucketed and hot-capped exactly like the
+# production pipeline, so no all-pairs path exists at any w.
+# --------------------------------------------------------------------------
+_WN_TRADEOFF_WS = (4, 8, 16)
+
+
+def _wn_tradeoff_oracle() -> str:
+    per_w, rows = [], []
+    for w in _WN_TRADEOFF_WS:
+        per_w.append(f"""
+    prints_{w} AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(hs) - {w - 2}),
+               i -> list_min(hs[i:i+{w - 1}]))) AS fp
+      FROM h WHERE len(hs) >= {w}
+    ),
+    fpx_{w} AS (SELECT doc_id, unnest(fp) AS p FROM prints_{w}),
+    nh_{w} AS (
+      SELECT CAST(SUM(len(hs)) AS BIGINT) AS n_hashes
+      FROM h WHERE len(hs) >= {w}
+    ),
+    hot_{w} AS (
+      SELECT p FROM (SELECT p, COUNT(*) AS nd FROM fpx_{w} GROUP BY p)
+      WHERE nd > {_WN_CAP}
+    ),
+    fpc_{w} AS (
+      SELECT * FROM fpx_{w} WHERE p NOT IN (SELECT p FROM hot_{w})
+    ),
+    pairs_{w} AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM fpc_{w} a JOIN fpc_{w} b
+        ON a.p = b.p AND a.doc_id < b.doc_id
+    )""")
+        rows.append(f"""
+      SELECT CAST({w} AS BIGINT) AS w,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM fpx_{w}) AS n_prints,
+             (SELECT CAST((10000 * COUNT(*)) // (SELECT n_hashes FROM nh_{w})
+                     AS BIGINT) FROM fpx_{w}) AS density_bps,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs_{w}) AS n_pairs,
+             (SELECT n_true FROM nt) AS n_true,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs_{w} p
+              JOIN tp t ON t.a_id = p.a_id AND t.b_id = p.b_id) AS n_hit""")
+    sel = "\n      UNION ALL".join(rows)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             list_transform(range(1, len(t) - {_WN_K - 2}),
+               i -> md5(array_to_string(t[i:i+{_WN_K - 1}], ' '))) AS hs
+      FROM toks WHERE len(t) >= {_WN_K}
+    ),
+    {_DUCK_JC_TRUTH.strip().lstrip()},
+    {','.join(per_w)}
+    SELECT w, n_prints, density_bps, n_pairs, n_true, n_hit,
+           CAST(CASE WHEN n_true > 0 THEN (10000 * n_hit) // n_true
+                ELSE -1 END AS BIGINT) AS recall_bps,
+           CAST(CASE WHEN n_pairs > 0 THEN (10000 * n_hit) // n_pairs
+                ELSE -1 END AS BIGINT) AS precision_bps
+    FROM ({sel})
+    ORDER BY w
+    """
+
+
+@_register("winnowing_window_tradeoff", _wn_tradeoff_oracle())
+def winnowing_window_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selected-print density / candidate volume / recall@0.5 /
+    precision for winnowing windows w in {4, 8, 16} against the
+    persisted exact-Jaccard truth artifact — integer basis points,
+    oracle-recomputed from scratch (the production w=4 sits at the
+    audited dense end, so the choice is a measured decision)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ts = _token_arrays(docs).filter(F.size("ts") >= _WN_K)
+    hs = F.transform(
+        F.sequence(F.lit(1), F.size("ts") - F.lit(_WN_K - 1)),
+        lambda i: F.md5(
+            F.array_join(F.slice(F.col("ts"), i, F.lit(_WN_K)), " ")
+        ),
+    )
+    with_h = _materialize(ts.select("doc_id", hs.alias("hs")))
+    true_pairs = _materialize(
+        _jaccard_truth_pairs(spark, sf_dir)
+        .filter(F.lit(2) * F.col("i_cnt") >= F.col("u_cnt"))
+        .select("a_id", "b_id")
+    )
+    n_true_frame = true_pairs.agg(F.count("*").cast("bigint").alias("n_true"))
+    out = None
+    for w in _WN_TRADEOFF_WS:
+        eligible = with_h.filter(F.size("hs") >= w)
+        fp = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("hs") - F.lit(w - 1)),
+                lambda i: F.array_min(F.slice(F.col("hs"), i, F.lit(w))),
+            )
+        )
+        fpx = _materialize(
+            eligible.select("doc_id", F.explode(fp).alias("p"))
+        )
+        n_hashes_frame = eligible.agg(
+            F.sum(F.size("hs")).cast("bigint").alias("n_hashes")
+        )
+        hot = (
+            fpx.groupBy("p")
+            .agg(F.count("*").alias("nd"))
+            .filter(F.col("nd") > _WN_CAP)
+            .select("p")
+        )
+        fpc = fpx.join(F.broadcast(hot), "p", "left_anti")
+        pairs = (
+            fpc.alias("a")
+            .join(
+                fpc.alias("b"),
+                (F.col("a.p") == F.col("b.p"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("a_id"),
+                F.col("b.doc_id").alias("b_id"),
+            )
+            .distinct()
+        )
+        stats = (
+            pairs.join(
+                true_pairs.withColumn("tpf", F.lit(1)), ["a_id", "b_id"], "left"
+            )
+            .agg(
+                F.count("*").cast("bigint").alias("n_pairs"),
+                F.coalesce(F.sum("tpf"), F.lit(0))
+                .cast("bigint")
+                .alias("n_hit"),
+            )
+        )
+        n_prints_frame = fpx.agg(
+            F.count("*").cast("bigint").alias("n_prints")
+        )
+        row = (
+            stats.crossJoin(F.broadcast(n_prints_frame))
+            .crossJoin(F.broadcast(n_hashes_frame))
+            .crossJoin(F.broadcast(n_true_frame))
+            .selectExpr(
+                f"CAST({w} AS BIGINT) AS w",
+                "n_prints",
+                "CAST((10000 * n_prints) div n_hashes AS BIGINT)"
+                " AS density_bps",
+                "n_pairs",
+                "n_true",
+                "n_hit",
+                "CAST(CASE WHEN n_true > 0 THEN (10000 * n_hit) div n_true "
+                "ELSE -1 END AS BIGINT) AS recall_bps",
+                "CAST(CASE WHEN n_pairs > 0 THEN (10000 * n_hit) div n_pairs "
+                "ELSE -1 END AS BIGINT) AS precision_bps",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("w")

@@ -2357,3 +2357,104 @@ def lifecycle_cherry_pick_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("7_duplicate_refused", dup_refused),
     ]
     return spark.createDataFrame(rows, "stage string, n long").orderBy("stage")
+
+
+# --------------------------------------------------------------------------
+# Round 8 — MANIFEST-CHAIN COMPACTION under the oracle gate (VERDICT r7
+# #3): commits delta-encode the file list against the parent manifest so
+# commit metadata stays O(changed files) at 100 TB file counts, but a
+# scan of the head then walks the delta chain (one extra metadata read
+# per delta) until expiry happens to truncate it — the cost a
+# high-frequency streaming-append table pays first. ``rewrite_manifests``
+# squashes each ref head (main + every branch) into one self-contained
+# base manifest via the atomic replace swap, moving ZERO data files.
+#
+# The commit pattern pins every chain length a priori (each append
+# writes exactly 2 files via repartition(2)): create = full, first
+# append = full (delta wouldn't pay at 2-of-2 files), appends 2-6 =
+# delta → main chain 5; branch fork seed = full, 2 branch appends →
+# branch chain 2. After the rewrite both chains read 0; a further
+# append must still delta (chain 1) against the squashed base; content
+# (main rows, branch rows, mid-chain time travel) is hash-verified
+# against the source parquet through the squash.
+#
+# Scale: metadata-only — one KB-sized manifest read+write per ref head,
+# no data movement; exactly the Iceberg ``rewrite_manifests`` division
+# of labor.
+# --------------------------------------------------------------------------
+@_register(
+    "lifecycle_manifest_compaction_counts",
+    """
+    WITH c AS (
+      SELECT CAST(SUM(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_base,
+             -- the branch ingests ALL zh docs (split in two halves)
+             CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zh,
+             CAST(SUM(CASE WHEN doc_id % 10 = 0 AND lang = 'fr'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
+             CAST(SUM(CASE WHEN doc_id % 10 = 0 AND (doc_id // 10) % 6 <= 2
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_mid
+      FROM documents
+    )
+    SELECT stage, n FROM (
+      SELECT '1_main_chain_before' AS stage, CAST(5 AS BIGINT) AS n FROM c
+      UNION ALL SELECT '2_branch_chain_before', 2 FROM c
+      UNION ALL SELECT '3_manifests_rewritten', 2 FROM c
+      UNION ALL SELECT '4_main_chain_after', 0 FROM c
+      UNION ALL SELECT '5_branch_chain_after', 0 FROM c
+      UNION ALL SELECT '6_main_rows_final', n_base + n_fr FROM c
+      UNION ALL SELECT '7_branch_rows', n_base + n_zh FROM c
+      UNION ALL SELECT '8_time_travel_mid', n_mid FROM c
+      UNION ALL SELECT '9_main_chain_final', 1 FROM c
+    )
+    ORDER BY stage
+    """,
+)
+def lifecycle_manifest_compaction_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from iceberg_loader_spark.tables.maintenance import (
+        manifest_chain_length,
+        rewrite_manifests,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    base = docs.filter(F.col("doc_id") % 10 == 0)
+    slot = F.expr("(doc_id div 10) % 6")
+    wh = _fresh_warehouse()
+    t = Table.create(wh, "db.docs", base.schema)
+    for m in range(6):
+        t.append(base.filter(slot == m).repartition(2))
+        t = wh.load_table("db.docs")
+    mid_v = t.meta.current_version() - 3  # after appends 0-2
+    t.create_branch("b")
+    for m in range(2):
+        t.branch("b").append(
+            docs.filter(
+                (F.col("lang") == "zh") & (F.expr("(doc_id div 10) % 2") == m)
+            ).repartition(2)
+        )
+    main_chain_before = manifest_chain_length(t)
+    branch_chain_before = manifest_chain_length(t.branch("b"))
+
+    report = rewrite_manifests(t)
+
+    main_chain_after = manifest_chain_length(t)
+    branch_chain_after = manifest_chain_length(t.branch("b"))
+    # the squash is content-preserving AND the table stays writable:
+    # the next commit deltas against the new self-contained base
+    t.append(base.filter(F.col("lang") == "fr").repartition(2))
+    t = wh.load_table("db.docs")
+    rows = [
+        ("1_main_chain_before", main_chain_before),
+        ("2_branch_chain_before", branch_chain_before),
+        ("3_manifests_rewritten", report["rewritten"]),
+        ("4_main_chain_after", main_chain_after),
+        ("5_branch_chain_after", branch_chain_after),
+        ("6_main_rows_final", t.scan(spark).count()),
+        ("7_branch_rows", t.branch("b").scan(spark).count()),
+        ("8_time_travel_mid", t.scan(spark, version=mid_v).count()),
+        ("9_main_chain_final", manifest_chain_length(t)),
+    ]
+    return spark.createDataFrame(rows, "stage string, n long").orderBy("stage")

@@ -417,3 +417,66 @@ def remove_orphan_files(table: Table, older_than_ms: int | None = None) -> dict:
             except OSError:
                 pass
     return {"removed": removed, "kept_recent": kept_recent}
+
+
+def manifest_chain_length(table: Table, version: int | None = None) -> int:
+    """Number of EXTRA manifest reads a scan of ``version`` performs to
+    reconstruct its file list — the length of the delta chain
+    ``TableMetadata._resolve_manifest`` walks below the head. 0 means the
+    manifest is self-contained (one metadata read per scan)."""
+    meta = table.meta
+    if version is None:
+        version = meta.current_version()
+    payload = meta.backend.read_manifest(version)
+    n = 0
+    while "files_base" in payload:
+        n += 1
+        payload = meta.backend.read_manifest(payload["files_base"])
+    return n
+
+
+def rewrite_manifests(table: Table, include_branches: bool = True) -> dict:
+    """Squash each ref head's delta-encoded manifest chain into one
+    self-contained base manifest — the ``rewrite_manifests`` maintenance
+    procedure (SURVEY.md §2 A35; Iceberg ``CALL
+    cat.system.rewrite_manifests``). Metadata-only: ZERO data files move.
+
+    Commits delta-encode their file list against the parent manifest
+    (``TableMetadata._encode_manifest``) so commit cost stays O(changed
+    files) at 100 TB file counts — but every scan of the head then walks
+    the chain (up to ``MANIFEST_FULL_EVERY − 1`` extra metadata reads)
+    until snapshot expiry happens to truncate it. High-frequency
+    streaming appends (the exactly-once sinks) grow this fastest. This
+    procedure materializes the HEAD manifest of the handle's own chain
+    and (from a main handle, when ``include_branches``) of every branch
+    head, via the same atomic ``write_manifest_replace`` swap expiry
+    uses: concurrent readers see old-delta or new-full, both resolving
+    to identical content — crash-safe and idempotent. ``files_delta_depth``
+    is stripped from the materialized head so the NEXT commit restarts
+    the delta chain at depth 1 instead of inheriting the squashed
+    chain's depth budget.
+
+    Older (time-travel) manifests are left delta-encoded on purpose:
+    scans read the head; expiry owns historical truncation.
+
+    Returns per-ref before/after chain lengths and the rewrite count.
+    """
+    refs: list[tuple[str, Table]] = [("main", table)]
+    if include_branches:
+        try:
+            for name in table.list_branches():
+                refs.append((f"branch/{name}", table.branch(name)))
+        except Exception:  # branch dir unreadable — main-only pass
+            pass
+    report: dict = {"refs": len(refs), "rewritten": 0, "chains": {}}
+    for ref_name, handle in refs:
+        head = handle.meta.current_version()
+        before = manifest_chain_length(handle, head)
+        if before > 0:
+            full = handle.meta._resolve_manifest(head)
+            full.pop("files_delta_depth", None)
+            handle.meta.backend.write_manifest_replace(head, full)
+            report["rewritten"] += 1
+        after = manifest_chain_length(handle, head)
+        report["chains"][ref_name] = {"before": before, "after": after}
+    return report

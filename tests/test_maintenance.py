@@ -302,3 +302,75 @@ def test_sorted_compaction_on_partitioned_table(spark, tmp_path):
         assert ids == sorted(ids), f"{f.path} not sort-clustered"
     # content intact
     assert t.scan(spark).count() == 800
+
+
+# ---- rewrite_manifests (manifest-chain compaction, round 8) --------------
+
+
+def test_rewrite_manifests_squashes_chain_and_preserves_content(
+    spark, tmp_path
+):
+    from iceberg_loader_spark.tables.maintenance import (
+        manifest_chain_length,
+        rewrite_manifests,
+    )
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    loader = SparkLoader(spark, wh)
+    cfg = LoaderConfig(load_timestamp=False)
+    for i in range(5):
+        loader.load_data([{"id": i, "v": f"v{i}"}], "db.t", cfg)
+    t = wh.load_table("db.t")
+    head = t.meta.current_version()
+    before = manifest_chain_length(t)
+    assert before >= 2  # appends delta-encode against the parent
+    rows_before = sorted(r.id for r in t.scan(spark).collect())
+
+    res = rewrite_manifests(t)
+    assert res["rewritten"] == 1
+    assert res["chains"]["main"] == {"before": before, "after": 0}
+    assert manifest_chain_length(t) == 0
+    # metadata-only: same head version, identical content, history intact
+    assert t.meta.current_version() == head
+    assert sorted(r.id for r in t.scan(spark).collect()) == rows_before
+    assert len(t.history()) == 6  # create + 5 appends
+    # idempotent: second call finds nothing to do
+    assert rewrite_manifests(t)["rewritten"] == 0
+    # the NEXT commit deltas against the squashed base at depth 1
+    loader.load_data([{"id": 99, "v": "x"}], "db.t", cfg)
+    t = wh.load_table("db.t")
+    assert manifest_chain_length(t) == 1
+    raw = t.meta.backend.read_manifest(t.meta.current_version())
+    assert raw.get("files_delta_depth") == 1
+
+
+def test_rewrite_manifests_covers_branch_heads(spark, tmp_path):
+    from iceberg_loader_spark.tables.maintenance import (
+        manifest_chain_length,
+        rewrite_manifests,
+    )
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    loader = SparkLoader(spark, wh)
+    cfg = LoaderConfig(load_timestamp=False)
+    for i in range(3):
+        loader.load_data([{"id": i}], "db.t", cfg)
+    t = wh.load_table("db.t")
+    t.create_branch("exp")
+    for i in range(3, 6):
+        df = spark.createDataFrame([(i,)], "id long")
+        t.branch("exp").append(df)
+    br_before = manifest_chain_length(t.branch("exp"))
+    assert br_before >= 2
+    res = rewrite_manifests(t)
+    assert res["refs"] == 2
+    assert res["chains"]["branch/exp"]["after"] == 0
+    assert manifest_chain_length(t.branch("exp")) == 0
+    # branch content preserved through the squash
+    assert sorted(
+        r.id for r in t.branch("exp").scan(spark).collect()
+    ) == [0, 1, 2, 3, 4, 5]
+    # a branch-only handle squashes just its own chain
+    assert rewrite_manifests(t.branch("exp"), include_branches=False)[
+        "rewritten"
+    ] == 0
