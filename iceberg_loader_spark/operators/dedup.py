@@ -674,7 +674,15 @@ def _simhash_df(docs: DataFrame) -> DataFrame:
     the md5 pipeline into every bit via projection collapse — 32× the hash
     work — and does not partial-aggregate.
     """
-    toks = _gram_rows(docs, 1)  # distinct unigrams == distinct tokens
+    return _simhash_from_grams(_gram_rows(docs, 1))
+
+
+def _simhash_from_grams(gram_rows: DataFrame) -> DataFrame:
+    """(doc_id, simhash) from pre-tokenized distinct (doc_id, gram)
+    rows — the vote core of :func:`_simhash_df`, exposed so callers that
+    already hold a token frame (the streaming funnel tokenizes each
+    micro-batch exactly once) don't re-run the tokenizer."""
+    toks = gram_rows
     h = F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("bigint")
     hashed = toks.select("doc_id", h.alias("h"))
     votes = hashed.groupBy("doc_id").agg(
@@ -3476,17 +3484,27 @@ def incremental_curation_funnel_counts(
         )
 
     # yesterday's corpus AS the steady state sees it: three persisted
-    # index tables, written and read back through the table layer
-    fp_idx = _persisted_index(
-        spark, "cf_fp", hist.select(F.md5("text").alias("h")).distinct()
-    )
-    sh_idx = _persisted_index(
-        spark, "cf_sh", _simhash_df(hist).select("simhash").distinct()
-    )
-    ev_idx = _persisted_index(
+    # index tables, written and read back through the table layer —
+    # SHARED with the streaming twin (stream_curation_funnel_counts)
+    # via the artifact cache, the maintained-index posture both
+    # funnels would read in production
+    fp_idx = _shared_artifact(
         spark,
-        "cf_ev",
-        _grams5(hist.filter(F.col("doc_id") % 10 == 0))
+        sf_dir,
+        "cf_seed_fp",
+        lambda: hist.select(F.md5("text").alias("h")).distinct(),
+    )
+    sh_idx = _shared_artifact(
+        spark,
+        sf_dir,
+        "cf_seed_sh",
+        lambda: _simhash_df(hist).select("simhash").distinct(),
+    )
+    ev_idx = _shared_artifact(
+        spark,
+        sf_dir,
+        "cf_seed_ev",
+        lambda: _grams5(hist.filter(F.col("doc_id") % 10 == 0))
         .select("g")
         .distinct(),
     )
@@ -3870,3 +3888,460 @@ def winnowing_window_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("w")
+
+
+# --------------------------------------------------------------------------
+# Round 8 — STREAMING curation funnel (VERDICT r7 #6): the flagship
+# composition's continuous-ingestion posture. The incoming half arrives
+# as Structured-Streaming micro-batches; each batch flows the FULL
+# funnel — quality → language → exact-vs-index → neardup-vs-index →
+# decontamination → split — against persisted index tables that now
+# also absorb each batch's own contribution, so batch 2's duplicates of
+# batch 1 are caught through the index exactly like duplicates of
+# history. Six tables, each append gated by its own exactly-once
+# batch-id marker, consumers committed before producers (the
+# MinHashStreamIndexer contract); every index read filters
+# ``batch_id < current``, so a replay after ANY mid-crash recomputes
+# the identical batch result no matter which index appends already
+# absorbed it.
+#
+# Two preconditions, both fail-loud (never silently divergent):
+#
+# * ORDERED INGESTION — the incremental funnel's within-batch keeper is
+#   min-doc_id; the stream's cross-batch keeper is first-ingested. The
+#   two agree exactly when ingestion order follows doc_id (the SURVEY
+#   batch-invariance precondition), which the runner guarantees by
+#   range-splitting the incoming half and the funnel ENFORCES with a
+#   max-ingested-doc_id guard.
+# * RETROACTIVE DECONTAMINATION — eval-destined documents can arrive
+#   AFTER a training document they contaminate. The one-shot funnel
+#   sees all eval grams at once; the stream instead keeps each
+#   survivor's 5-gram set in an index (cf_sg) and, when a batch brings
+#   NEW eval grams, deletes now-contaminated PRIOR survivors from the
+#   results table through the table layer (copy-on-write delete —
+#   idempotent on replay, a no-op when nothing matches). The final
+#   table state therefore equals the one-shot result for ANY
+#   batch placement of the eval docs.
+#
+# Scale: per-batch cost is O(batch + index scan) — history is never
+# re-read as text; the indexes are columnar 16-byte-hash tables; the
+# retro-contamination scan joins the batch's new eval grams (small)
+# against the survivor-gram index, never documents against documents.
+# --------------------------------------------------------------------------
+class CurationStreamFunnel:
+    """``foreachBatch`` callable running the curation funnel per
+    micro-batch with exactly-once commits and retroactive
+    decontamination. Exposed as a class so tests can drive replay,
+    mid-crash recovery, and the ordered-ingestion guard directly."""
+
+    SURV_MARK = "streaming.cf.survivors.last-batch-id"
+    STATS_PROP = "streaming.cf.stats."  # + batch_id -> JSON stage counts
+    FP_MARK = "streaming.cf.fp.last-batch-id"
+    SH_MARK = "streaming.cf.sh.last-batch-id"
+    EV_MARK = "streaming.cf.ev.last-batch-id"
+    SG_MARK = "streaming.cf.sg.last-batch-id"
+    MAX_ID = "streaming.cf.max-doc-id"
+
+    def __init__(self, spark: SparkSession, warehouse):
+        self.spark = spark
+        self.wh = warehouse
+
+    # ---- setup -----------------------------------------------------------
+
+    def seed(
+        self, fp: DataFrame, sh: DataFrame, ev: DataFrame
+    ) -> None:
+        """Materialize yesterday's corpus as the index tables (batch_id
+        −1) plus empty survivors/stats tables. The three frames are the
+        historical content-md5 / SimHash / eval-5-gram sets — typically
+        served from the persisted shared artifacts, so seeding pays a
+        columnar scan + one sized append each, not a hash-pipeline
+        recompute over yesterday's text."""
+        from iceberg_loader_spark.tables.table import Table
+
+        def _mk(name: str, frame: DataFrame) -> None:
+            # size the index files (tiny at test SF; at scale this is the
+            # standard repartition-to-target-file-size before a write)
+            tagged = frame.coalesce(4).withColumn(
+                "batch_id", F.lit(-1).cast("bigint")
+            )
+            Table.create(self.wh, f"db.{name}", tagged.schema).append(tagged)
+
+        _mk("cf_fp", fp)
+        _mk("cf_sh", sh)
+        _mk("cf_ev", ev)
+        sg_schema = "doc_id bigint, g string, batch_id bigint"
+        Table.create(
+            self.wh,
+            "db.cf_sg",
+            self.spark.createDataFrame([], sg_schema).schema,
+        )
+        Table.create(
+            self.wh,
+            "db.cf_surv",
+            self.spark.createDataFrame(
+                [], "doc_id bigint, bucket bigint"
+            ).schema,
+        )
+
+    # ---- helpers ---------------------------------------------------------
+
+    def _marker(self, name: str, key: str) -> int:
+        return int(self.wh.load_table(f"db.{name}").properties().get(key, "-1"))
+
+    def _idx(self, name: str, batch_id: int) -> DataFrame:
+        """Index contents EXCLUDING this batch's own contribution — the
+        invariant that makes replay after any partial commit recompute
+        the identical batch result."""
+        return (
+            self.wh.load_table(f"db.{name}")
+            .scan(self.spark)
+            .filter(F.col("batch_id") < batch_id)
+        )
+
+    def _guarded_append(
+        self, name: str, key: str, batch_id: int, frame: DataFrame,
+        extra: dict | None = None,
+    ) -> None:
+        if batch_id > self._marker(name, key):
+            props = {key: str(batch_id), **(extra or {})}
+            self.wh.load_table(f"db.{name}").append(
+                frame, extra_properties=props
+            )
+
+    # ---- the batch -------------------------------------------------------
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window as _W
+
+        # tokenize the batch EXACTLY ONCE: content hash, token count,
+        # SimHash votes, and both 5-gram pipelines all derive from this
+        # one checkpointed frame
+        flags = _materialize(
+            batch_df.select(
+                "doc_id", "lang", "n_chars", F.md5("text").alias("h")
+            )
+            .join(
+                _token_arrays(batch_df.select("doc_id", "text")),
+                "doc_id",
+                "left",
+            )
+            .withColumn(
+                "ts", F.coalesce("ts", F.array().cast("array<string>"))
+            )
+            .withColumn("ntok", F.size("ts"))
+        )
+        surv_done = batch_id <= self._marker("cf_surv", self.SURV_MARK)
+        prior_max = int(
+            self.wh.load_table("db.cf_surv").properties().get(self.MAX_ID, "-1")
+        )
+        qc = F.col("n_chars").between(100, 10000) & (F.col("ntok") >= 20)
+        bounds = flags.agg(
+            F.min("doc_id").alias("lo"),
+            F.max("doc_id").alias("hi"),
+            F.count("*").alias("c1"),
+            F.sum(F.when(qc, 1).otherwise(0)).alias("c2"),
+            F.sum(F.when(qc & (F.col("lang") != "zh"), 1).otherwise(0)).alias(
+                "c3"
+            ),
+        ).collect()[0]
+        if not surv_done:
+            # ordered-ingestion guard (see class docstring): only checked
+            # on FIRST processing — a replayed batch legitimately carries
+            # ids at or below the recorded high-water mark (its own)
+            if bounds.lo is not None and bounds.lo <= prior_max:
+                raise RuntimeError(
+                    f"batch {batch_id} min doc_id {bounds.lo} <= ingested "
+                    f"high-water mark {prior_max}; out-of-order ingestion "
+                    "diverges from the min-doc_id batch semantics — "
+                    "reprocess with incremental_curation_funnel_counts"
+                )
+        q = flags.filter(
+            F.col("n_chars").between(100, 10000) & (F.col("ntok") >= 20)
+        )
+        l = q.filter(F.col("lang") != "zh")
+        e = _materialize(
+            l.drop("ts")  # token arrays stay on `flags`; don't checkpoint twice
+            .join(self._idx("cf_fp", batch_id).select("h"), "h", "left_anti")
+            .withColumn(
+                "rn",
+                F.row_number().over(_W.partitionBy("h").orderBy("doc_id")),
+            )
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        sh_b = _materialize(
+            _simhash_from_grams(
+                flags.join(e.select("doc_id"), "doc_id").select(
+                    "doc_id",
+                    F.explode(F.array_distinct("ts")).alias("gram"),
+                )
+            )
+        )
+        keepers = (
+            sh_b.join(
+                self._idx("cf_sh", batch_id).select("simhash"),
+                "simhash",
+                "left_anti",
+            )
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    _W.partitionBy("simhash").orderBy("doc_id")
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select("doc_id")
+        )
+        nd = _materialize(e.join(keepers, "doc_id"))
+        g5 = F.explode(
+            F.array_distinct(F.transform(_gram_expr(5), F.md5))
+        ).alias("g")
+        ev_b = _materialize(
+            flags.filter(
+                (F.col("doc_id") % 10 == 0) & (F.size("ts") >= 5)
+            )
+            .select("doc_id", g5)
+            .select("g")
+            .distinct()
+        )
+        ev_known = self._idx("cf_ev", batch_id).select("g").unionByName(ev_b)
+        g_nd = _materialize(
+            flags.join(
+                nd.filter(F.col("doc_id") % 10 != 0).select("doc_id"),
+                "doc_id",
+            )
+            .filter(F.size("ts") >= 5)
+            .select("doc_id", g5)
+        )
+        contam = g_nd.join(ev_known.distinct(), "g").select("doc_id").distinct()
+        d_b = _materialize(
+            nd.filter(F.col("doc_id") % 10 != 0)
+            .join(contam, "doc_id", "left_anti")
+            .select("doc_id")
+            .withColumn("bucket", _doc_bucket_col().cast("bigint"))
+        )
+
+        counts = {
+            "1_incoming": bounds.c1,
+            "2_quality": bounds.c2 or 0,
+            "3_lang": bounds.c3 or 0,
+            "4_exact_vs_index": e.count(),
+            "5_neardup_vs_index": nd.count(),
+        }
+        # ---- commits: consumers first, then the index producers --------
+        # per-batch stage counts ride the SAME atomic commit as the
+        # survivor rows (the extra_properties hook), so stats can never
+        # disagree with the table state they describe
+        import json as _json
+
+        self._guarded_append(
+            "cf_surv",
+            self.SURV_MARK,
+            batch_id,
+            d_b.select("doc_id", "bucket").coalesce(1),
+            extra={
+                self.MAX_ID: str(
+                    max(prior_max, int(bounds.hi if bounds.hi is not None else -1))
+                ),
+                f"{self.STATS_PROP}{batch_id}": _json.dumps(
+                    {k: int(v) for k, v in counts.items()}, sort_keys=True
+                ),
+            },
+        )
+        # retroactive decontamination: prior survivors whose grams hit
+        # THIS batch's new eval grams. CoW delete — replay is a no-op.
+        retro = (
+            self._idx("cf_sg", batch_id)
+            .join(ev_b, "g")
+            .select("doc_id")
+            .distinct()
+            .collect()
+        )
+        if retro:
+            ids = ", ".join(str(r.doc_id) for r in retro)
+            self.wh.load_table("db.cf_surv").delete_where(
+                self.spark, f"doc_id IN ({ids})", mode="cow"
+            )
+        tag = F.lit(batch_id).cast("bigint")
+        self._guarded_append(
+            "cf_fp",
+            self.FP_MARK,
+            batch_id,
+            e.select("h").coalesce(1).withColumn("batch_id", tag),
+        )
+        self._guarded_append(
+            "cf_sh",
+            self.SH_MARK,
+            batch_id,
+            sh_b.join(nd.select("doc_id"), "doc_id")
+            .select("simhash")
+            .coalesce(1)
+            .withColumn("batch_id", tag),
+        )
+        self._guarded_append(
+            "cf_ev",
+            self.EV_MARK,
+            batch_id,
+            ev_b.coalesce(1).withColumn("batch_id", tag),
+        )
+        # survivor grams = the already-materialized nd-gram frame
+        # restricted to the docs that actually survived — no second gram
+        # pipeline over the batch text
+        self._guarded_append(
+            "cf_sg",
+            self.SG_MARK,
+            batch_id,
+            g_nd.join(d_b.select("doc_id"), "doc_id")
+            .coalesce(2)
+            .withColumn("batch_id", tag),
+        )
+
+    # ---- final read-back -------------------------------------------------
+
+    def result(self) -> DataFrame:
+        import json as _json
+
+        surv_t = self.wh.load_table("db.cf_surv")
+        totals: dict[str, int] = {}
+        for k, v in surv_t.properties().items():
+            if k.startswith(self.STATS_PROP):
+                for stage, n in _json.loads(v).items():
+                    totals[stage] = totals.get(stage, 0) + n
+        stats = self.spark.createDataFrame(
+            sorted(totals.items()), "stage string, n_docs bigint"
+        )
+        surv = surv_t.scan(self.spark)
+        final = (
+            surv.agg(F.count("*").alias("n_docs"))
+            .select(F.lit("6_decontam").alias("stage"), "n_docs")
+            .unionByName(
+                surv.filter("bucket < 98")
+                .agg(F.count("*").alias("n_docs"))
+                .select(F.lit("7_train").alias("stage"), "n_docs")
+            )
+            .unionByName(
+                surv.filter("bucket = 98")
+                .agg(F.count("*").alias("n_docs"))
+                .select(F.lit("8_val").alias("stage"), "n_docs")
+            )
+            .unionByName(
+                surv.filter("bucket > 98")
+                .agg(F.count("*").alias("n_docs"))
+                .select(F.lit("9_test").alias("stage"), "n_docs")
+            )
+        )
+        return stats.unionByName(final).orderBy("stage")
+
+
+def _grams5_frame(side: DataFrame) -> DataFrame:
+    """(doc_id, g): per-doc DISTINCT md5 5-gram rows — the identical
+    gram recipe as the funnel oracles."""
+    return (
+        _token_arrays(side)
+        .filter(F.size("ts") >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.transform(_gram_expr(5), F.md5))
+            ).alias("g"),
+        )
+    )
+
+
+@_register(
+    "stream_curation_funnel_counts",
+    ORACLES["incremental_curation_funnel_counts"],
+)
+def stream_curation_funnel_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The incremental curation funnel as a REAL Structured-Streaming
+    job: three doc_id-range micro-batches (ordered ingestion — the
+    documented precondition) through CurationStreamFunnel with
+    per-table exactly-once markers and retroactive decontamination;
+    shares incremental_curation_funnel_counts' oracle, so the streamed
+    per-stage counts are hash-verified against the one-shot DuckDB
+    replay of the whole composition."""
+    import tempfile as _tf
+
+    from iceberg_loader_spark.operators.lifecycle import _track_root
+    from iceberg_loader_spark.tables import Warehouse
+
+    docs = load_table(spark, sf_dir, "documents")
+    marked = docs.withColumn("bucket", _doc_bucket_col())
+    hist = marked.filter(F.col("bucket") < 50).drop("bucket")
+    inc = marked.filter(F.col("bucket") >= 50).drop("bucket")
+
+    wh = Warehouse(_track_root(_tf.mkdtemp(prefix="ils_cf_stream_")))
+    funnel = CurationStreamFunnel(spark, wh)
+    funnel.seed(
+        _shared_artifact(
+            spark,
+            sf_dir,
+            "cf_seed_fp",
+            lambda: hist.select(F.md5("text").alias("h")).distinct(),
+        ),
+        _shared_artifact(
+            spark,
+            sf_dir,
+            "cf_seed_sh",
+            lambda: _simhash_df(hist).select("simhash").distinct(),
+        ),
+        _shared_artifact(
+            spark,
+            sf_dir,
+            "cf_seed_ev",
+            lambda: _grams5_frame(hist.filter(F.col("doc_id") % 10 == 0))
+            .select("g")
+            .distinct(),
+        ),
+    )
+
+    # doc_id-range files with strictly increasing mtimes: the file
+    # source ingests them oldest-first, giving ordered micro-batches
+    src = _track_root(_tf.mkdtemp(prefix="ils_cf_stream_src_"))
+    lo, hi = inc.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    cut1 = lo + (hi - lo) // 3
+    cut2 = lo + 2 * (hi - lo) // 3
+    parts = [
+        inc.filter(F.col("doc_id") <= cut1),
+        inc.filter((F.col("doc_id") > cut1) & (F.col("doc_id") <= cut2)),
+        inc.filter(F.col("doc_id") > cut2),
+    ]
+    base_t = 1_600_000_000
+    for i, part in enumerate(parts):
+        pdir = f"{src}/part_{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(pdir)
+        for fn in sorted(_os.listdir(pdir)):
+            if fn.endswith(".parquet"):
+                fp = f"{pdir}/{fn}"
+                dst = f"{src}/b{i}.parquet"
+                _os.replace(fp, dst)
+                _os.utime(dst, (base_t + i, base_t + i))
+        import shutil as _sh
+
+        _sh.rmtree(pdir)
+
+    q = (
+        spark.readStream.schema(inc.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(funnel)
+        .option("checkpointLocation", f"{src}/_ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    last = int(
+        wh.load_table("db.cf_surv")
+        .properties()
+        .get(CurationStreamFunnel.SURV_MARK, "-1")
+    )
+    if last < 2:
+        raise RuntimeError(
+            f"stream committed {last + 1} micro-batches; expected 3"
+        )
+    return funnel.result()
