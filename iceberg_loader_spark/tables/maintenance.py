@@ -104,9 +104,13 @@ def expire_snapshots(
         for s in sorted(survivors, key=lambda x: x.version):
             raw = table.meta.backend.read_manifest(s.version)
             if raw.get("files_base") in expired_versions:
-                table.meta.backend.write_manifest_replace(
-                    s.version, table.meta._resolve_manifest(s.version)
-                )
+                full = table.meta._resolve_manifest(s.version)
+                # now self-contained: drop the stale delta depth so the
+                # next commit restarts its chain budget at 1 instead of
+                # inheriting the squashed chain's depth (same contract
+                # as rewrite_manifests)
+                full.pop("files_delta_depth", None)
+                table.meta.backend.write_manifest_replace(s.version, full)
         live_paths = (
             {f.path for s in survivors for f in s.files}
             | {d["path"] for s in survivors for d in s.delete_files}

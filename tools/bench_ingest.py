@@ -31,11 +31,10 @@ from iceberg_loader_spark.tables.maintenance import (
 )
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    spark = get_spark("bench-ingest")
-    spark.range(1).count()  # JVM warm-up
-
+def measure(spark, sf_dir: str) -> dict:
+    """One full write-path measurement pass at ``sf_dir``; returns the
+    per-operation seconds/MBps dict (the body behind both the single-
+    point JSON line and the --scaling table)."""
     lineitem = pq.read_table(f"{sf_dir}/lineitem.parquet")
     orders = pq.read_table(f"{sf_dir}/orders.parquet")
     mb = lineitem.nbytes / 1e6
@@ -96,9 +95,115 @@ def main() -> None:
 
         out["lineitem_rows"] = lineitem.num_rows
         out["lineitem_mb"] = round(mb, 1)
-        print(json.dumps({"metric": "ingest_bench", "sf_dir": sf_dir, **out}))
+        out["append_partitioned_mb_s"] = round(
+            mb / out["append_partitioned_s"], 1
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+_SCALING_OPS = [
+    # key, label, mechanism note shown when the 10x-data ratio is checked
+    ("append_lineitem_s", "append (unpartitioned)", "O(rows) write"),
+    ("append_partitioned_s", "append day(l_shipdate)", "O(rows) write + partition clustering shuffle"),
+    ("upsert_10pct_orders_s", "MERGE upsert 10% of orders", "O(table) rewrite of matched files at this table size"),
+    ("replace_filter_s", "idempotent replace-by-filter", "metadata candidate split + O(matching files) rewrite"),
+    ("expire_snapshots_s", "expire 20->5 snapshots", "O(manifests), data untouched"),
+    ("rewrite_data_files_s", "compaction (churned table)", "O(live rows) rewrite"),
+]
+
+
+def scaling(sf_small: str, sf_big: str, record: bool) -> None:
+    """Run the write path at two scale factors and emit the ratio table
+    (VERDICT r7 #8) — the ingest-side twin of tools/scaling_curves.py.
+    Flags nothing silently: every op row carries its measured ratio and
+    the expected mechanism; a ratio far above the data ratio (10x here)
+    means a superlinear write path and should be investigated, not
+    re-normed."""
+    spark = get_spark("bench-ingest")
+    spark.range(1).count()
+    small = measure(spark, sf_small)
+    big = measure(spark, sf_big)
+    rows = []
+    for key, label, mech in _SCALING_OPS:
+        a, b = small.get(key), big.get(key)
+        ratio = round(b / a, 2) if a and b else None
+        rows.append((label, a, b, ratio, mech))
+    print(json.dumps({
+        "metric": "ingest_scaling",
+        "sf_small": sf_small,
+        "sf_big": sf_big,
+        "rows": [
+            {"op": r[0], "small_s": r[1], "big_s": r[2], "ratio": r[3]}
+            for r in rows
+        ],
+        "mb_small": small["lineitem_mb"],
+        "mb_big": big["lineitem_mb"],
+        "append_mb_s_small": small["append_lineitem_mb_s"],
+        "append_mb_s_big": big["append_lineitem_mb_s"],
+    }))
+    if record:
+        import re
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        path = os.path.join(repo, "BASELINE.md")
+        with open(path) as f:
+            text = f.read()
+        lines = [
+            "<!-- ingest-scaling:begin (generated by tools/bench_ingest.py --scaling) -->",
+            "## Ingest-path scaling (round 8+)",
+            "",
+            f"Write path measured at {sf_small} ({small['lineitem_mb']} MB"
+            f" lineitem) vs {sf_big} ({big['lineitem_mb']} MB): throughput "
+            f"{small['append_lineitem_mb_s']} -> "
+            f"{big['append_lineitem_mb_s']} MB/s unpartitioned, "
+            f"{small['append_partitioned_mb_s']} -> "
+            f"{big['append_partitioned_mb_s']} MB/s partitioned. Small-SF "
+            "rows are dominated by fixed per-commit cost (job launch + "
+            "manifest IO), so ratios well BELOW the 10x data ratio are the "
+            "expected signature of a flat-overhead, O(rows) write path; a "
+            "ratio far ABOVE 10x would flag a superlinear mechanism. The "
+            "partitioned append is the extreme case: day(l_shipdate) "
+            "yields ~2,450 partitions at BOTH scale factors, so sf0.01 "
+            "pays ~2,450 file creations for 4.7 MB of data — per-file "
+            "fixed cost, amortized 10x better at sf0.1 and entirely at "
+            "production file sizes.",
+            "",
+            "| op | sf0.01 s | sf0.1 s | ratio (10x data) | mechanism |",
+            "|---|---|---|---|---|",
+        ]
+        for label, a, b, ratio, mech in rows:
+            lines.append(f"| {label} | {a} | {b} | {ratio} | {mech} |")
+        lines += ["<!-- ingest-scaling:end -->", ""]
+        block = "\n".join(lines)
+        if "<!-- ingest-scaling:begin" in text:
+            text = re.sub(
+                r"<!-- ingest-scaling:begin.*?<!-- ingest-scaling:end -->\n",
+                block,
+                text,
+                flags=re.S,
+            )
+        else:
+            text = text.rstrip() + "\n\n" + block
+        with open(path, "w") as f:
+            f.write(text)
+        print(f"recorded ingest-scaling block ({len(rows)} ops) to BASELINE.md")
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        scaling(
+            "/root/testdata/sf0.01",
+            "/root/testdata/sf0.1",
+            record="--record" in sys.argv,
+        )
+        return
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("bench-ingest")
+    spark.range(1).count()  # JVM warm-up
+    out = measure(spark, sf_dir)
+    print(json.dumps({"metric": "ingest_bench", "sf_dir": sf_dir, **out}))
 
 
 if __name__ == "__main__":
