@@ -2458,3 +2458,123 @@ def lifecycle_manifest_compaction_counts(
         ("9_main_chain_final", manifest_chain_length(t)),
     ]
     return spark.createDataFrame(rows, "stage string, n long").orderBy("stage")
+
+
+# --------------------------------------------------------------------------
+# Round 8 — POSITION-DELETE COMPACTION under the oracle gate (Iceberg
+# `rewrite_position_delete_files`): every mor-pos DELETE commits its own
+# delete file, so a delete-heavy table's scans pay one anti-join per
+# delete file until data compaction happens to materialize them.
+# `rewrite_delete_files` merges all positional delete files into ONE
+# (positions deduplicated), drops DANGLING positions (rows referencing
+# data files no longer live — here created by a metadata-proof CoW
+# delete that drops whole files the earlier pos-delete had referenced),
+# and moves ZERO data rows. The merged file takes the MAX source
+# sequence — safe because positions name exact (file_path, pos) rows —
+# which the final append proves: rows committed AFTER the rewrite stay
+# untouched by the merged delete.
+#
+# Flow: 3 appends (non-de even / non-de odd / de-only) → pos-delete
+# lang='fr' → pos-delete doc_id<=K (references the de files too) →
+# pos-delete lang='zh' → CoW delete lang='de' (drops the de-only files
+# outright, dangling the K-delete's de positions) → rewrite_delete_files
+# → append fresh de rows. Pinned: 3 pos files → 1, raw position count,
+# deduplicated live position count, data-file count, and per-stage
+# visible rows — all recomputed from the source parquet by the oracle.
+#
+# Scale: the merge reads only delete files (16-byte rows), dedups and
+# rewrites one sorted file; the dangling filter is a semi-join against
+# the manifest's live-path list. No data file is opened.
+# --------------------------------------------------------------------------
+_PDC_K = 400  # doc_id cutoff for the positional range delete
+
+
+@_register(
+    "lifecycle_pos_delete_compaction_counts",
+    f"""
+    WITH c AS (
+      SELECT
+        CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
+        CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS n_zh,
+        CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
+        CAST(SUM(CASE WHEN doc_id <= {_PDC_K} THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_lek,
+        CAST(SUM(CASE WHEN lang <> 'de'
+                       AND (lang = 'fr' OR lang = 'zh' OR doc_id <= {_PDC_K})
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_live_pos,
+        CAST(SUM(CASE WHEN lang NOT IN ('fr', 'zh', 'de')
+                       AND doc_id > {_PDC_K}
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_other_vis
+      FROM documents
+    )
+    SELECT stage, n FROM (
+      SELECT '1_pos_files_before' AS stage, CAST(3 AS BIGINT) AS n FROM c
+      UNION ALL SELECT '2_pos_rows_before', n_fr + n_lek + n_zh FROM c
+      UNION ALL SELECT '3_pos_files_after', 1 FROM c
+      UNION ALL SELECT '4_pos_rows_after', n_live_pos FROM c
+      UNION ALL SELECT '5_dangling_removed',
+                       (n_fr + n_lek + n_zh) - n_live_pos FROM c
+      UNION ALL SELECT '6_rows_final_de', n_de FROM c
+      UNION ALL SELECT '7_rows_final_other', n_other_vis FROM c
+    )
+    ORDER BY stage
+    """,
+)
+def lifecycle_pos_delete_compaction_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from iceberg_loader_spark.tables.maintenance import rewrite_delete_files
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    wh = _fresh_warehouse()
+    t = Table.create(wh, "db.docs", docs.schema)
+    nonde = docs.filter(F.col("lang") != "de")
+    t.append(nonde.filter(F.col("doc_id") % 2 == 0).repartition(2))
+    t = wh.load_table("db.docs")
+    t.append(nonde.filter(F.col("doc_id") % 2 == 1).repartition(2))
+    t = wh.load_table("db.docs")
+    t.append(docs.filter(F.col("lang") == "de").repartition(2))
+
+    t = wh.load_table("db.docs")
+    t.delete_where(spark, "lang == 'fr'", mode="mor-pos")
+    t = wh.load_table("db.docs")
+    t.delete_where(spark, f"doc_id <= {_PDC_K}", mode="mor-pos")
+    t = wh.load_table("db.docs")
+    t.delete_where(spark, "lang == 'zh'", mode="mor-pos")
+    t = wh.load_table("db.docs")
+    # metadata-proof full drop of the de-only files: their positions in
+    # the doc_id range delete are now DANGLING
+    t.delete_where(spark, "lang == 'de'", mode="cow")
+
+    t = wh.load_table("db.docs")
+    pos_before = [
+        d for d in t.snapshot().delete_files if d.get("kind") == "pos"
+    ]
+    n_files_before = len(pos_before)
+    n_rows_before = sum(d["rows"] for d in pos_before)
+
+    report = rewrite_delete_files(t, spark)
+
+    t = wh.load_table("db.docs")
+    pos_after = [
+        d for d in t.snapshot().delete_files if d.get("kind") == "pos"
+    ]
+    # rows appended AFTER the rewrite must stay untouched by the merged
+    # delete (its max-sequence can never cover them)
+    t.append(docs.filter(F.col("lang") == "de").repartition(2))
+    t = wh.load_table("db.docs")
+    final_de = t.scan(spark).filter(F.col("lang") == "de").count()
+    final_other = t.scan(spark).filter(F.col("lang") != "de").count()
+
+    rows = [
+        ("1_pos_files_before", n_files_before),
+        ("2_pos_rows_before", n_rows_before),
+        ("3_pos_files_after", len(pos_after)),
+        ("4_pos_rows_after", sum(d["rows"] for d in pos_after)),
+        ("5_dangling_removed", report["positions_removed"]),
+        ("6_rows_final_de", final_de),
+        ("7_rows_final_other", final_other),
+    ]
+    return spark.createDataFrame(rows, "stage string, n long").orderBy("stage")

@@ -2306,3 +2306,167 @@ def dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("kv.metric").alias("metric"), F.col("kv.value").alias("value"))
         .orderBy("metric")
     )
+
+
+# --------------------------------------------------------------------------
+# Round 8 — n-gram LM QUALITY SCORING (the CCNet/Gopher perplexity-filter
+# posture): train an add-smoothed bigram language model on the historical
+# split and score the incoming split's text by bits-per-bigram — the
+# quality gate production pipelines run before expensive dedup stages
+# (low-LM-fit text is boilerplate, markup soup, or the wrong language).
+#
+# INTEGER-EXACT by construction: per-bigram surprisal is the floor-log2
+# difference  ilog2(c(w1) + V) − ilog2(c(w1,w2) + 1)  computed as
+# length(bin(n)) arithmetic — both engines produce identical BIGINTs, so
+# the scores hash-verify with no float in sight (the determinism rule at
+# the top of relational.py). The floor-log2 model keeps the ordering and
+# scale of real surprisal (it is exact-log2 at powers of two) while
+# staying oracle-checkable.
+#
+# Scale: unigram/bigram training counts are two partial-aggregated
+# shuffles over the historical token stream; scoring joins the incoming
+# bigram OCCURRENCES against the count tables on the gram key (shuffle
+# hash join — the vocabulary is far too large to broadcast at corpus
+# scale, and the join key is a short string); the final per-language
+# rollup is a tiny aggregate. No all-pairs, no driver-side state.
+# --------------------------------------------------------------------------
+@_register(
+    "lm_quality_scores",
+    f"""
+    WITH marked AS (
+      SELECT doc_id, lang, {_TOKS_SQL} AS toks,
+             {_BUCKET_SQL} AS bucket
+      FROM documents
+    ),
+    hist AS (SELECT * FROM marked WHERE bucket < 50),
+    inc AS (SELECT * FROM marked WHERE bucket >= 50),
+    hist_tok AS (SELECT unnest(toks) AS w FROM hist),
+    uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c1 FROM hist_tok GROUP BY w),
+    vocab AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+    hist_bi AS (
+      SELECT list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i+1]) AS bgs
+      FROM hist WHERE len(toks) >= 2
+    ),
+    bi AS (
+      SELECT bg, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM (SELECT unnest(bgs) AS bg FROM hist_bi) GROUP BY bg
+    ),
+    inc_bi AS (
+      SELECT doc_id, lang, unnest(
+               list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i+1])) AS bg
+      FROM inc WHERE len(toks) >= 2
+    ),
+    scored AS (
+      SELECT ib.lang, ib.doc_id,
+             length(bin(COALESCE(u.c1, 0) + (SELECT v FROM vocab)))
+               - length(bin(COALESCE(b.c12, 0) + 1)) AS bits
+      FROM inc_bi ib
+      LEFT JOIN bi b ON b.bg = ib.bg
+      LEFT JOIN uni u ON u.w = string_split(ib.bg, ' ')[1]
+    ),
+    per_bi AS (
+      SELECT lang,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(bits) AS BIGINT) AS sum_bits
+      FROM scored GROUP BY lang
+    ),
+    inc_tok AS (
+      SELECT lang, unnest(toks) AS w FROM inc
+    ),
+    per_tok AS (
+      SELECT it.lang,
+             CAST(COUNT(*) AS BIGINT) AS n_tok,
+             CAST(SUM(CASE WHEN u.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov
+      FROM inc_tok it LEFT JOIN uni u ON u.w = it.w
+      GROUP BY it.lang
+    )
+    SELECT b.lang AS lang, b.n_docs, b.n_bigrams,
+           CAST((1000 * b.sum_bits) // b.n_bigrams AS BIGINT)
+             AS mbits_per_bigram,
+           CAST((10000 * t.n_oov) // t.n_tok AS BIGINT) AS oov_bps
+    FROM per_bi b JOIN per_tok t ON t.lang = b.lang
+    ORDER BY b.lang
+    """,
+)
+def lm_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language bits-per-bigram (milli-bits, integer-exact floor-log2
+    add-smoothed bigram LM trained on the historical split) and OOV rate
+    for the incoming split — the LM-based quality gate, hash-verified
+    against a from-scratch DuckDB replay."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    marked = docs.withColumn("bucket", _bucket_col())
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), " "), lambda t: F.length(t) > 0
+    )
+    hist = (
+        marked.filter(F.col("bucket") < 50)
+        .select("doc_id", "lang", toks.alias("ts"))
+    )
+    inc = (
+        marked.filter(F.col("bucket") >= 50)
+        .select("doc_id", "lang", toks.alias("ts"))
+    )
+    bigrams = F.zip_with(
+        F.slice("ts", 1, F.greatest(F.size("ts") - 1, F.lit(0))),
+        F.slice("ts", 2, F.greatest(F.size("ts") - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    hist_tok = hist.select(F.explode("ts").alias("w"))
+    uni = hist_tok.groupBy("w").agg(F.count("*").cast("bigint").alias("c1"))
+    vocab = uni.agg(F.count("*").cast("bigint").alias("v"))
+    bi = (
+        hist.filter(F.size("ts") >= 2)
+        .select(F.explode(bigrams).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count("*").cast("bigint").alias("c12"))
+    )
+    inc_bi = (
+        inc.filter(F.size("ts") >= 2)
+        .select("doc_id", "lang", F.explode(bigrams).alias("bg"))
+    )
+    scored = (
+        inc_bi.join(bi, "bg", "left")
+        .withColumn("w1", F.split("bg", " ")[0])
+        .join(uni.withColumnRenamed("w", "w1"), "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "lang",
+            "doc_id",
+            (
+                F.length(F.bin(F.coalesce("c1", F.lit(0)) + F.col("v")))
+                - F.length(F.bin(F.coalesce("c12", F.lit(0)) + F.lit(1)))
+            ).alias("bits"),
+        )
+    )
+    per_bi = scored.groupBy("lang").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.sum("bits").cast("bigint").alias("sum_bits"),
+    )
+    inc_tok = inc.select("lang", F.explode("ts").alias("w"))
+    per_tok = inc_tok.join(
+        uni.select("w", F.lit(1).alias("seen")), "w", "left"
+    ).groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_tok"),
+        F.sum(F.when(F.col("seen").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_oov"),
+    )
+    return (
+        per_bi.join(per_tok, "lang")
+        .selectExpr(
+            "lang",
+            "n_docs",
+            "n_bigrams",
+            "CAST((1000 * sum_bits) div n_bigrams AS BIGINT)"
+            " AS mbits_per_bigram",
+            "CAST((10000 * n_oov) div n_tok AS BIGINT) AS oov_bps",
+        )
+        .orderBy("lang")
+    )

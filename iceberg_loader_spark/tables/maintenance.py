@@ -484,3 +484,131 @@ def rewrite_manifests(table: Table, include_branches: bool = True) -> dict:
         after = manifest_chain_length(handle, head)
         report["chains"][ref_name] = {"before": before, "after": after}
     return report
+
+
+def rewrite_delete_files(table: Table, spark: SparkSession) -> dict:
+    """Compact POSITION delete files without touching data — the
+    ``rewrite_position_delete_files`` maintenance procedure (Iceberg
+    ``CALL cat.system.rewrite_position_delete_files``).
+
+    Every merge-on-read positional DELETE commits its own delete file;
+    a scan then pays one anti-join per applicable delete file, so a
+    delete-heavy table's read cost grows with DELETE COUNT until
+    ``rewrite_data_files`` happens to materialize them. This procedure
+    merges all current positional delete files into ONE (positions
+    deduplicated) and drops DANGLING rows — positions referencing data
+    files no longer in the current snapshot (fully-dropped by a
+    metadata-proof delete, or rewritten) — without rewriting a single
+    data row.
+
+    Safety of the merged sequence number (= max of the merged files'):
+    a positional delete row names an exact ``(file_path, pos)``; staging
+    paths are UUID-unique and a data file's sequence is fixed at commit,
+    so no data file can exist with ``sequence >= original_delete.seq``
+    but ``< max_seq`` AND a referenced path — raising the sequence can
+    therefore never widen applicability to rows the originals did not
+    name. Rows appended AFTER the rewrite have ``sequence > max_seq``
+    and stay untouched, exactly as before.
+
+    Equality-delete files and predicate deletes are left alone: their
+    applicability is sequence-×-key-range dependent, so merging them
+    WOULD change semantics (an old key set would start covering newer
+    files). Concurrent commits that change the positional delete set
+    between scan and commit abort with :class:`ConcurrentModification`
+    (rerun the procedure).
+    """
+    from pyspark.sql import functions as F
+
+    from iceberg_loader_spark.tables.table import _POS_DELETE_SCHEMA
+
+    snap = table.snapshot()
+    pos_ops = [d for d in snap.delete_files if d.get("kind") == "pos"]
+    if not pos_ops:
+        return {"merged": 0, "files_after": 0, "positions_removed": 0}
+    rows_before = sum(d.get("rows", 0) for d in pos_ops)
+    paths = [os.path.join(table.root, d["path"]) for d in pos_ops]
+    dels = spark.read.schema(_POS_DELETE_SCHEMA).parquet(*paths)
+    live = spark.createDataFrame(
+        [(f.path,) for f in snap.files], "file_path string"
+    )
+    merged = (
+        dels.join(F.broadcast(live), "file_path", "left_semi")
+        .distinct()
+        .coalesce(1)
+    )
+    entries = table._write_data_files(
+        merged, [], table._codec(), sort_within=["file_path", "pos"]
+    )
+    if sum(e.rows for e in entries) == 0:
+        entries = []  # every position was dangling — drop all pos deletes
+    rows_after = sum(e.rows for e in entries)
+    max_seq = max(d["sequence"] for d in pos_ops)
+    live_paths = {f.path for f in snap.files}
+    ref_paths = sorted(
+        {
+            p
+            for d in pos_ops
+            for p in d.get("paths", [])
+            if p in live_paths
+        }
+    )
+    merged_key = {(d["path"], d["sequence"]) for d in pos_ops}
+
+    def build(parent: Snapshot) -> Snapshot:
+        parent_pos = {
+            (d["path"], d["sequence"])
+            for d in parent.delete_files
+            if d.get("kind") == "pos"
+        }
+        if parent_pos != merged_key:
+            raise ConcurrentModification(
+                "positional delete set changed during rewrite_delete_files;"
+                " rerun the procedure"
+            )
+        kept_dels = [
+            d for d in parent.delete_files if d.get("kind") != "pos"
+        ] + [
+            {
+                "path": e.path,
+                "kind": "pos",
+                "sequence": max_seq,
+                "rows": e.rows,
+                "bytes": e.bytes,
+                "stats": {
+                    c: e.stats[c]
+                    for c in ("file_path", "pos")
+                    if e.stats.get(c) is not None
+                },
+                **(
+                    {"paths": ref_paths}
+                    if 0 < len(ref_paths) <= table._POS_PATHS_CAP
+                    else {}
+                ),
+            }
+            for e in entries
+        ]
+        return new_snapshot(
+            parent,
+            "rewrite-deletes",
+            parent.schema_json,
+            parent.partition_spec,
+            parent.files,
+            parent.properties,
+            {
+                "merged-position-delete-files": len(pos_ops),
+                "position-delete-files": len(entries),
+                "position-delete-rows": rows_after,
+                "positions-removed": rows_before - rows_after,  # dangling + dedup
+                "total-records": parent.total_rows,
+            },
+            delete_files=kept_dels,
+        )
+
+    table._commit_with_retry(build)
+    return {
+        "merged": len(pos_ops),
+        "files_after": len(entries),
+        # dangling positions AND deduplicated duplicates (two pos
+        # deletes may name the same physical row)
+        "positions_removed": rows_before - rows_after,
+    }

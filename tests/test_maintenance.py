@@ -374,3 +374,70 @@ def test_rewrite_manifests_covers_branch_heads(spark, tmp_path):
     assert rewrite_manifests(t.branch("exp"), include_branches=False)[
         "rewritten"
     ] == 0
+
+
+# ---- rewrite_delete_files (position-delete compaction, round 8) ----------
+
+
+def test_rewrite_delete_files_merges_dedups_and_drops_dangling(
+    spark, tmp_path
+):
+    from iceberg_loader_spark.tables.maintenance import rewrite_delete_files
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    loader = SparkLoader(spark, wh)
+    cfg = LoaderConfig(load_timestamp=False)
+    # file A: ids 0-4 tag x; file B: ids 5-9 tag y (separate commits →
+    # separate files with disjoint metadata ranges)
+    loader.load_data([{"id": i, "tag": "x"} for i in range(5)], "db.t", cfg)
+    loader.load_data(
+        [{"id": i, "tag": "y"} for i in range(5, 10)], "db.t", cfg
+    )
+    t = wh.load_table("db.t")
+    # partial-match predicates ONLY (a full metadata match would drop the
+    # file outright instead of writing positions)
+    t.delete_where(spark, "id <= 1", mode="mor-pos")  # A positions {0,1}
+    t = wh.load_table("db.t")
+    t.delete_where(spark, "id <= 2", mode="mor-pos")  # A {0,1,2} — 2 dups
+    t = wh.load_table("db.t")
+    t.delete_where(spark, "id >= 6", mode="mor-pos")  # B {6,7,8,9}
+    t = wh.load_table("db.t")
+    # drop file B outright: its positions in the third delete dangle
+    t.delete_where(spark, "tag == 'y'", mode="cow")
+    t = wh.load_table("db.t")
+    pos = [d for d in t.snapshot().delete_files if d.get("kind") == "pos"]
+    assert len(pos) == 3
+    assert sum(d["rows"] for d in pos) == 9  # 2 + 3 + 4
+
+    res = rewrite_delete_files(t, spark)
+    assert res["merged"] == 3 and res["files_after"] == 1
+    t = wh.load_table("db.t")
+    pos = [d for d in t.snapshot().delete_files if d.get("kind") == "pos"]
+    assert len(pos) == 1
+    # live distinct positions {0,1,2}: 2 duplicates + 4 dangling removed
+    assert pos[0]["rows"] == 3
+    assert res["positions_removed"] == 6
+    # content unchanged: ids 3-4 visible (0-2 pos-deleted, 5-9 dropped)
+    assert sorted(r.id for r in t.scan(spark).collect()) == [3, 4]
+    # rows appended AFTER the rewrite are untouched by the merged delete
+    loader.load_data([{"id": 0, "tag": "z"}], "db.t", cfg)
+    t = wh.load_table("db.t")
+    assert sorted(r.id for r in t.scan(spark).collect()) == [0, 3, 4]
+    # idempotent-ish: rerunning merges the single file to itself
+    res2 = rewrite_delete_files(t, spark)
+    assert res2["merged"] == 1 and res2["positions_removed"] == 0
+
+
+def test_rewrite_delete_files_noop_without_pos_deletes(spark, tmp_path):
+    from iceberg_loader_spark.tables.maintenance import rewrite_delete_files
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    loader = SparkLoader(spark, wh)
+    cfg = LoaderConfig(load_timestamp=False)
+    loader.load_data([{"id": 1}], "db.t", cfg)
+    t = wh.load_table("db.t")
+    t.delete_where(spark, "id == 999", mode="mor")  # predicate delete only
+    t = wh.load_table("db.t")
+    v = t.meta.current_version()
+    assert rewrite_delete_files(t, spark)["merged"] == 0
+    assert wh.load_table("db.t").meta.current_version() == v  # no commit
