@@ -2459,3 +2459,327 @@ def _register_ann_recall_audits() -> None:
 
 
 _register_ann_recall_audits()
+
+
+# --------------------------------------------------------------------------
+# Round 8 — QUANTIZER STALENESS, measured: every IVF deployment must
+# decide whether the coarse quantizer can be trained on YESTERDAY'S data
+# (cheap, incremental-friendly — new batches are assigned to frozen
+# cells) or must be retrained on the full corpus (expensive, reshuffles
+# the index). This audit trains the SAME 3-round Lloyd k-means recipe on
+# (a) the full corpus and (b) only the md5-split historical half, then
+# assigns the FULL corpus to each quantizer and measures nprobe=1 top-3
+# recall against exact brute-force cosine for the 20 audit queries —
+# the retrain-or-not decision becomes a hash-verified number, completing
+# the similarity family's incremental posture (the ann_recall_* twin for
+# index MAINTENANCE rather than index shape).
+#
+# Scale: training pools differ, the recipe doesn't — each round is one
+# broadcast-centroid assign + one per-(cluster, pos) aggregate; the
+# full-corpus assignment is a broadcast argmin; the recall audit is the
+# sampled 20-query budget of the other ann_recall rows.
+# --------------------------------------------------------------------------
+def _ivf_staleness_oracle() -> str:
+    d_fc = _DUCK_SQDIST.format(a="f.e", b="c.c_e")
+
+    def km(tag: str, n: int, cent: str) -> str:
+        return f"""
+    {tag}_a{n}p AS (
+      SELECT f.vec_id, f.e, c.c_id, CAST({d_fc} AS BIGINT) AS dist
+      FROM pool_{tag} f CROSS JOIN {cent} c
+    ),
+    {tag}_a{n} AS (
+      SELECT vec_id, e, c_id AS cluster, dist FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, c_id) AS rnk
+        FROM {tag}_a{n}p)
+      WHERE rnk = 1
+    ),
+    {tag}_x{n} AS (
+      SELECT cluster, generate_subscripts(e, 1) AS pos, unnest(e) AS v
+      FROM {tag}_a{n}
+    ),
+    {tag}_u{n} AS (
+      SELECT cluster, pos,
+             CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+      FROM {tag}_x{n} GROUP BY cluster, pos
+    ),
+    {tag}_cent{n} AS (
+      SELECT cluster AS c_id, list(cv ORDER BY pos) AS c_e
+      FROM {tag}_u{n} GROUP BY cluster
+    )"""
+
+    def assign_and_recall(tag: str) -> str:
+        return f"""
+    {tag}_cells AS (
+      SELECT vec_id, c_id FROM (
+        SELECT n.vec_id, c.c_id,
+               ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                 ORDER BY CAST({_DUCK_SQDIST.format(a='n.e', b='c.c_e')}
+                          AS BIGINT), c.c_id) AS rnk
+        FROM norms n CROSS JOIN {tag}_cent2 c)
+      WHERE rnk = 1
+    ),
+    {tag}_pairs AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             CAST({_DUCK_DOT.format(a='qn.e', b='cn.e')} AS DOUBLE)
+               / (SQRT(CAST(qn.nsq AS DOUBLE)) * SQRT(CAST(cn.nsq AS DOUBLE)))
+               AS cosine
+      FROM {tag}_cells q
+      JOIN {tag}_cells c ON q.c_id = c.c_id AND c.vec_id <> q.vec_id
+      JOIN norms qn ON qn.vec_id = q.vec_id
+      JOIN norms cn ON cn.vec_id = c.vec_id
+      WHERE q.vec_id < 20
+    ),
+    {tag}_top3 AS (
+      SELECT q_id, n_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                    ORDER BY cosine DESC, n_id) AS rnk
+        FROM {tag}_pairs)
+      WHERE rnk <= 3
+    ),
+    {tag}_row AS (
+      SELECT '{tag}' AS config,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM exact3) AS n_exact,
+             (SELECT CAST(COUNT(*) AS BIGINT)
+              FROM exact3 x JOIN {tag}_top3 i
+                ON x.q_id = i.q_id AND x.n_id = i.n_id) AS n_hits
+    )"""
+
+    rounds = []
+    for tag in ("full", "hist"):
+        rounds.append(km(tag, 0, f"seed_{tag}"))
+        rounds.append(km(tag, 1, f"{tag}_cent0"))
+        rounds.append(km(tag, 2, f"{tag}_cent1"))
+        rounds.append(assign_and_recall(tag))
+    body = ",".join(rounds)
+    return f"""
+    WITH fp AS (
+      SELECT vec_id, {_DUCK_FP.format(col='embedding')} AS e,
+             CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 100 AS bucket
+      FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id, e, {_DUCK_DOT.format(a='e', b='e')} AS nsq FROM fp
+    ),
+    exact_pairs AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             CAST({_DUCK_DOT.format(a='q.e', b='c.e')} AS DOUBLE)
+               / (SQRT(CAST(q.nsq AS DOUBLE)) * SQRT(CAST(c.nsq AS DOUBLE)))
+               AS cosine
+      FROM norms q JOIN norms c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 20
+    ),
+    exact3 AS (
+      SELECT q_id, n_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                    ORDER BY cosine DESC, n_id) AS rnk
+        FROM exact_pairs)
+      WHERE rnk <= 3
+    ),
+    pool_full AS (SELECT vec_id, e FROM fp),
+    pool_hist AS (SELECT vec_id, e FROM fp WHERE bucket < 50),
+    seed_full AS (
+      SELECT vec_id AS c_id, e AS c_e FROM pool_full
+      ORDER BY vec_id LIMIT {_KM_K}
+    ),
+    seed_hist AS (
+      SELECT vec_id AS c_id, e AS c_e FROM pool_hist
+      ORDER BY vec_id LIMIT {_KM_K}
+    ),
+    {body}
+    SELECT config, n_exact, n_hits,
+           CAST((10000 * n_hits) // n_exact AS BIGINT) AS recall_bps
+    FROM (SELECT * FROM full_row UNION ALL SELECT * FROM hist_row)
+    ORDER BY config
+    """
+
+
+@_register("ivf_staleness_recall", _ivf_staleness_oracle())
+def ivf_staleness_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nprobe=1 top-3 recall vs exact cosine for the SAME Lloyd-k-means
+    quantizer recipe trained on the full corpus vs only the historical
+    half — the measured retrain-or-not decision for incremental IVF
+    index maintenance."""
+    from iceberg_loader_spark.operators.dedup import _materialize as _mz
+    from iceberg_loader_spark.operators.text import _bucket_col
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    fp = _mz(
+        emb.select(
+            "vec_id", _fixed_point(F.col("embedding")).alias("e")
+        ).withColumn(
+            "bucket",
+            F.conv(
+                F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % 100,
+        )
+    )
+    norms = fp.withColumn("nsq", _dot(F.col("e"), F.col("e")))
+
+    def _sqdist(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+
+    def _train(pool: DataFrame) -> DataFrame:
+        cents = (
+            pool.orderBy("vec_id")
+            .limit(_KM_K)
+            .select(F.col("vec_id").alias("c_id"), F.col("e").alias("c_e"))
+        )
+        assigned = None
+        for _rnd in range(3):
+            w = W.partitionBy("vec_id").orderBy("dist", "c_id")
+            assigned = (
+                pool.join(F.broadcast(cents))
+                .withColumn("dist", _sqdist(F.col("e"), F.col("c_e")))
+                .withColumn("rnk", F.row_number().over(w))
+                .filter(F.col("rnk") == 1)
+                .select("vec_id", "e", F.col("c_id").alias("cluster"))
+            )
+            if _rnd < 2:
+                pos = assigned.select(
+                    "cluster", F.posexplode("e").alias("pos", "v")
+                )
+                upd = pos.groupBy("cluster", "pos").agg(
+                    F.floor(F.sum("v").cast("double") / F.count("*"))
+                    .cast("bigint")
+                    .alias("cv")
+                )
+                cents = (
+                    upd.groupBy("cluster")
+                    .agg(
+                        F.transform(
+                            F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                            lambda s: s["cv"],
+                        ).alias("c_e")
+                    )
+                    .select(F.col("cluster").alias("c_id"), "c_e")
+                )
+        # final round's UPDATED centroids (cent2 in the oracle): rebuild
+        # from the last assignment
+        pos = assigned.select("cluster", F.posexplode("e").alias("pos", "v"))
+        upd = pos.groupBy("cluster", "pos").agg(
+            F.floor(F.sum("v").cast("double") / F.count("*"))
+            .cast("bigint")
+            .alias("cv")
+        )
+        return (
+            upd.groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                    lambda s: s["cv"],
+                ).alias("c_e")
+            )
+            .select(F.col("cluster").alias("c_id"), "c_e")
+        )
+
+    exact3 = _mz(
+        norms.filter(F.col("vec_id") < 20)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("e").alias("q_e"),
+            F.col("nsq").alias("q_nsq"),
+        )
+        .join(
+            norms.select(
+                F.col("vec_id").alias("n_id"), "e", "nsq"
+            ),
+            F.col("n_id") != F.col("q_id"),
+        )
+        .withColumn(
+            "cosine",
+            _dot(F.col("q_e"), F.col("e")).cast("double")
+            / (
+                F.sqrt(F.col("q_nsq").cast("double"))
+                * F.sqrt(F.col("nsq").cast("double"))
+            ),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+            ),
+        )
+        .filter(F.col("rnk") <= 3)
+        .select("q_id", "n_id")
+    )
+    n_exact_frame = exact3.agg(F.count("*").cast("bigint").alias("n_exact"))
+
+    out = None
+    for tag, pool in (
+        ("full", fp.select("vec_id", "e")),
+        ("hist", fp.filter(F.col("bucket") < 50).select("vec_id", "e")),
+    ):
+        cents = _mz(_train(pool))
+        w = W.partitionBy("vec_id").orderBy("dist", "c_id")
+        cells = _mz(
+            fp.select("vec_id", "e")
+            .join(F.broadcast(cents))
+            .withColumn("dist", _sqdist(F.col("e"), F.col("c_e")))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") == 1)
+            .select("vec_id", "c_id")
+        )
+        pairs = (
+            cells.filter(F.col("vec_id") < 20)
+            .select(F.col("vec_id").alias("q_id"), "c_id")
+            .join(
+                cells.select(F.col("vec_id").alias("n_id"), "c_id"),
+                "c_id",
+            )
+            .filter(F.col("n_id") != F.col("q_id"))
+            .join(
+                norms.select(
+                    F.col("vec_id").alias("q_id"),
+                    F.col("e").alias("q_e"),
+                    F.col("nsq").alias("q_nsq"),
+                ),
+                "q_id",
+            )
+            .join(
+                norms.select(F.col("vec_id").alias("n_id"), "e", "nsq"),
+                "n_id",
+            )
+            .withColumn(
+                "cosine",
+                _dot(F.col("q_e"), F.col("e")).cast("double")
+                / (
+                    F.sqrt(F.col("q_nsq").cast("double"))
+                    * F.sqrt(F.col("nsq").cast("double"))
+                ),
+            )
+        )
+        top3 = (
+            pairs.withColumn(
+                "rnk",
+                F.row_number().over(
+                    W.partitionBy("q_id").orderBy(
+                        F.desc("cosine"), F.asc("n_id")
+                    )
+                ),
+            )
+            .filter(F.col("rnk") <= 3)
+            .select("q_id", "n_id")
+        )
+        row = (
+            exact3.join(top3, ["q_id", "n_id"])
+            .agg(F.count("*").cast("bigint").alias("n_hits"))
+            .crossJoin(F.broadcast(n_exact_frame))
+            .selectExpr(
+                f"'{tag}' AS config",
+                "n_exact",
+                "n_hits",
+                "CAST((10000 * n_hits) div n_exact AS BIGINT) AS recall_bps",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("config")

@@ -224,3 +224,38 @@ def test_local_cluster_smoke_small():
     assert summary["ok"], {
         k: v for k, v in summary["results"].items() if not v.get("ok")
     }
+
+
+# ---- incremental BM25 + IVF staleness ------------------------------------
+
+
+def test_incremental_bm25_equals_full_corpus(spark):
+    """Raw-count indexes compose: (historical index ∪ batch) must
+    reproduce the full-corpus BM25 top-10 bit-for-bit — same docs, same
+    fixed-point scores, same ranks."""
+    inc = [
+        tuple(r)
+        for r in QUERIES["incremental_bm25_topk"](spark, SF_SMOKE).collect()
+    ]
+    full = [
+        tuple(r)
+        for r in QUERIES["bm25_topk_docs"](spark, SF_SMOKE).collect()
+    ]
+    assert inc == full
+    assert len(inc) == 10
+
+
+def test_ivf_staleness_rows_are_consistent(spark):
+    """Both configs share one non-vacuous exact-truth denominator and
+    every count is internally consistent; the recall DELTA itself is the
+    measurement and deliberately unpinned."""
+    rows = {
+        r.config: r
+        for r in QUERIES["ivf_staleness_recall"](spark, SF_SMOKE).collect()
+    }
+    assert set(rows) == {"full", "hist"}
+    n_exact = {r.n_exact for r in rows.values()}
+    assert len(n_exact) == 1 and n_exact.pop() >= 1
+    for r in rows.values():
+        assert 0 <= r.n_hits <= r.n_exact
+        assert r.recall_bps == (10000 * r.n_hits) // r.n_exact
