@@ -4151,13 +4151,18 @@ class CurationStreamFunnel:
         )
         # retroactive decontamination: prior survivors whose grams hit
         # THIS batch's new eval grams. CoW delete — replay is a no-op.
-        retro = (
-            self._idx("cf_sg", batch_id)
-            .join(ev_b, "g")
-            .select("doc_id")
-            .distinct()
-            .collect()
-        )
+        # Metadata-only fast path: an empty survivor-gram index (first
+        # batch, or no survivors yet) skips the join+collect entirely —
+        # total_rows comes from the manifest, zero jobs.
+        retro = []
+        if self.wh.load_table("db.cf_sg").snapshot().total_rows:
+            retro = (
+                self._idx("cf_sg", batch_id)
+                .join(ev_b, "g")
+                .select("doc_id")
+                .distinct()
+                .collect()
+            )
         if retro:
             ids = ", ".join(str(r.doc_id) for r in retro)
             self.wh.load_table("db.cf_surv").delete_where(
