@@ -2470,3 +2470,224 @@ def lm_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Round 8 — SEQUENCE-LENGTH tradeoff for contiguous packing, measured:
+# pack_sequences_by_source's contiguous model (docs concatenated per
+# source, bins cut every L tokens) trades three costs against L —
+# shorter sequences mean MORE documents sliced across bin boundaries
+# (attention contamination / fragment loss at train time) but LESS tail
+# padding per source, and more bins overall. This query scores
+# L in {512, 1024, 2048} on the identical token stream: bin count,
+# boundary-crossing documents (and their rate), total fragments, and
+# tail-padding tokens — the sequence-length choice becomes a measured
+# row like the MinHash-band / SimHash-threshold / winnowing-window
+# matrix. All exact integers from ONE tokenize + running-sum pass.
+#
+# Scale: one windowed running sum per source (the packing op's own
+# shape); each L adds only aggregate expressions over the same frame —
+# no extra scan, no shuffle beyond the one window.
+# --------------------------------------------------------------------------
+_PACK_LS = (512, 1024, 2048)
+
+
+def _pack_tradeoff_oracle() -> str:
+    rows = []
+    for L in _PACK_LS:
+        rows.append(f"""
+      SELECT CAST({L} AS BIGINT) AS seq_len,
+             CAST(SUM(CASE WHEN is_last = 1
+                      THEN (toks_before + n_toks + {L} - 1) // {L}
+                      ELSE 0 END) AS BIGINT) AS n_bins,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN n_toks > 0 AND
+                        toks_before // {L}
+                        <> (toks_before + n_toks - 1) // {L}
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_crossing,
+             CAST((10000 * SUM(CASE WHEN n_toks > 0 AND
+                        toks_before // {L}
+                        <> (toks_before + n_toks - 1) // {L}
+                      THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT)
+               AS crossing_bps,
+             CAST(SUM(CASE WHEN n_toks > 0
+                      THEN (toks_before + n_toks - 1) // {L}
+                           - toks_before // {L} + 1
+                      ELSE 0 END) AS BIGINT) AS n_fragments,
+             CAST(SUM(CASE WHEN is_last = 1
+                      THEN ((toks_before + n_toks + {L} - 1) // {L}) * {L}
+                           - (toks_before + n_toks)
+                      ELSE 0 END) AS BIGINT) AS padding_toks
+      FROM runs""")
+    sel = "\n      UNION ALL".join(rows)
+    return f"""
+    WITH counted AS (
+      SELECT doc_id, source,
+             LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), t -> t <> ''))
+               AS n_toks
+      FROM documents
+    ),
+    runs AS (
+      SELECT doc_id, source, n_toks,
+             SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - n_toks
+               AS toks_before,
+             CASE WHEN ROW_NUMBER() OVER (PARTITION BY source
+                                          ORDER BY doc_id DESC) = 1
+                  THEN 1 ELSE 0 END AS is_last
+      FROM counted
+    )
+    SELECT * FROM ({sel})
+    ORDER BY seq_len
+    """
+
+
+@_register("packing_length_tradeoff", _pack_tradeoff_oracle())
+def packing_length_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bin count / boundary-crossing docs / fragments / tail padding for
+    contiguous packing at L = 512/1024/2048 — one tokenize + running-sum
+    pass, the sequence-length decision as a measured row."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_toks = F.size(
+        F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+    ).cast("bigint")
+    counted = docs.select("doc_id", "source", n_toks.alias("n_toks"))
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_last = W.partitionBy("source").orderBy(F.desc("doc_id"))
+    runs = counted.withColumn(
+        "toks_before", F.sum("n_toks").over(w) - F.col("n_toks")
+    ).withColumn(
+        "is_last",
+        F.when(F.row_number().over(w_last) == 1, 1).otherwise(0),
+    )
+    out = None
+    for L in _PACK_LS:
+        start_bin = F.expr(f"toks_before div {L}")
+        end_bin = F.expr(f"(toks_before + n_toks - 1) div {L}")
+        crossing = (F.col("n_toks") > 0) & (start_bin != end_bin)
+        last_total = F.col("toks_before") + F.col("n_toks")
+        last_bins = F.expr(f"(toks_before + n_toks + {L} - 1) div {L}")
+        row = runs.agg(
+            F.lit(L).cast("bigint").alias("seq_len"),
+            F.sum(F.when(F.col("is_last") == 1, last_bins).otherwise(0))
+            .cast("bigint")
+            .alias("n_bins"),
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(crossing, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_crossing"),
+            F.expr(
+                f"CAST((10000 * SUM(CASE WHEN n_toks > 0 AND "
+                f"toks_before div {L} <> (toks_before + n_toks - 1) div {L} "
+                f"THEN 1 ELSE 0 END)) div COUNT(*) AS BIGINT)"
+            ).alias("crossing_bps"),
+            F.sum(
+                F.when(
+                    F.col("n_toks") > 0, end_bin - start_bin + F.lit(1)
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_fragments"),
+            F.sum(
+                F.when(
+                    F.col("is_last") == 1, last_bins * L - last_total
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("padding_toks"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("seq_len")
+
+
+# --------------------------------------------------------------------------
+# Round 8 — TOKEN-BUDGET sampling: the executor for source mixing — given
+# a per-source token budget, keep each source's documents in the stable
+# md5(doc_id) order until the budget is reached (the last kept document
+# may overshoot; take-until semantics). Deterministic across runs,
+# engines, and cluster sizes — the reproducible way to cut a 100 TB
+# corpus down to a target token mix (source_mixing_weights decides the
+# ratios; this op materializes them).
+#
+# Scale: one windowed running sum per source over (doc, n_toks) rows —
+# the same shape as packing; the keep decision is a map-side filter on
+# the running sum. No collect, no iteration.
+# --------------------------------------------------------------------------
+_TB_BUDGET = 20_000  # tokens per source
+
+
+@_register(
+    "token_budget_sample",
+    f"""
+    WITH counted AS (
+      SELECT doc_id, source,
+             LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), t -> t <> ''))
+               AS n_toks,
+             md5(CAST(doc_id AS VARCHAR)) AS ord
+      FROM documents
+    ),
+    runs AS (
+      SELECT source, n_toks,
+             SUM(n_toks) OVER (PARTITION BY source ORDER BY ord, doc_id
+                               ROWS UNBOUNDED PRECEDING) - n_toks
+               AS toks_before
+      FROM counted
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_total,
+           CAST(SUM(CASE WHEN toks_before < {_TB_BUDGET} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_kept,
+           CAST(SUM(CASE WHEN toks_before < {_TB_BUDGET} THEN n_toks
+                         ELSE 0 END) AS BIGINT) AS toks_kept,
+           CAST((10000 * SUM(CASE WHEN toks_before < {_TB_BUDGET}
+                                  THEN n_toks ELSE 0 END)) // {_TB_BUDGET}
+                AS BIGINT) AS budget_fill_bps
+    FROM runs
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source deterministic take-until-token-budget sample: docs in
+    md5(doc_id) order accumulate until {_TB_BUDGET} tokens; kept-doc and
+    kept-token counts plus budget fill, hash-verified."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_toks = F.size(
+        F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+    ).cast("bigint")
+    counted = docs.select(
+        "doc_id",
+        "source",
+        n_toks.alias("n_toks"),
+        F.md5(F.col("doc_id").cast("string")).alias("ord"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("ord", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    runs = counted.withColumn(
+        "toks_before", F.sum("n_toks").over(w) - F.col("n_toks")
+    )
+    kept = F.col("toks_before") < _TB_BUDGET
+    return (
+        runs.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs_total"),
+            F.sum(F.when(kept, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_docs_kept"),
+            F.sum(F.when(kept, F.col("n_toks")).otherwise(0))
+            .cast("bigint")
+            .alias("toks_kept"),
+            F.expr(
+                f"CAST((10000 * SUM(CASE WHEN toks_before < {_TB_BUDGET} "
+                f"THEN n_toks ELSE 0 END)) div {_TB_BUDGET} AS BIGINT)"
+            ).alias("budget_fill_bps"),
+        )
+        .orderBy("source")
+    )

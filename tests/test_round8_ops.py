@@ -259,3 +259,50 @@ def test_ivf_staleness_rows_are_consistent(spark):
     for r in rows.values():
         assert 0 <= r.n_hits <= r.n_exact
         assert r.recall_bps == (10000 * r.n_hits) // r.n_exact
+
+
+# ---- packing length tradeoff + token budget sampler ----------------------
+
+
+def test_packing_tradeoff_monotone_in_length(spark):
+    """Longer sequences can only reduce bins, boundary crossings, and
+    fragments, and (with fixed content) tail padding is bounded by
+    n_sources * L; every row is internally consistent."""
+    rows = {
+        r.seq_len: r
+        for r in QUERIES["packing_length_tradeoff"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert set(rows) == {512, 1024, 2048}
+    docs = {r.n_docs for r in rows.values()}
+    assert len(docs) == 1 and docs.pop() >= 1
+    assert rows[512].n_bins >= rows[1024].n_bins >= rows[2048].n_bins
+    assert (
+        rows[512].n_crossing
+        >= rows[1024].n_crossing
+        >= rows[2048].n_crossing
+    )
+    assert (
+        rows[512].n_fragments
+        >= rows[1024].n_fragments
+        >= rows[2048].n_fragments
+    )
+    for r in rows.values():
+        assert r.n_fragments >= r.n_docs  # every doc is >= 1 fragment
+        assert 0 <= r.padding_toks < r.n_bins * r.seq_len
+        assert r.crossing_bps == (10000 * r.n_crossing) // r.n_docs
+
+
+def test_token_budget_sample_respects_take_until(spark):
+    """Per source: kept counts are bounded, and toks_kept reaches the
+    budget whenever the source HAS that many tokens (take-until: the
+    last kept doc may overshoot, so fill can exceed 10000 bps)."""
+    rows = QUERIES["token_budget_sample"](spark, SF_SMOKE).collect()
+    assert len(rows) >= 1
+    for r in rows:
+        assert 0 < r.n_docs_kept <= r.n_docs_total
+        assert r.budget_fill_bps == (10000 * r.toks_kept) // 20_000
+        if r.n_docs_kept < r.n_docs_total:
+            # budget binds: we stopped early, so the budget was reached
+            assert r.toks_kept >= 20_000
