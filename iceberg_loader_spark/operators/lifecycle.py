@@ -2465,7 +2465,10 @@ def lifecycle_manifest_compaction_counts(
 # `rewrite_position_delete_files`): every mor-pos DELETE commits its own
 # delete file, so a delete-heavy table's scans pay one anti-join per
 # delete file until data compaction happens to materialize them.
-# `rewrite_delete_files` merges all positional delete files into ONE
+# `rewrite_delete_files` merges all positional delete files into a
+# target-sized shard set — ONE file here, since these positions are far
+# below the 64 MB target; at 100 TB the output range-partitions by
+# (file_path, pos) so no single task funnels a multi-GB merged file —
 # (positions deduplicated), drops DANGLING positions (rows referencing
 # data files no longer live — here created by a metadata-proof CoW
 # delete that drops whole files the earlier pos-delete had referenced),

@@ -20,6 +20,7 @@ identical rows.
 from __future__ import annotations
 
 import logging
+import math
 import os
 
 from pyspark.sql import SparkSession
@@ -486,7 +487,12 @@ def rewrite_manifests(table: Table, include_branches: bool = True) -> dict:
     return report
 
 
-def rewrite_delete_files(table: Table, spark: SparkSession) -> dict:
+def rewrite_delete_files(
+    table: Table,
+    spark: SparkSession,
+    target_file_mb: int = 64,
+    shards: int | None = None,
+) -> dict:
     """Compact POSITION delete files without touching data — the
     ``rewrite_position_delete_files`` maintenance procedure (Iceberg
     ``CALL cat.system.rewrite_position_delete_files``).
@@ -495,11 +501,23 @@ def rewrite_delete_files(table: Table, spark: SparkSession) -> dict:
     a scan then pays one anti-join per applicable delete file, so a
     delete-heavy table's read cost grows with DELETE COUNT until
     ``rewrite_data_files`` happens to materialize them. This procedure
-    merges all current positional delete files into ONE (positions
-    deduplicated) and drops DANGLING rows — positions referencing data
-    files no longer in the current snapshot (fully-dropped by a
-    metadata-proof delete, or rewritten) — without rewriting a single
-    data row.
+    merges all current positional delete files into a target-sized set
+    of output files (positions deduplicated) and drops DANGLING rows —
+    positions referencing data files no longer in the current snapshot
+    (fully-dropped by a metadata-proof delete, or rewritten) — without
+    rewriting a single data row.
+
+    Output sharding: the merged positions are RANGE-partitioned by
+    ``(file_path, pos)`` into ``ceil(input_bytes / target_file_mb)``
+    shards (``shards`` overrides), so on a 100 TB delete-heavy table
+    no single task funnels a multi-GB merged file. Range (not hash)
+    partitioning keeps each output file's ``file_path`` footer min/max
+    a tight lexical range, which is exactly what scan-side
+    applicability pruning (``_op_applies``) checks — each data file
+    anti-joins only the shard(s) whose path range covers it. A shard
+    boundary may split one hot path's positions across two shards;
+    that only widens a shard's claimed range (a no-op anti-join at
+    worst), never its actual coverage.
 
     Safety of the merged sequence number (= max of the merged files'):
     a positional delete row names an exact ``(file_path, pos)``; staging
@@ -531,19 +549,28 @@ def rewrite_delete_files(table: Table, spark: SparkSession) -> dict:
     live = spark.createDataFrame(
         [(f.path,) for f in snap.files], "file_path string"
     )
-    merged = (
-        dels.join(F.broadcast(live), "file_path", "left_semi")
-        .distinct()
-        .coalesce(1)
+    est_bytes = sum(d.get("bytes", 0) for d in pos_ops)
+    n_shards = shards or max(
+        1, math.ceil(est_bytes / (target_file_mb * 1024 * 1024))
     )
+    merged = dels.join(F.broadcast(live), "file_path", "left_semi").distinct()
+    if n_shards > 1:
+        merged = merged.repartitionByRange(n_shards, "file_path", "pos")
+    else:
+        merged = merged.coalesce(1)
     entries = table._write_data_files(
         merged, [], table._codec(), sort_within=["file_path", "pos"]
     )
-    if sum(e.rows for e in entries) == 0:
-        entries = []  # every position was dangling — drop all pos deletes
+    entries = [e for e in entries if e.rows > 0]  # dangling-only shards
     rows_after = sum(e.rows for e in entries)
     max_seq = max(d["sequence"] for d in pos_ops)
     live_paths = {f.path for f in snap.files}
+    # "paths" (the exact referenced-file set) can only be reconstructed
+    # when EVERY merged op recorded one — an op past _POS_PATHS_CAP has
+    # no list, and attaching the remaining ops' union as "exact" would
+    # wrongly exempt the unlisted files from the anti-join. Fall back to
+    # the per-shard file_path range check in that case.
+    all_have_paths = all(d.get("paths") is not None for d in pos_ops)
     ref_paths = sorted(
         {
             p
@@ -552,6 +579,23 @@ def rewrite_delete_files(table: Table, spark: SparkSession) -> dict:
             if p in live_paths
         }
     )
+
+    def _entry_paths(e) -> list[str] | None:
+        """Exact referenced set for one output shard: ref_paths narrowed
+        to the shard's own file_path footer range (disjoint-ish under
+        range partitioning; over-inclusion at a split path is a no-op
+        anti-join, under-inclusion is impossible since footer min/max
+        bound every path the shard names)."""
+        if not all_have_paths:
+            return None
+        ps = e.stats.get("file_path")
+        if ps and ps[0] is not None:
+            sub = [p for p in ref_paths if ps[0] <= p <= ps[1]]
+        else:
+            sub = ref_paths
+        return sub if 0 < len(sub) <= table._POS_PATHS_CAP else None
+
+    entry_paths = {e.path: _entry_paths(e) for e in entries}
     merged_key = {(d["path"], d["sequence"]) for d in pos_ops}
 
     def build(parent: Snapshot) -> Snapshot:
@@ -580,8 +624,8 @@ def rewrite_delete_files(table: Table, spark: SparkSession) -> dict:
                     if e.stats.get(c) is not None
                 },
                 **(
-                    {"paths": ref_paths}
-                    if 0 < len(ref_paths) <= table._POS_PATHS_CAP
+                    {"paths": entry_paths[e.path]}
+                    if entry_paths[e.path] is not None
                     else {}
                 ),
             }

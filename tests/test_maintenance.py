@@ -428,6 +428,53 @@ def test_rewrite_delete_files_merges_dedups_and_drops_dangling(
     assert res2["merged"] == 1 and res2["positions_removed"] == 0
 
 
+def test_rewrite_delete_files_shards_output(spark, tmp_path):
+    """shards=N range-partitions the merged positions into N delete
+    files with tight, scan-prunable file_path ranges and exact
+    per-shard ``paths`` subsets — content identical to the 1-file
+    merge."""
+    from iceberg_loader_spark.tables.maintenance import rewrite_delete_files
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    loader = SparkLoader(spark, wh)
+    cfg = LoaderConfig(load_timestamp=False)
+    for lo in range(0, 40, 10):  # 4 data files, ids lo..lo+9
+        loader.load_data(
+            [{"id": i, "tag": "x"} for i in range(lo, lo + 10)], "db.t", cfg
+        )
+    t = wh.load_table("db.t")
+    t.delete_where(spark, "id % 10 <= 3", mode="mor-pos")  # 4 per file
+    t = wh.load_table("db.t")
+    t.delete_where(spark, "id % 10 <= 5", mode="mor-pos")  # dups + 2 new
+    t = wh.load_table("db.t")
+
+    res = rewrite_delete_files(t, spark, shards=3)
+    assert res["merged"] == 2 and res["files_after"] == 3
+    t = wh.load_table("db.t")
+    pos = [d for d in t.snapshot().delete_files if d.get("kind") == "pos"]
+    assert len(pos) == 3
+    assert sum(d["rows"] for d in pos) == 24  # 6 per data file, deduped
+    # every shard carries an exact paths subset inside its own footer
+    # range, and the union covers all four referenced data files
+    all_paths = set()
+    for d in pos:
+        assert d.get("paths"), d
+        lo_s, hi_s = d["stats"]["file_path"]
+        assert all(lo_s <= p <= hi_s for p in d["paths"])
+        all_paths.update(d["paths"])
+    assert len(all_paths) == 4
+    # content identical to the unsharded merge: ids with id%10 in 6..9
+    assert sorted(r.id for r in t.scan(spark).collect()) == sorted(
+        i for i in range(40) if i % 10 > 5
+    )
+    # rows appended after the rewrite stay untouched (max-seq safety)
+    loader.load_data([{"id": 0, "tag": "z"}], "db.t", cfg)
+    t = wh.load_table("db.t")
+    assert sorted(r.id for r in t.scan(spark).collect()) == sorted(
+        [0] + [i for i in range(40) if i % 10 > 5]
+    )
+
+
 def test_rewrite_delete_files_noop_without_pos_deletes(spark, tmp_path):
     from iceberg_loader_spark.tables.maintenance import rewrite_delete_files
 
