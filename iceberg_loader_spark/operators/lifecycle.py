@@ -2581,3 +2581,139 @@ def lifecycle_pos_delete_compaction_counts(
         ("7_rows_final_other", final_other),
     ]
     return spark.createDataFrame(rows, "stage string, n long").orderBy("stage")
+
+
+# --------------------------------------------------------------------------
+# Round 9 — EQUALITY-DELETE CONVERGENCE under the oracle gate (Iceberg's
+# convert path inside `rewrite_position_delete_files`): every
+# `delete_by_keys` / MoR-upsert commits an equality-delete file whose
+# applicability is sequence-x-key-range dependent, so
+# `rewrite_delete_files` correctly refuses to merge them — a delete-heavy
+# MoR-upsert table's scan cost otherwise grows with EQUALITY-delete count
+# until full data compaction. `convert_equality_deletes` materializes
+# each equality op into exact (file_path, pos) rows by scanning ONLY the
+# files that op applies to (sequence < op's, key-range pruned — the same
+# `_op_applies` gate the scan uses), then drops the equality ops in the
+# same commit; the existing position-delete merge applies from there.
+#
+# Flow: 2 appends (even / odd doc_id, one file each) → eq-delete the fr
+# doc_ids → pos-delete lang='zh' (must survive conversion untouched) →
+# eq-delete doc_id<=K → append the fr docs AGAIN (later sequence: keys
+# match but rows must stay visible through conversion — the sequence
+# rule) → convert_equality_deletes → rewrite_delete_files. Pinned: eq/pos
+# file counts at every step, the applicable (file x eq-op) anti-join pair
+# count before (4) and after (0) — the scan-cost number that stops
+# growing — exact converted-position count, merged live-position count,
+# and the visible row set after each procedure (both recomputed from the
+# source parquet by the oracle).
+#
+# Scale: conversion reads only applicable files projected to key+lineage
+# columns, broadcasts the O(keys) key files, and range-shards the merged
+# positions to the target file size; no data row is rewritten.
+# --------------------------------------------------------------------------
+_EDC_K = 300  # doc_id cutoff for the second equality delete
+
+
+@_register(
+    "lifecycle_eq_delete_convert_counts",
+    f"""
+    WITH c AS (
+      SELECT
+        CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
+        CAST(SUM(CASE WHEN lang = 'fr' OR doc_id <= {_EDC_K}
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_conv,
+        CAST(SUM(CASE WHEN lang = 'fr' OR lang = 'zh' OR doc_id <= {_EDC_K}
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_merged,
+        CAST(SUM(CASE WHEN lang NOT IN ('fr', 'zh') AND doc_id > {_EDC_K}
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_vis
+      FROM documents
+    )
+    SELECT stage, n FROM (
+      SELECT '1_eq_files_before' AS stage, CAST(2 AS BIGINT) AS n FROM c
+      UNION ALL SELECT '2_pos_files_before', 1 FROM c
+      UNION ALL SELECT '3_applicable_eq_pairs', 4 FROM c
+      UNION ALL SELECT '4_converted_positions', n_conv FROM c
+      UNION ALL SELECT '5_eq_files_after', 0 FROM c
+      UNION ALL SELECT '6_pos_files_after', 2 FROM c
+      UNION ALL SELECT '7_visible_after_convert', n_vis + n_fr FROM c
+      UNION ALL SELECT '8_pos_rows_merged', n_merged FROM c
+      UNION ALL SELECT '9_visible_final', n_vis + n_fr FROM c
+    )
+    ORDER BY stage
+    """,
+)
+def lifecycle_eq_delete_convert_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from iceberg_loader_spark.tables.maintenance import (
+        convert_equality_deletes,
+        rewrite_delete_files,
+    )
+    from iceberg_loader_spark.tables.table import _op_applies
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    wh = _fresh_warehouse()
+    t = Table.create(wh, "db.docs", docs.schema)
+    # one file per append: deterministic applicable-pair accounting
+    t.append(docs.filter(F.col("doc_id") % 2 == 0).coalesce(1))
+    t = wh.load_table("db.docs")
+    t.append(docs.filter(F.col("doc_id") % 2 == 1).coalesce(1))
+
+    t = wh.load_table("db.docs")
+    t.delete_by_keys(
+        spark, docs.filter(F.col("lang") == "fr").select("doc_id"), ["doc_id"]
+    )
+    t = wh.load_table("db.docs")
+    t.delete_where(spark, "lang == 'zh'", mode="mor-pos")
+    t = wh.load_table("db.docs")
+    t.delete_by_keys(
+        spark,
+        docs.filter(F.col("doc_id") <= _EDC_K).select("doc_id"),
+        ["doc_id"],
+    )
+    t = wh.load_table("db.docs")
+    # later-sequence rows whose keys MATCH both equality deletes: the
+    # sequence rule must keep them visible through the conversion
+    t.append(docs.filter(F.col("lang") == "fr").coalesce(1))
+
+    t = wh.load_table("db.docs")
+    snap = t.snapshot()
+    eq_before = [d for d in snap.delete_files if d.get("kind") != "pos"]
+    pos_before = [d for d in snap.delete_files if d.get("kind") == "pos"]
+    # the scan-cost number conversion eliminates: anti-join (file x eq-op)
+    # pairs — the same applicability gate `Table.scan` pays per read
+    pairs = sum(
+        1
+        for o in eq_before
+        for f in snap.files
+        if _op_applies(f, {"kind": "eq", **o})
+    )
+
+    report = convert_equality_deletes(t, spark)
+    t = wh.load_table("db.docs")
+    snap2 = t.snapshot()
+    eq_after = [d for d in snap2.delete_files if d.get("kind") != "pos"]
+    pos_after = [d for d in snap2.delete_files if d.get("kind") == "pos"]
+    vis_convert = t.scan(spark).count()
+
+    rewrite_delete_files(t, spark)
+    t = wh.load_table("db.docs")
+    pos_merged = [
+        d for d in t.snapshot().delete_files if d.get("kind") == "pos"
+    ]
+    vis_final = t.scan(spark).count()
+
+    rows = [
+        ("1_eq_files_before", len(eq_before)),
+        ("2_pos_files_before", len(pos_before)),
+        ("3_applicable_eq_pairs", pairs),
+        ("4_converted_positions", report["positions"]),
+        ("5_eq_files_after", len(eq_after)),
+        ("6_pos_files_after", len(pos_after)),
+        ("7_visible_after_convert", vis_convert),
+        ("8_pos_rows_merged", sum(d["rows"] for d in pos_merged)),
+        ("9_visible_final", vis_final),
+    ]
+    return spark.createDataFrame(rows, "stage string, n long").orderBy("stage")

@@ -25,9 +25,11 @@ import os
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from iceberg_loader_spark.tables.format import (
     ConcurrentModification,
+    DataFile,
     Snapshot,
     new_snapshot,
 )
@@ -485,6 +487,203 @@ def rewrite_manifests(table: Table, include_branches: bool = True) -> dict:
         after = manifest_chain_length(handle, head)
         report["chains"][ref_name] = {"before": before, "after": after}
     return report
+
+
+def convert_equality_deletes(
+    table: Table,
+    spark: SparkSession,
+    target_file_mb: int = 64,
+    shards: int | None = None,
+) -> dict:
+    """Materialize EQUALITY deletes into POSITION deletes — the Iceberg
+    convert path that makes a delete-heavy MoR-upsert table's scan cost
+    stop growing with equality-delete count.
+
+    ``rewrite_delete_files`` deliberately leaves equality deletes alone:
+    their applicability is sequence-x-key-range dependent, so merging
+    them would change semantics. The convergence path is this procedure:
+    for each equality-delete op, scan exactly the files it applies to
+    (sequence < op's, key-range/bloom pruned — the same ``_op_applies``
+    gate the scan uses), semi-join the op's key file against raw rows,
+    and emit the matched ``(file_path, pos)`` pairs as position-delete
+    rows. The equality ops are then dropped in the same commit, and the
+    existing position-delete merge applies from here on.
+
+    Sequence safety of stamping every emitted position with the MAX
+    converted sequence: a position names an exact row, so raising its
+    sequence can never widen coverage; and a data file with sequence
+    >= some op's (thus never scanned for that op) contributes no
+    positions, exactly mirroring the equality op's own sequence rule.
+    Rows appended after the conversion have sequence > max and stay
+    visible even when their keys match — same as before.
+
+    NULL keys never match (plain-equality semi-join), identical to the
+    scan-side anti-join's semantics.
+
+    Scale: per op, only applicable files are read, projected to the key
+    columns + row lineage; key files broadcast (they are O(keys)); the
+    merged position set is counted once (cached, it is tiny relative to
+    data) and range-sharded to ``target_file_mb`` like
+    ``rewrite_delete_files``. Concurrent changes to the equality-delete
+    set, or a concurrent rewrite of any scanned file (positions would
+    dangle and rows resurrect), abort with
+    :class:`ConcurrentModification`.
+    """
+    from iceberg_loader_spark.tables.table import (
+        _LINEAGE_FILE,
+        _LINEAGE_POS,
+        _op_applies,
+        _with_lineage,
+    )
+
+    snap = table.snapshot()
+    eq_ops = [d for d in snap.delete_files if d.get("kind") != "pos"]
+    if not eq_ops:
+        return {"converted": 0, "position_files": 0, "positions": 0}
+    schema = T.StructType.fromJson(snap.schema_json)
+    pos_parts = []
+    scanned_paths: set[str] = set()
+    for op in eq_ops:
+        # stored eq ops carry no "kind" marker (the scan adds it when
+        # assembling its op list) — normalize before the applicability gate
+        gate = {"kind": "eq", **op}
+        files = [f for f in snap.files if _op_applies(f, gate)]
+        if not files:
+            continue
+        kcols = list(op["equality_cols"])
+        kset = set(kcols)
+        kschema = T.StructType([f for f in schema.fields if f.name in kset])
+        keys = spark.read.schema(kschema).parquet(
+            os.path.join(table.root, op["path"])
+        )
+        scanned_paths.update(f.path for f in files)
+        raw = _with_lineage(
+            spark.read.schema(schema).parquet(
+                *[os.path.join(table.root, f.path) for f in files]
+            )
+        ).select(
+            F.col(_LINEAGE_FILE).alias("file_path"),
+            F.col(_LINEAGE_POS).alias("pos"),
+            *kcols,
+        )
+        pos_parts.append(
+            raw.join(F.broadcast(keys), on=kcols, how="left_semi").select(
+                "file_path", "pos"
+            )
+        )
+
+    entries: list[DataFile] = []
+    n_pos = 0
+    if pos_parts:
+        merged = pos_parts[0]
+        for p in pos_parts[1:]:
+            merged = merged.unionByName(p)
+        merged = merged.distinct().persist()
+        try:
+            n_pos = merged.count()
+            if n_pos:
+                # ~18 B/position parquet-encoded (dict-coded path + pos)
+                n_shards = shards or max(
+                    1, math.ceil(n_pos * 18 / (target_file_mb * 1024 * 1024))
+                )
+                out = (
+                    merged.repartitionByRange(n_shards, "file_path", "pos")
+                    if n_shards > 1
+                    else merged.coalesce(1)
+                )
+                entries = [
+                    e
+                    for e in table._write_data_files(
+                        out, [], table._codec(),
+                        sort_within=["file_path", "pos"],
+                    )
+                    if e.rows > 0
+                ]
+        finally:
+            merged.unpersist()
+    max_seq = max(d["sequence"] for d in eq_ops)
+    cand_paths = sorted(scanned_paths)
+
+    def _entry_paths(e) -> list[str] | None:
+        # scanned (applicable) files over-approximate the referenced set;
+        # over-inclusion only costs a no-op anti-join, never correctness
+        ps = e.stats.get("file_path")
+        sub = (
+            [p for p in cand_paths if ps[0] <= p <= ps[1]]
+            if ps and ps[0] is not None
+            else cand_paths
+        )
+        return sub if 0 < len(sub) <= table._POS_PATHS_CAP else None
+
+    entry_paths = {e.path: _entry_paths(e) for e in entries}
+    eq_key = {(d["path"], d["sequence"]) for d in eq_ops}
+
+    def build(parent: Snapshot) -> Snapshot:
+        parent_eq = {
+            (d["path"], d["sequence"])
+            for d in parent.delete_files
+            if d.get("kind") != "pos"
+        }
+        if parent_eq != eq_key:
+            raise ConcurrentModification(
+                "equality-delete set changed during convert_equality_deletes;"
+                " rerun the procedure"
+            )
+        if entries:
+            parent_paths = {f.path for f in parent.files}
+            gone = scanned_paths - parent_paths
+            if gone:
+                raise ConcurrentModification(
+                    f"equality-delete conversion invalidated: {len(gone)} "
+                    f"scanned file(s) rewritten concurrently (positions "
+                    f"would dangle and rows resurrect)"
+                )
+        kept_dels = [
+            d for d in parent.delete_files if d.get("kind") == "pos"
+        ] + [
+            {
+                "path": e.path,
+                "kind": "pos",
+                "sequence": max_seq,
+                "rows": e.rows,
+                "bytes": e.bytes,
+                "stats": {
+                    c: e.stats[c]
+                    for c in ("file_path", "pos")
+                    if e.stats.get(c) is not None
+                },
+                **(
+                    {"paths": entry_paths[e.path]}
+                    if entry_paths[e.path] is not None
+                    else {}
+                ),
+            }
+            for e in entries
+        ]
+        return new_snapshot(
+            parent,
+            "convert-eq-deletes",
+            parent.schema_json,
+            parent.partition_spec,
+            parent.files,
+            parent.properties,
+            {
+                "converted-equality-delete-files": len(eq_ops),
+                "position-delete-files": len(entries),
+                "position-delete-rows": n_pos,
+                "scanned-data-files": len(scanned_paths),
+                "total-records": parent.total_rows,
+            },
+            delete_files=kept_dels,
+        )
+
+    table._commit_with_retry(build)
+    return {
+        "converted": len(eq_ops),
+        "position_files": len(entries),
+        "positions": n_pos,
+        "scanned_files": len(scanned_paths),
+    }
 
 
 def rewrite_delete_files(

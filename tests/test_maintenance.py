@@ -475,6 +475,117 @@ def test_rewrite_delete_files_shards_output(spark, tmp_path):
     )
 
 
+def test_convert_equality_deletes_materializes_positions(spark, tmp_path):
+    """Equality deletes become position deletes naming exactly the rows
+    they hid; later-sequence rows with matching keys stay visible; the
+    pos-merge then applies (full convergence path)."""
+    from iceberg_loader_spark.tables.maintenance import (
+        convert_equality_deletes,
+        rewrite_delete_files,
+    )
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    loader = SparkLoader(spark, wh)
+    cfg = LoaderConfig(load_timestamp=False)
+    loader.load_data([{"id": i, "tag": "a"} for i in range(10)], "db.t", cfg)
+    loader.load_data(
+        [{"id": i, "tag": "b"} for i in range(10, 20)], "db.t", cfg
+    )
+    t = wh.load_table("db.t")
+    # eq delete 1: ids {1,2,11} across both files
+    t.delete_by_keys(
+        spark, spark.createDataFrame([(1,), (2,), (11,)], "id long"), ["id"]
+    )
+    t = wh.load_table("db.t")
+    # a mor-pos delete that must survive the conversion untouched
+    t.delete_where(spark, "id == 15", mode="mor-pos")
+    t = wh.load_table("db.t")
+    # eq delete 2: ids {3, 12, 999} (999 matches nothing)
+    t.delete_by_keys(
+        spark,
+        spark.createDataFrame([(3,), (12,), (999,)], "id long"),
+        ["id"],
+    )
+    t = wh.load_table("db.t")
+    # row appended AFTER the eq deletes: id 1 again — must stay visible
+    # through conversion (its file's sequence is above both eq ops)
+    loader.load_data([{"id": 1, "tag": "late"}], "db.t", cfg)
+    t = wh.load_table("db.t")
+    visible_before = sorted(
+        (r.id, r.tag) for r in t.scan(spark).collect()
+    )
+    assert (1, "late") in visible_before
+    assert not any(i in (1, 2, 3, 11, 12, 15) for i, tag in visible_before
+                   if tag != "late")
+
+    res = convert_equality_deletes(t, spark)
+    assert res["converted"] == 2
+    assert res["position_files"] == 1
+    assert res["positions"] == 5  # ids 1,2,3,11,12 in the first two files
+    t = wh.load_table("db.t")
+    dels = t.snapshot().delete_files
+    assert all(d.get("kind") == "pos" for d in dels)
+    assert len(dels) == 2  # converted file + the original id==15 pos file
+    # scan results identical to pre-conversion
+    assert (
+        sorted((r.id, r.tag) for r in t.scan(spark).collect())
+        == visible_before
+    )
+    # keys matching rows appended after conversion still never re-hide
+    loader.load_data([{"id": 2, "tag": "later"}], "db.t", cfg)
+    t = wh.load_table("db.t")
+    assert (2, "later") in {(r.id, r.tag) for r in t.scan(spark).collect()}
+    # convergence: pos-merge now compacts everything to one delete file
+    rewrite_delete_files(t, spark)
+    t = wh.load_table("db.t")
+    pos = [d for d in t.snapshot().delete_files if d.get("kind") == "pos"]
+    assert len(pos) == 1 and pos[0]["rows"] == 6
+    assert (
+        sorted((r.id, r.tag) for r in t.scan(spark).collect())
+        == sorted(visible_before + [(2, "later")])
+    )
+    # idempotent: nothing left to convert
+    assert convert_equality_deletes(t, spark)["converted"] == 0
+
+
+def test_convert_equality_deletes_drops_dead_ops_without_positions(
+    spark, tmp_path
+):
+    """An eq op whose applicable files were all compacted away converts
+    to zero positions but is still dropped (dead-op cleanup)."""
+    from iceberg_loader_spark.tables.maintenance import (
+        convert_equality_deletes,
+        rewrite_data_files,
+    )
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    loader = SparkLoader(spark, wh)
+    cfg = LoaderConfig(load_timestamp=False)
+    loader.load_data([{"id": i} for i in range(10)], "db.t", cfg)
+    t = wh.load_table("db.t")
+    t.delete_by_keys(
+        spark, spark.createDataFrame([(4,)], "id long"), ["id"]
+    )
+    t = wh.load_table("db.t")
+    # compaction materializes the delete, but leave the op in place by
+    # deleting against the POST-compaction file instead: rewrite clears
+    # delete_files, so re-add an op that now applies to nothing
+    rewrite_data_files(t, spark)
+    t = wh.load_table("db.t")
+    assert t.snapshot().delete_files == []
+    t.delete_by_keys(
+        spark, spark.createDataFrame([(999,)], "id long"), ["id"]
+    )
+    t = wh.load_table("db.t")
+    res = convert_equality_deletes(t, spark)
+    assert res["converted"] == 1 and res["positions"] == 0
+    t = wh.load_table("db.t")
+    assert t.snapshot().delete_files == []
+    assert sorted(r.id for r in t.scan(spark).collect()) == [
+        i for i in range(10) if i != 4
+    ]
+
+
 def test_rewrite_delete_files_noop_without_pos_deletes(spark, tmp_path):
     from iceberg_loader_spark.tables.maintenance import rewrite_delete_files
 
