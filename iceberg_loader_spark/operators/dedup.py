@@ -3932,7 +3932,29 @@ class CurationStreamFunnel:
     """``foreachBatch`` callable running the curation funnel per
     micro-batch with exactly-once commits and retroactive
     decontamination. Exposed as a class so tests can drive replay,
-    mid-crash recovery, and the ordered-ingestion guard directly."""
+    mid-crash recovery, and the ordered-ingestion guard directly.
+
+    ``late_policy`` (round 9) governs batches whose min doc_id is at or
+    below the ingested high-water mark (a real 100 TB feed has late
+    documents):
+
+    * ``"fail"`` (default) — refuse loudly, exactly as before.
+    * ``"reconcile"`` — min-doc_id keeper RE-ELECTION: every index
+      contest compares the batch candidate against the incumbent
+      keeper's doc_id (the fingerprint indexes carry the keeper id;
+      seed/history rows carry −1, so a plain MIN makes history
+      unbeatable). A late candidate with a smaller doc_id than the
+      incumbent takes the group over; the displaced incumbent is
+      retroactively removed from the survivors table through the same
+      copy-on-write machinery retro-decontamination uses. Because
+      dedup groups are min-elections (membership is arrival-order
+      independent; only the elected keeper changes, and displacement
+      can never resurrect a non-keeper), the table state after every
+      batch equals the ONE-SHOT funnel over everything ingested so far
+      — for ANY batch arrival order. The ordered run is the special
+      case with zero displacements, so both policies produce identical
+      results and identical per-stage counts on ordered input.
+    """
 
     SURV_MARK = "streaming.cf.survivors.last-batch-id"
     STATS_PROP = "streaming.cf.stats."  # + batch_id -> JSON stage counts
@@ -3942,9 +3964,14 @@ class CurationStreamFunnel:
     SG_MARK = "streaming.cf.sg.last-batch-id"
     MAX_ID = "streaming.cf.max-doc-id"
 
-    def __init__(self, spark: SparkSession, warehouse):
+    def __init__(
+        self, spark: SparkSession, warehouse, late_policy: str = "fail"
+    ):
+        if late_policy not in ("fail", "reconcile"):
+            raise ValueError(f"unknown late_policy: {late_policy!r}")
         self.spark = spark
         self.wh = warehouse
+        self.late_policy = late_policy
 
     # ---- setup -----------------------------------------------------------
 
@@ -3967,8 +3994,12 @@ class CurationStreamFunnel:
             )
             Table.create(self.wh, f"db.{name}", tagged.schema).append(tagged)
 
-        _mk("cf_fp", fp)
-        _mk("cf_sh", sh)
+        # fingerprint indexes carry the KEEPER doc_id so contests can
+        # re-elect by min; history rows get −1 = unbeatable (one-shot
+        # semantics: a history hash kills every incoming candidate)
+        hist_id = F.lit(-1).cast("bigint")
+        _mk("cf_fp", fp.withColumn("doc_id", hist_id))
+        _mk("cf_sh", sh.withColumn("doc_id", hist_id))
         _mk("cf_ev", ev)
         sg_schema = "doc_id bigint, g string, batch_id bigint"
         Table.create(
@@ -4045,7 +4076,7 @@ class CurationStreamFunnel:
                 "c3"
             ),
         ).collect()[0]
-        if not surv_done:
+        if not surv_done and self.late_policy == "fail":
             # ordered-ingestion guard (see class docstring): only checked
             # on FIRST processing — a replayed batch legitimately carries
             # ids at or below the recorded high-water mark (its own)
@@ -4054,22 +4085,39 @@ class CurationStreamFunnel:
                     f"batch {batch_id} min doc_id {bounds.lo} <= ingested "
                     f"high-water mark {prior_max}; out-of-order ingestion "
                     "diverges from the min-doc_id batch semantics — "
-                    "reprocess with incremental_curation_funnel_counts"
+                    "reprocess with incremental_curation_funnel_counts, or "
+                    "run with late_policy='reconcile'"
                 )
         q = flags.filter(
             F.col("n_chars").between(100, 10000) & (F.col("ntok") >= 20)
         )
         l = q.filter(F.col("lang") != "zh")
-        e = _materialize(
+        # ---- index contests (min-doc_id keeper election) ----------------
+        # The incumbent per group is MIN(doc_id) over the index rows
+        # (history = −1, unbeatable). A batch candidate wins its group iff
+        # no incumbent exists or its id is strictly smaller; a win over a
+        # real incumbent (>= 0) is a DISPLACEMENT — the incumbent leaves
+        # the survivors table below. Under ordered ingestion every
+        # incumbent is smaller than every candidate, so this degenerates
+        # to exactly the old anti-join (zero displacements, `_inc` NULL
+        # on every kept row).
+        inc_fp = (
+            self._idx("cf_fp", batch_id)
+            .groupBy("h")
+            .agg(F.min("doc_id").alias("_inc"))
+        )
+        e_all = _materialize(
             l.drop("ts")  # token arrays stay on `flags`; don't checkpoint twice
-            .join(self._idx("cf_fp", batch_id).select("h"), "h", "left_anti")
             .withColumn(
                 "rn",
                 F.row_number().over(_W.partitionBy("h").orderBy("doc_id")),
             )
             .filter(F.col("rn") == 1)
             .drop("rn")
+            .join(inc_fp, "h", "left")
+            .filter(F.col("_inc").isNull() | (F.col("doc_id") < F.col("_inc")))
         )
+        e = e_all.drop("_inc")
         sh_b = _materialize(
             _simhash_from_grams(
                 flags.join(e.select("doc_id"), "doc_id").select(
@@ -4078,21 +4126,24 @@ class CurationStreamFunnel:
                 )
             )
         )
-        keepers = (
-            sh_b.join(
-                self._idx("cf_sh", batch_id).select("simhash"),
-                "simhash",
-                "left_anti",
-            )
-            .withColumn(
+        inc_sh = (
+            self._idx("cf_sh", batch_id)
+            .groupBy("simhash")
+            .agg(F.min("doc_id").alias("_inc"))
+        )
+        kept_sh = _materialize(
+            sh_b.withColumn(
                 "rn",
                 F.row_number().over(
                     _W.partitionBy("simhash").orderBy("doc_id")
                 ),
             )
             .filter(F.col("rn") == 1)
-            .select("doc_id")
+            .drop("rn")
+            .join(inc_sh, "simhash", "left")
+            .filter(F.col("_inc").isNull() | (F.col("doc_id") < F.col("_inc")))
         )
+        keepers = kept_sh.select("doc_id")
         nd = _materialize(e.join(keepers, "doc_id"))
         g5 = F.explode(
             F.array_distinct(F.transform(_gram_expr(5), F.md5))
@@ -4122,12 +4173,19 @@ class CurationStreamFunnel:
             .withColumn("bucket", _doc_bucket_col().cast("bigint"))
         )
 
+        # stages 4/5 count NEW groups only (`_inc` NULL): a displacement
+        # swaps a group's keeper without creating a group, so summing new
+        # groups across batches equals the one-shot stage count for ANY
+        # arrival order; under ordered ingestion every kept row is a new
+        # group, making this identical to the old e/nd counts
         counts = {
             "1_incoming": bounds.c1,
             "2_quality": bounds.c2 or 0,
             "3_lang": bounds.c3 or 0,
-            "4_exact_vs_index": e.count(),
-            "5_neardup_vs_index": nd.count(),
+            "4_exact_vs_index": e_all.filter(F.col("_inc").isNull()).count(),
+            "5_neardup_vs_index": kept_sh.filter(
+                F.col("_inc").isNull()
+            ).count(),
         }
         # ---- commits: consumers first, then the index producers --------
         # per-batch stage counts ride the SAME atomic commit as the
@@ -4149,38 +4207,57 @@ class CurationStreamFunnel:
                 ),
             },
         )
-        # retroactive decontamination: prior survivors whose grams hit
-        # THIS batch's new eval grams. CoW delete — replay is a no-op.
-        # Metadata-only fast path: an empty survivor-gram index (first
-        # batch, or no survivors yet) skips the join+collect entirely —
+        # retroactive corrections: (a) DECONTAMINATION — prior survivors
+        # whose grams hit THIS batch's new eval grams; (b) DISPLACEMENT
+        # (late_policy="reconcile") — incumbents that lost their keeper
+        # election to a smaller-id candidate this batch. Both are CoW
+        # deletes recomputed identically on replay (they derive from
+        # index rows batch_id < current, never from survivor-table
+        # contents); intersecting with the LIVE survivor set keeps the
+        # replay a true no-op (no empty re-commit). The collect is
+        # O(corrections), never O(table). Metadata-only fast path: an
+        # empty survivor-gram index skips the contamination join —
         # total_rows comes from the manifest, zero jobs.
-        retro = []
-        if self.wh.load_table("db.cf_sg").snapshot().total_rows:
-            retro = (
-                self._idx("cf_sg", batch_id)
-                .join(ev_b, "g")
-                .select("doc_id")
-                .distinct()
-                .collect()
+        removals = (
+            e_all.filter(F.col("_inc") >= 0)
+            .select(F.col("_inc").alias("doc_id"))
+            .unionByName(
+                kept_sh.filter(F.col("_inc") >= 0).select(
+                    F.col("_inc").alias("doc_id")
+                )
             )
-        if retro:
-            ids = ", ".join(str(r.doc_id) for r in retro)
+        )
+        if self.wh.load_table("db.cf_sg").snapshot().total_rows:
+            removals = removals.unionByName(
+                self._idx("cf_sg", batch_id).join(ev_b, "g").select("doc_id")
+            )
+        surv_live = self.wh.load_table("db.cf_surv").scan(self.spark)
+        to_remove = (
+            removals.distinct()
+            .join(surv_live.select("doc_id"), "doc_id", "left_semi")
+            .collect()
+        )
+        if to_remove:
+            ids = ", ".join(str(r.doc_id) for r in to_remove)
             self.wh.load_table("db.cf_surv").delete_where(
                 self.spark, f"doc_id IN ({ids})", mode="cow"
             )
         tag = F.lit(batch_id).cast("bigint")
+        # index rows carry the keeper doc_id: the group keeper is then
+        # MIN(doc_id) at read (stale displaced rows are always larger,
+        # so they never affect the election) and appends stay immutable
+        # — replay identity needs no row ever rewritten
         self._guarded_append(
             "cf_fp",
             self.FP_MARK,
             batch_id,
-            e.select("h").coalesce(1).withColumn("batch_id", tag),
+            e.select("h", "doc_id").coalesce(1).withColumn("batch_id", tag),
         )
         self._guarded_append(
             "cf_sh",
             self.SH_MARK,
             batch_id,
-            sh_b.join(nd.select("doc_id"), "doc_id")
-            .select("simhash")
+            kept_sh.select("simhash", "doc_id")
             .coalesce(1)
             .withColumn("batch_id", tag),
         )
@@ -4254,20 +4331,17 @@ def _grams5_frame(side: DataFrame) -> DataFrame:
     )
 
 
-@_register(
-    "stream_curation_funnel_counts",
-    ORACLES["incremental_curation_funnel_counts"],
-)
-def stream_curation_funnel_counts(
-    spark: SparkSession, sf_dir: str
+def _run_stream_funnel(
+    spark: SparkSession,
+    sf_dir: str,
+    arrival: list[int],
+    late_policy: str,
 ) -> DataFrame:
-    """The incremental curation funnel as a REAL Structured-Streaming
-    job: three doc_id-range micro-batches (ordered ingestion — the
-    documented precondition) through CurationStreamFunnel with
-    per-table exactly-once markers and retroactive decontamination;
-    shares incremental_curation_funnel_counts' oracle, so the streamed
-    per-stage counts are hash-verified against the one-shot DuckDB
-    replay of the whole composition."""
+    """Shared runner for the streaming curation funnel keys: three
+    doc_id-range thirds of the incoming half land as parquet files whose
+    mtimes follow ``arrival`` (the file source ingests oldest-first, so
+    ``arrival`` IS the micro-batch order), then the funnel streams them
+    under ``late_policy``."""
     import tempfile as _tf
 
     from iceberg_loader_spark.operators.lifecycle import _track_root
@@ -4279,7 +4353,7 @@ def stream_curation_funnel_counts(
     inc = marked.filter(F.col("bucket") >= 50).drop("bucket")
 
     wh = Warehouse(_track_root(_tf.mkdtemp(prefix="ils_cf_stream_")))
-    funnel = CurationStreamFunnel(spark, wh)
+    funnel = CurationStreamFunnel(spark, wh, late_policy=late_policy)
     funnel.seed(
         _shared_artifact(
             spark,
@@ -4303,8 +4377,6 @@ def stream_curation_funnel_counts(
         ),
     )
 
-    # doc_id-range files with strictly increasing mtimes: the file
-    # source ingests them oldest-first, giving ordered micro-batches
     src = _track_root(_tf.mkdtemp(prefix="ils_cf_stream_src_"))
     lo, hi = inc.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
     cut1 = lo + (hi - lo) // 3
@@ -4323,7 +4395,7 @@ def stream_curation_funnel_counts(
                 fp = f"{pdir}/{fn}"
                 dst = f"{src}/b{i}.parquet"
                 _os.replace(fp, dst)
-                _os.utime(dst, (base_t + i, base_t + i))
+                _os.utime(dst, (base_t + arrival[i], base_t + arrival[i]))
         import shutil as _sh
 
         _sh.rmtree(pdir)
@@ -4350,3 +4422,65 @@ def stream_curation_funnel_counts(
             f"stream committed {last + 1} micro-batches; expected 3"
         )
     return funnel.result()
+
+
+@_register(
+    "stream_curation_funnel_counts",
+    ORACLES["incremental_curation_funnel_counts"],
+)
+def stream_curation_funnel_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The incremental curation funnel as a REAL Structured-Streaming
+    job: three doc_id-range micro-batches (ordered ingestion — the
+    documented precondition) through CurationStreamFunnel with
+    per-table exactly-once markers and retroactive decontamination;
+    shares incremental_curation_funnel_counts' oracle, so the streamed
+    per-stage counts are hash-verified against the one-shot DuckDB
+    replay of the whole composition."""
+    return _run_stream_funnel(spark, sf_dir, [0, 1, 2], "fail")
+
+
+# --------------------------------------------------------------------------
+# Round 9 — OUT-OF-ORDER streaming curation funnel (VERDICT r8 #2): a
+# real 100 TB feed has late documents, so the flagship's fail-loud
+# ordered-ingestion guard gets a reconciliation sibling. The batch
+# thirds arrive SHUFFLED — middle, high, then the LOW third last (a
+# late batch far below the high-water mark, displacement-rich at both
+# dedup levels) — and late_policy="reconcile" re-elects every contested
+# keeper by min doc_id: fingerprint index rows carry the keeper's
+# doc_id (history −1, unbeatable), a smaller-id late candidate takes
+# the group over, and the displaced incumbent is retroactively removed
+# from the survivors table through the same CoW machinery retroactive
+# decontamination uses. Dedup groups are min-elections — membership is
+# arrival-order independent, displacement never resurrects a
+# non-keeper — so the final state equals the ONE-SHOT funnel for ANY
+# arrival order, which this key proves by sharing the one-shot DuckDB
+# oracle with the ordered twin (same gate, harder input).
+#
+# Exactly-once posture is unchanged: markers, consumers-before-
+# producers, batch_id < current index reads; the displacement delete
+# set derives from index rows only (never survivor-table contents) and
+# is intersected with the live survivor set, so replay after any
+# mid-chain crash recomputes identically and re-commits nothing
+# (tests/test_round8_ops.py pins shuffled==ordered, crash recovery,
+# replay version-stability, and per-level displacement semantics).
+#
+# Scale: identical to the ordered twin — per-batch cost is
+# O(batch + index scan); the keeper election adds one partial-agg MIN
+# per fingerprint index (columnar, 16-byte rows) in place of the old
+# anti-join; history is never re-read as text.
+# --------------------------------------------------------------------------
+@_register(
+    "stream_ooo_curation_funnel_counts",
+    ORACLES["incremental_curation_funnel_counts"],
+)
+def stream_ooo_curation_funnel_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The streaming curation funnel fed OUT OF ORDER (mid, high, low —
+    the low third arrives last, below the ingested high-water mark)
+    under late_policy="reconcile"; shares the one-shot oracle, so
+    min-doc_id keeper re-election + retroactive displacement correction
+    must reproduce the one-shot composition exactly."""
+    return _run_stream_funnel(spark, sf_dir, [2, 0, 1], "reconcile")

@@ -173,6 +173,119 @@ def test_stream_funnel_retro_decontamination(spark, tmp_path):
     )
 
 
+# ---- round 9: out-of-order reconciliation --------------------------------
+
+
+def test_stream_funnel_reconcile_shuffled_equals_ordered(spark, tmp_path):
+    """late_policy='reconcile': ingesting the HIGH doc_id half first and
+    the low half late must converge to exactly the ordered run's final
+    state — survivor rows AND per-stage counts (min-doc_id keeper
+    re-election with retroactive CoW correction of displaced
+    incumbents)."""
+    from iceberg_loader_spark.operators.dedup import CurationStreamFunnel
+
+    ref_f, ref_wh, b0, b1 = _funnel_fixture(spark, tmp_path, "ord")
+    ref_f(b0, 0)
+    ref_f(b1, 1)
+    want_surv, _ = _state(spark, ref_wh)
+    want_result = sorted(map(tuple, ref_f.result().collect()))
+
+    f, wh, b0, b1 = _funnel_fixture(spark, tmp_path, "shuf")
+    f.late_policy = "reconcile"
+    f(b1, 0)  # high half FIRST
+    f(b0, 1)  # low half LATE
+    got_surv, _ = _state(spark, wh)
+    assert got_surv == want_surv
+    assert sorted(map(tuple, f.result().collect())) == want_result
+
+
+def test_stream_funnel_reconcile_replay_and_crash_recovery(spark, tmp_path):
+    """Reconcile mode keeps the exactly-once contracts: replaying a
+    fully committed late batch changes nothing (not even versions —
+    the displacement delete intersects the live survivor set), and a
+    crash between the survivors commit and the index appends recovers
+    to the no-crash state."""
+    import pytest as _pt
+
+    ref_f, ref_wh, b0, b1 = _funnel_fixture(spark, tmp_path, "rref")
+    ref_f.late_policy = "reconcile"
+    ref_f(b1, 0)
+    ref_f(b0, 1)
+    want_surv, want_v = _state(spark, ref_wh)
+
+    f, wh, b0, b1 = _funnel_fixture(spark, tmp_path, "rcrash")
+    f.late_policy = "reconcile"
+    f(b1, 0)
+    orig = f._guarded_append
+
+    def boom(name, key, batch_id, frame, extra=None):
+        if name == "cf_fp":
+            raise RuntimeError("simulated crash before index appends")
+        return orig(name, key, batch_id, frame, extra)
+
+    f._guarded_append = boom
+    with _pt.raises(RuntimeError, match="simulated crash"):
+        f(b0, 1)  # late batch crashes mid-chain
+    f._guarded_append = orig
+    f(b0, 1)  # recovery replay
+    surv, v = _state(spark, wh)
+    assert surv == want_surv
+    f(b0, 1)  # full replay of the committed late batch
+    surv2, v2 = _state(spark, wh)
+    assert surv2 == want_surv
+    assert v2 == v, "replay of a committed late batch created commits"
+
+
+def test_stream_funnel_reconcile_displacement_semantics(spark, tmp_path):
+    """Keeper re-election at both dedup levels: a late smaller-id exact
+    duplicate displaces the ingested keeper; a late smaller-id SAME-
+    SIMHASH near-duplicate displaces too; a late eval-destined exact
+    duplicate displaces the keeper AND leaves no survivor (it is
+    eval)."""
+    from iceberg_loader_spark.operators.dedup import CurationStreamFunnel
+    from iceberg_loader_spark.tables import Warehouse
+
+    wh = Warehouse(str(tmp_path / "wh_disp"))
+    f = CurationStreamFunnel(spark, wh, late_policy="reconcile")
+    empty = spark.createDataFrame(
+        [], "doc_id bigint, lang string, n_chars int, text string"
+    )
+    f.seed(
+        empty.selectExpr("md5(text) AS h"),
+        spark.createDataFrame([], "simhash bigint"),
+        spark.createDataFrame([], "g string"),
+    )
+    toks = [f"tok{i}" for i in range(30)]
+    x = " ".join(toks)  # exact-dup text
+    x_rev = " ".join(reversed(toks))  # same token SET -> same simhash
+    ytoks = [f"y{i}" for i in range(30)]
+    y = " ".join(ytoks)
+    mk = lambda i, txt: (i, "en", len(txt), txt)  # noqa: E731
+    schema = "doc_id bigint, lang string, n_chars int, text string"
+    # batch 0 (high ids first): 2001 keeps x; 3005 keeps y (reversed)
+    f(spark.createDataFrame([mk(2001, x), mk(3005, y)], schema), 0)
+    assert {
+        r.doc_id
+        for r in wh.load_table("db.cf_surv").scan(spark).collect()
+    } == {2001, 3005}
+    # batch 1 (late): 1001 exact-dups x (displaces 2001); 1003 has y's
+    # token set in another order (same simhash, displaces 3005)
+    y_rev = " ".join(reversed(ytoks))
+    f(spark.createDataFrame([mk(1001, x), mk(1003, y_rev)], schema), 1)
+    assert {
+        r.doc_id
+        for r in wh.load_table("db.cf_surv").scan(spark).collect()
+    } == {1001, 1003}
+    # batch 2 (later still): 1000 exact-dups x and is EVAL-destined —
+    # displaces 1001 and, being eval, survives nowhere; its grams also
+    # retro-contaminate nothing else here
+    f(spark.createDataFrame([mk(1000, x)], schema), 2)
+    assert {
+        r.doc_id
+        for r in wh.load_table("db.cf_surv").scan(spark).collect()
+    } == {1003}
+
+
 # ---- winnowing window tradeoff -------------------------------------------
 
 

@@ -39,6 +39,8 @@ ALWAYS = [
     "lifecycle_stream_sink_counts",
     "stream_incremental_minhash_candidates",
     "stream_curation_funnel_counts",
+    "stream_ooo_curation_funnel_counts",
+    "lifecycle_eq_delete_convert_counts",
 ]
 
 
