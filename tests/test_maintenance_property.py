@@ -16,19 +16,27 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from iceberg_loader_spark.tables import Warehouse
+from iceberg_loader_spark.tables.format import ConcurrentModification
 from iceberg_loader_spark.tables.maintenance import (
+    convert_equality_deletes,
     expire_snapshots,
     manifest_chain_length,
     rewrite_data_files,
     rewrite_delete_files,
     rewrite_manifests,
 )
+from iceberg_loader_spark.tables.objectstore import (
+    InMemoryStore,
+    ObjectStoreBackend,
+)
 from iceberg_loader_spark.tables.table import Table
 
 # ops: ("append", [v...]) adds rows with value v (id auto-increments so
 # rows are unique); ("delete", t) removes v >= t copy-on-write;
 # ("pos_delete", t) removes v >= t as a positional delete file;
+# ("eq_delete", x) removes v == x as an equality-delete key file;
 # ("manifests",) squashes the chain; ("del_files",) merges pos deletes;
+# ("convert_eq",) materializes equality deletes into positions;
 # ("compact",) rewrites data files; ("expire",) keeps last 2 snapshots.
 _vals = st.lists(st.integers(0, 9), min_size=1, max_size=4)
 _ops = st.lists(
@@ -36,8 +44,10 @@ _ops = st.lists(
         st.tuples(st.just("append"), _vals),
         st.tuples(st.just("delete"), st.integers(3, 9)),
         st.tuples(st.just("pos_delete"), st.integers(3, 9)),
+        st.tuples(st.just("eq_delete"), st.integers(0, 9)),
         st.tuples(st.just("manifests")),
         st.tuples(st.just("del_files")),
+        st.tuples(st.just("convert_eq")),
         st.tuples(st.just("compact")),
         st.tuples(st.just("expire")),
     ),
@@ -89,6 +99,20 @@ def test_maintenance_ops_preserve_model_content(
             t.delete_where(spark, f"v >= {op[1]}", mode="mor-pos")
             for k in [k for k, v in model.items() if v >= op[1]]:
                 del model[k]
+        elif op[0] == "eq_delete":
+            t.delete_by_keys(
+                spark,
+                spark.createDataFrame([(int(op[1]),)], "v bigint"),
+                ["v"],
+            )
+            for k in [k for k, v in model.items() if v == op[1]]:
+                del model[k]
+        elif op[0] == "convert_eq":
+            convert_equality_deletes(t, spark)
+            t2 = wh.load_table("db.t")
+            assert all(
+                d.get("kind") == "pos" for d in t2.snapshot().delete_files
+            ), "conversion left equality ops behind"
         elif op[0] == "manifests":
             head = t.meta.current_version()
             rewrite_manifests(t)
@@ -114,3 +138,164 @@ def test_maintenance_ops_preserve_model_content(
         assert got == set(model.items()), f"drift after {op[0]}"
         # and the head manifest always resolves (chain never dangles)
         assert t.snapshot().version == t.meta.current_version()
+
+
+# ---------------------------------------------------------------------------
+# Round 9 — real interleaved RACES for the r8 metadata procedures, under
+# the object-store (conditional-PUT) backend: no POSIX atomics anywhere.
+# ---------------------------------------------------------------------------
+
+
+def _os_warehouse(tmp_path):
+    store = InMemoryStore()
+    return Warehouse(
+        str(tmp_path),
+        backend_factory=lambda root: ObjectStoreBackend(store, root),
+    )
+
+
+def _seed_table(spark, wh, files):
+    """One commit per entry in ``files`` (a list of value-lists) — each
+    file mixes low and high values so range deletes are PARTIAL matches
+    (a full metadata match would drop the file outright and write no
+    positions — the mor-pos fast path)."""
+    rows0 = [(i, int(v)) for i, v in enumerate(files[0])]
+    df0 = spark.createDataFrame(rows0, "id bigint, v bigint")
+    t = Table.create(wh, "db.t", df0.schema)
+    nid = 0
+    for vals in files:
+        rows = []
+        for v in vals:
+            rows.append((nid, int(v)))
+            nid += 1
+        wh.load_table("db.t").append(
+            spark.createDataFrame(rows, "id bigint, v bigint").coalesce(1)
+        )
+    return wh.load_table("db.t")
+
+
+def _visible(spark, wh):
+    return {
+        (r.id, r.v) for r in wh.load_table("db.t").scan(spark).collect()
+    }
+
+
+def test_rewrite_delete_files_aborts_on_concurrent_mor_delete(
+    spark, tmp_path
+):
+    """A concurrent positional delete landing between the merge's scan
+    and its commit changes the pos-delete set the merge was built from:
+    the commit MUST abort (ConcurrentModification), and the concurrent
+    delete's effect must survive untouched."""
+    import pytest as _pt
+
+    wh = _os_warehouse(tmp_path)
+    t = _seed_table(spark, wh, [[1, 8], [1, 5]])  # ids (0,1), (2,3)
+    t.delete_where(spark, "v >= 8", mode="mor-pos")  # partial on file 0
+    t = wh.load_table("db.t")
+
+    orig = t._commit_with_retry
+
+    def inject(build):
+        # partial on BOTH files -> a second pos file lands mid-merge
+        wh.load_table("db.t").delete_where(spark, "v >= 5", mode="mor-pos")
+        return orig(build)
+
+    t._commit_with_retry = inject
+    with _pt.raises(ConcurrentModification):
+        rewrite_delete_files(t, spark)
+    assert _visible(spark, wh) == {(0, 1), (2, 1)}
+    # rerun on a fresh handle converges: one merged file, same content
+    t = wh.load_table("db.t")
+    res = rewrite_delete_files(t, spark)
+    assert res["merged"] == 2 and res["files_after"] == 1
+    assert _visible(spark, wh) == {(0, 1), (2, 1)}
+
+
+def test_rewrite_delete_files_survives_concurrent_append_and_expire(
+    spark, tmp_path
+):
+    """A concurrent append (pos set unchanged) and a concurrent snapshot
+    expiry must NOT abort the merge: the appended rows stay visible and
+    untouched by the merged delete (max-sequence safety), and expiry
+    never deletes the delete files the current snapshot references."""
+    wh = _os_warehouse(tmp_path)
+    t = _seed_table(spark, wh, [[1, 5], [1, 8]])  # ids (0,1), (2,3)
+    t.delete_where(spark, "v >= 5", mode="mor-pos")  # partial on both
+    t = wh.load_table("db.t")
+
+    orig = t._commit_with_retry
+
+    def inject(build):
+        wh.load_table("db.t").append(
+            spark.createDataFrame([(90, 9)], "id bigint, v bigint")
+        )
+        expire_snapshots(wh.load_table("db.t"), keep_last=1)
+        return orig(build)
+
+    t._commit_with_retry = inject
+    res = rewrite_delete_files(t, spark)
+    assert res["merged"] == 1
+    # appended row visible even though v=9 matches the merged predicate
+    # rows (positions name exact rows; sequence rule protects the rest)
+    assert _visible(spark, wh) == {(0, 1), (2, 1), (90, 9)}
+
+
+def test_rewrite_manifests_races_concurrent_append(spark, tmp_path):
+    """rewrite_manifests swaps the HEAD manifest for a self-contained
+    one while an append commits the next version on the same ref: the
+    append's delta chain must still resolve (old-delta or new-full are
+    content-identical), nothing is lost, and the next squash shortens
+    the chain to zero."""
+    wh = _os_warehouse(tmp_path)
+    t = _seed_table(spark, wh, [[1], [2], [3], [4]])
+    assert manifest_chain_length(t) > 0
+
+    orig = t.meta.backend.write_manifest_replace
+
+    def inject(version, manifest):
+        wh.load_table("db.t").append(
+            spark.createDataFrame([(50, 5)], "id bigint, v bigint")
+        )
+        return orig(version, manifest)
+
+    t.meta.backend.write_manifest_replace = inject
+    rewrite_manifests(t)
+    t2 = wh.load_table("db.t")
+    # the concurrent append delta-based on the squashed head: depth 1
+    assert manifest_chain_length(t2) == 1
+    assert _visible(spark, wh) == {(0, 1), (1, 2), (2, 3), (3, 4), (50, 5)}
+    rewrite_manifests(t2)
+    t3 = wh.load_table("db.t")
+    assert manifest_chain_length(t3) == 0
+    assert _visible(spark, wh) == {(0, 1), (1, 2), (2, 3), (3, 4), (50, 5)}
+
+
+def test_rewrite_manifests_races_expire_snapshots(spark, tmp_path):
+    """rewrite_manifests vs concurrent expiry on the same ref: expiry
+    may materialize surviving manifests and delete expired ones while
+    the squash replaces the head — both writers only ever swap
+    content-identical manifests or remove dead ones, so the head chain
+    resolves and content is intact afterwards."""
+    wh = _os_warehouse(tmp_path)
+    t = _seed_table(spark, wh, [[1], [2], [3], [4], [2, 5]])
+    t.delete_where(spark, "v >= 5", mode="mor-pos")  # partial on last
+    t = wh.load_table("db.t")
+    assert manifest_chain_length(t) > 0
+
+    orig = t.meta.backend.write_manifest_replace
+    fired = {"n": 0}
+
+    def inject(version, manifest):
+        if fired["n"] == 0:  # expire exactly once, mid-squash
+            fired["n"] = 1
+            expire_snapshots(wh.load_table("db.t"), keep_last=1)
+        return orig(version, manifest)
+
+    t.meta.backend.write_manifest_replace = inject
+    rewrite_manifests(t)
+    t2 = wh.load_table("db.t")
+    assert manifest_chain_length(t2) == 0
+    assert _visible(spark, wh) == {(0, 1), (1, 2), (2, 3), (3, 4), (4, 2)}
+    # time travel to the surviving head still works post-race
+    assert t2.scan(spark, version=t2.meta.current_version()).count() == 5
