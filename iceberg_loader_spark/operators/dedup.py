@@ -828,6 +828,19 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # counts divided once at the end (bit-identical across engines).
 # --------------------------------------------------------------------------
 _NGRAM_DF_CAP_PCT = 10  # drop grams appearing in > n_docs/10 documents
+# ABSOLUTE posting-length bound composed with the relative cap (round 9):
+# a kept gram's pair contribution is O(df^2), so a PURELY relative cap
+# (df <= n_docs/10) admits ever-longer posting lists as the corpus grows
+# — measured at the synthetic second decade (sf0.1 -> sf1, x10 data):
+# 19.7x for containment and 12.1x for jaccard, because boilerplate grams
+# that the relative cap killed at sf0.1 slipped UNDER the 10x-higher
+# threshold at sf1. Effective cap = min(n_docs/10, 500): identical
+# results at every driver-tested SF (n_docs/10 <= 500 there), bounded
+# pair mass (<= C(500,2) per gram) at any corpus size. Re-measured after
+# the fix on the same decade: containment 4.2x, jaccard 7.6x — the
+# jaccard residual is true pair mass inside its (lang, len_band) blocks,
+# not posting-list blow-up.
+_NGRAM_DF_CAP_ABS = 500
 
 
 @_register(
@@ -846,6 +859,7 @@ _NGRAM_DF_CAP_PCT = 10  # drop grams appearing in > n_docs/10 documents
       SELECT g.doc_id, g.lang, g.len_band, g.gram
       FROM g JOIN df USING (gram)
       WHERE df.df * {100 // _NGRAM_DF_CAP_PCT} <= (SELECT COUNT(*) FROM documents)
+        AND df.df <= {_NGRAM_DF_CAP_ABS}
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM kept GROUP BY doc_id),
     inter AS (
@@ -898,7 +912,10 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         flat.groupBy("gram")
         .agg(F.count("*").alias("df"))
         .crossJoin(F.broadcast(n_docs))
-        .filter(F.col("df") * (100 // _NGRAM_DF_CAP_PCT) > F.col("n_docs"))
+        .filter(
+            (F.col("df") * (100 // _NGRAM_DF_CAP_PCT) > F.col("n_docs"))
+            | (F.col("df") > _NGRAM_DF_CAP_ABS)
+        )
         .select("gram")
     )
     kept = _materialize(flat.join(F.broadcast(hot), "gram", "left_anti"))
@@ -1489,6 +1506,7 @@ def dedup_canonical_per_cluster(
       SELECT g.doc_id, g.lang, g.gram
       FROM g JOIN df USING (gram)
       WHERE df.df * {100 // _NGRAM_DF_CAP_PCT} <= (SELECT COUNT(*) FROM documents)
+        AND df.df <= {_NGRAM_DF_CAP_ABS}
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM kept GROUP BY doc_id),
     inter AS (
@@ -1523,7 +1541,10 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         flat.groupBy("gram")
         .agg(F.count("*").alias("df"))
         .crossJoin(F.broadcast(n_docs))
-        .filter(F.col("df") * (100 // _NGRAM_DF_CAP_PCT) > F.col("n_docs"))
+        .filter(
+            (F.col("df") * (100 // _NGRAM_DF_CAP_PCT) > F.col("n_docs"))
+            | (F.col("df") > _NGRAM_DF_CAP_ABS)
+        )
         .select("gram")
     )
     kept = _materialize(flat.join(F.broadcast(hot), "gram", "left_anti"))
@@ -2763,7 +2784,10 @@ def _jaccard_truth_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         grams.groupBy("gram")
         .agg(F.count("*").alias("df"))
         .crossJoin(F.broadcast(n_docs))
-        .filter(F.col("df") * (100 // _NGRAM_DF_CAP_PCT) > F.col("n_docs"))
+        .filter(
+            (F.col("df") * (100 // _NGRAM_DF_CAP_PCT) > F.col("n_docs"))
+            | (F.col("df") > _NGRAM_DF_CAP_ABS)
+        )
         .select("gram")
     )
     kept = _materialize(grams.join(F.broadcast(hot), "gram", "left_anti"))
@@ -2840,6 +2864,7 @@ def _jaccard_truth_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept AS (
       SELECT g.doc_id, g.gram FROM g JOIN dfr USING (gram)
       WHERE dfr.df * {100 // _NGRAM_DF_CAP_PCT} <= (SELECT COUNT(*) FROM documents)
+        AND dfr.df <= {_NGRAM_DF_CAP_ABS}
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
     inter AS (
@@ -2954,6 +2979,7 @@ _DUCK_JC_TRUTH = f"""
     keptg AS (
       SELECT g.doc_id, g.gram FROM g JOIN dfr USING (gram)
       WHERE dfr.df * {100 // _NGRAM_DF_CAP_PCT} <= (SELECT COUNT(*) FROM documents)
+        AND dfr.df <= {_NGRAM_DF_CAP_ABS}
     ),
     gsizes AS (SELECT doc_id, COUNT(*) AS n FROM keptg GROUP BY doc_id),
     ginter AS (

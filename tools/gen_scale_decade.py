@@ -1,0 +1,154 @@
+"""Deterministic synthetic second scale decade (r8 verdict #1).
+
+`/root/testdata` tops out at sf0.1, so the measured scaling curves
+cover only one decade (sf0.01 -> sf0.1) — a regime where per-query
+fixed cost still dominates several rows.  This tool self-replicates the
+sf0.1 `documents` / `embeddings` / `events` tables x10 into a synthetic
+sf1 directory so `tools/scaling_curves.py --sf-small ... --sf-big ...`
+can measure the sf0.1 -> sf1 decade too.  TPC-H tables are symlinked
+unchanged (the dedup/similarity/funnel families under measurement never
+read them at more than sf0.1 anyway).
+
+Replication is seed-free and content-independent across copies — a
+naive x10 copy would make every document a 10-way exact duplicate and
+blow candidate-pair counts up quadratically (45 pairs per group), which
+measures the duplicate structure of the COPY SCHEME, not the operator:
+
+* documents: copy k prefixes every whitespace token with ``c<k>`` —
+  within-copy duplicate/near-dup structure is preserved exactly (the
+  transform is a bijection on token vocabulary), while cross-copy
+  shingle/MinHash/SimHash overlap drops to zero.  doc_id += k * 10^9
+  keeps eval-destined (%10) and split-bucket (hash) distributions.
+  n_chars is recomputed from the new text.
+* embeddings: copy k rotates the 64-dim vector left by k positions —
+  norm- and distribution-preserving, within-copy geometry identical,
+  cross-copy cosine decorrelated.  vec_id += k * 10^9.
+* events: ids offset (event_id/user_id += k * 10^9); ts/type/value
+  unchanged — the keyed-dedup and sessionization operators key on
+  (user, type, time), so offsetting users multiplies the key space the
+  way a bigger feed would.
+
+Usage:
+    python tools/gen_scale_decade.py [--out DIR] [--copies N]
+
+Default out: <repo>/.synthdata/sf1 (gitignored), copies: 10.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(_HERE)
+SRC = "/root/testdata/sf0.1"
+ID_OFF = 10**9
+
+TPCH = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+]
+
+
+def generate(out_dir: str, copies: int = 10) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW ks AS SELECT unnest(range({copies})) AS k")
+
+    con.execute(
+        f"""
+        COPY (
+          SELECT
+            doc_id + k * {ID_OFF} AS doc_id,
+            CASE WHEN k = 0 THEN text
+                 ELSE list_aggr(
+                        list_transform(
+                          string_split(text, ' '),
+                          t -> 'c' || CAST(k AS VARCHAR) || t
+                        ), 'string_agg', ' ')
+            END AS text,
+            lang,
+            source,
+            CASE WHEN k = 0 THEN n_chars
+                 ELSE CAST(length(list_aggr(
+                        list_transform(
+                          string_split(text, ' '),
+                          t -> 'c' || CAST(k AS VARCHAR) || t
+                        ), 'string_agg', ' ')) AS BIGINT)
+            END AS n_chars
+          FROM '{SRC}/documents.parquet', ks
+          ORDER BY doc_id
+        ) TO '{out_dir}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+
+    con.execute(
+        f"""
+        COPY (
+          SELECT
+            vec_id + k * {ID_OFF} AS vec_id,
+            CASE WHEN k = 0 THEN embedding
+                 ELSE list_concat(
+                        embedding[(k + 1):],
+                        embedding[1:k]
+                 )::FLOAT[]
+            END AS embedding,
+            label
+          FROM '{SRC}/embeddings.parquet', ks
+          ORDER BY vec_id
+        ) TO '{out_dir}/embeddings.parquet' (FORMAT PARQUET)
+        """
+    )
+
+    con.execute(
+        f"""
+        COPY (
+          SELECT
+            event_id + k * {ID_OFF} AS event_id,
+            ts,
+            user_id + k * {ID_OFF} AS user_id,
+            event_type,
+            value,
+            props
+          FROM '{SRC}/events.parquet', ks
+          ORDER BY event_id
+        ) TO '{out_dir}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+
+    for t in TPCH:
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(SRC, f"{t}.parquet"), dst)
+
+    for t in ("documents", "embeddings", "events"):
+        n = con.execute(
+            f"SELECT count(*) FROM '{out_dir}/{t}.parquet'"
+        ).fetchone()[0]
+        print(f"{t}: {n} rows")
+
+
+def main() -> int:
+    argv = sys.argv[1:]
+    out = (
+        argv[argv.index("--out") + 1]
+        if "--out" in argv
+        else os.path.join(REPO, ".synthdata", "sf1")
+    )
+    copies = (
+        int(argv[argv.index("--copies") + 1]) if "--copies" in argv else 10
+    )
+    generate(out, copies)
+    print(f"wrote {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -17,6 +17,12 @@ honest and reproducible.
 Usage:
     python tools/scaling_curves.py [--top N] [--keys k1,k2,...]
                                    [--repeat R] [--json out.json]
+                                   [--sf-small DIR] [--sf-big DIR]
+
+Round 9: --sf-small/--sf-big override the measured decade — pair them
+with tools/gen_scale_decade.py's synthetic sf1 to measure sf0.1 -> sf1
+(the second decade, where fixed cost no longer shelters a superlinear
+operator).
 
 Output: a markdown table on stdout (paste target: BASELINE.md scaling
 block) + optional JSON sidecar.  --repeat R (default 1) takes the MIN
@@ -109,9 +115,17 @@ def main() -> int:
         keys = [k for k, _ in ranked[:top_n]]
 
     fresh = "--fresh-artifacts" in argv
+    sf_small = (
+        argv[argv.index("--sf-small") + 1] if "--sf-small" in argv else SF_SMALL
+    )
+    sf_big = (
+        argv[argv.index("--sf-big") + 1] if "--sf-big" in argv else SF_BIG
+    )
+    lbl_s = os.path.basename(sf_small.rstrip("/"))
+    lbl_b = os.path.basename(sf_big.rstrip("/"))
     spark = get_spark("scaling_curves")
-    small = _time_at(spark, keys, SF_SMALL, repeat, fresh_artifacts=fresh)
-    big = _time_at(spark, keys, SF_BIG, repeat, fresh_artifacts=fresh)
+    small = _time_at(spark, keys, sf_small, repeat, fresh_artifacts=fresh)
+    big = _time_at(spark, keys, sf_big, repeat, fresh_artifacts=fresh)
 
     rows = []
     for k in keys:
@@ -120,7 +134,7 @@ def main() -> int:
         rows.append((k, s, b, ratio))
     rows.sort(key=lambda r: r[3], reverse=True)
 
-    print("| query | sf0.01 s | sf0.1 s | ratio (10x data) | verdict |")
+    print(f"| query | {lbl_s} s | {lbl_b} s | ratio (10x data) | verdict |")
     print("|---|---|---|---|---|")
     for k, s, b, ratio in rows:
         verdict = "**FLAG >12x**" if ratio > FLAG_RATIO else "linear-or-better"
@@ -131,8 +145,8 @@ def main() -> int:
         with open(out_path, "w") as f:
             json.dump(
                 {
-                    "sf_small": SF_SMALL,
-                    "sf_big": SF_BIG,
+                    "sf_small": sf_small,
+                    "sf_big": sf_big,
                     "repeat": repeat,
                     "rows": [
                         {"query": k, "sf001": s, "sf01": b, "ratio": r}
