@@ -2783,3 +2783,158 @@ def ivf_staleness_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("config")
+
+
+# --------------------------------------------------------------------------
+# Round 9 — the sign-LSH PLANE-COUNT tradeoff, measured (the same
+# measured-configuration discipline as the MinHash banding / SimHash
+# threshold / winnowing window rows). The second-decade scaling run put
+# embedding_neardup_lsh at 8.9x on 10x data — the mechanism is a FIXED
+# 2^P bucket count, so members-per-bucket (and per-bucket pair mass)
+# grows with the corpus. The production knob is P itself: every extra
+# hyperplane halves the expected candidate fraction (~2^-P of all
+# pairs) at some recall cost. This key measures that curve at P=4/6/8
+# against the exact all-pairs cosine truth: candidate fraction in ppm,
+# confirmed pairs, and recall of the >=0.3 near-dup set — so "scale the
+# planes with the corpus" is a measured decision, not a posture.
+#
+# Scale: the P-indexed candidate joins are sig equi-joins (never
+# all-pairs); only the TRUTH side is O(n^2) — the exact audit's
+# definitional cost, bounded to the embeddings table and shared across
+# the three P rows, exactly like the ann_recall_* audits.
+# --------------------------------------------------------------------------
+_LSH_TRADEOFF_PS = (4, 6, 8)
+
+
+def _lsh_tradeoff_sql() -> str:
+    cos = (
+        f"CAST({_DUCK_DOT.format(a='a.e', b='b.e')} AS DOUBLE)"
+        " / (SQRT(CAST(a.nsq AS DOUBLE)) * SQRT(CAST(b.nsq AS DOUBLE)))"
+    )
+    parts = [
+        f"""
+    fp AS (
+      SELECT vec_id, {_DUCK_FP.format(col='embedding')} AS e FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id, e, {_DUCK_DOT.format(a='e', b='e')} AS nsq FROM fp
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM norms),
+    truth AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_true
+      FROM norms a JOIN norms b ON a.vec_id < b.vec_id
+      WHERE {cos} >= 0.3
+    )"""
+    ]
+    rows = []
+    for p in _LSH_TRADEOFF_PS:
+        parts.append(
+            f"""
+    planes{p} AS (
+      SELECT vec_id AS plane_id, e AS p_e FROM fp WHERE vec_id < {p}
+    ),
+    sigs{p} AS (
+      SELECT n.vec_id,
+             SUM(CASE WHEN {_DUCK_DOT.format(a='n.e', b='p.p_e')} >= 0
+                 THEN (1 << p.plane_id) ELSE 0 END) AS sig
+      FROM norms n CROSS JOIN planes{p} p
+      GROUP BY n.vec_id
+    ),
+    row{p} AS (
+      SELECT CAST({p} AS BIGINT) AS p,
+             CAST(COUNT(*) AS BIGINT) AS n_cand,
+             CAST(COALESCE(SUM(CASE WHEN {cos} >= 0.3 THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS n_conf
+      FROM norms a
+      JOIN sigs{p} sa ON sa.vec_id = a.vec_id
+      JOIN sigs{p} sb ON sa.sig = sb.sig
+      JOIN norms b ON b.vec_id = sb.vec_id AND a.vec_id < b.vec_id
+    )"""
+        )
+        rows.append(f"SELECT * FROM row{p}")
+    union = " UNION ALL ".join(rows)
+    return f"""
+    WITH {','.join(parts)}
+    SELECT p, n_cand, n_conf, n_true,
+           (10000 * n_conf) // n_true AS recall_bps,
+           (1000000 * n_cand) // ((n * (n - 1)) // 2) AS cand_ppm
+    FROM ({union}) CROSS JOIN truth CROSS JOIN tot
+    ORDER BY p
+    """
+
+
+@_register("embedding_lsh_planes_tradeoff", _lsh_tradeoff_sql())
+def embedding_lsh_planes_tradeoff(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Candidate volume (ppm of all pairs), confirmed >=0.3 pairs, and
+    recall vs the exact all-pairs truth for sign-LSH with 4/6/8
+    hyperplanes — the measured knob that bounds per-bucket pair mass as
+    the corpus grows."""
+    from iceberg_loader_spark.operators.dedup import _materialize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    fp = _materialize(
+        emb.select("vec_id", _fixed_point(F.col("embedding")).alias("e"))
+        .withColumn("nsq", _dot(F.col("e"), F.col("e")))
+    )
+    n_frame = fp.agg(F.count("*").cast("bigint").alias("n"))
+
+    def _cos(a: str, b: str):
+        return _dot(F.col(f"{a}.e"), F.col(f"{b}.e")).cast("double") / (
+            F.sqrt(F.col(f"{a}.nsq").cast("double"))
+            * F.sqrt(F.col(f"{b}.nsq").cast("double"))
+        )
+
+    truth_frame = (
+        fp.alias("a")
+        .join(fp.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(_cos("a", "b") >= 0.3)
+        .agg(F.count("*").cast("bigint").alias("n_true"))
+    )
+    out = None
+    for p in _LSH_TRADEOFF_PS:
+        planes = fp.filter(F.col("vec_id") < p).select(
+            F.col("vec_id").alias("plane_id"), F.col("e").alias("p_e")
+        )
+        bit = F.when(
+            _dot(F.col("e"), F.col("p_e")) >= 0,
+            F.expr("shiftleft(cast(1 as bigint), cast(plane_id as int))"),
+        ).otherwise(F.lit(0).cast("bigint"))
+        sigs = (
+            fp.join(F.broadcast(planes))
+            .groupBy("vec_id")
+            .agg(F.sum(bit).alias("sig"))
+        )
+        bucketed = fp.join(sigs, "vec_id")
+        stats = (
+            bucketed.alias("a")
+            .join(
+                bucketed.alias("b"),
+                (F.col("a.sig") == F.col("b.sig"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .agg(
+                F.count("*").cast("bigint").alias("n_cand"),
+                F.coalesce(
+                    F.sum(F.when(_cos("a", "b") >= 0.3, 1).otherwise(0)),
+                    F.lit(0),
+                )
+                .cast("bigint")
+                .alias("n_conf"),
+            )
+        )
+        row = (
+            stats.crossJoin(F.broadcast(truth_frame))
+            .crossJoin(F.broadcast(n_frame))
+            .selectExpr(
+                f"CAST({p} AS BIGINT) AS p",
+                "n_cand",
+                "n_conf",
+                "n_true",
+                "(10000 * n_conf) div n_true AS recall_bps",
+                "(1000000 * n_cand) div ((n * (n - 1)) div 2) AS cand_ppm",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("p")
