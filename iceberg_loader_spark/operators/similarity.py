@@ -2785,6 +2785,7 @@ def ivf_staleness_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("config")
 
 
+
 # --------------------------------------------------------------------------
 # Round 9 — the sign-LSH PLANE-COUNT tradeoff, measured (the same
 # measured-configuration discipline as the MinHash banding / SimHash
@@ -2793,21 +2794,24 @@ def ivf_staleness_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 2^P bucket count, so members-per-bucket (and per-bucket pair mass)
 # grows with the corpus. The production knob is P itself: every extra
 # hyperplane halves the expected candidate fraction (~2^-P of all
-# pairs) at some recall cost. This key measures that curve at P=4/6/8
-# against the exact all-pairs cosine truth: candidate fraction in ppm,
-# confirmed pairs, and recall of the >=0.3 near-dup set — so "scale the
-# planes with the corpus" is a measured decision, not a posture.
+# pairs) at some recall cost. This key measures that curve at P=4/6/8:
+# full-corpus candidate volume (ppm of all pairs), and confirmation /
+# recall over a FIXED 30-anchor query sample against the exact cosine
+# truth — so "scale the planes with the corpus" is a measured decision,
+# not a posture.
 #
-# Scale: the P-indexed candidate joins are sig equi-joins (never
-# all-pairs). The TRUTH side is anchored to a deterministic query
-# subset (vec_id % 17 == 0, ~6% of vectors) exactly like the
-# ann_recall_* audits sample queries: recall is measured over true
-# pairs touching an anchor, so the exact-audit cost is O(anchors x n)
-# dot products, not O(n^2) — the candidate/ppm columns still cover the
-# FULL corpus (they are cheap equi-join counts).
+# Scale: the audit itself must survive the corpus it audits. The
+# full-corpus candidate COUNT is a sig-only equi-join (narrow rows, no
+# vectors carried); every exact-cosine evaluation is bounded to the 30
+# anchors — truth is O(30 x n) broadcast-anchor dots and confirmation
+# is O(30 x bucket-mates), both linear in corpus. (The first spelling
+# confirmed every candidate and anchored by a FRACTION of ids; the
+# synthetic decade measured it at 53.7x on 10x data — this key now
+# practices what it measures.)
 # --------------------------------------------------------------------------
 _LSH_TRADEOFF_PS = (4, 6, 8)
-_LSH_ANCHOR_MOD = 17  # vec_id % 17 == 0 -> the anchored truth subset
+_LSH_ANCHOR_MOD = 17  # anchors = first 30 vec_ids with vec_id % 17 == 0
+_LSH_N_ANCHORS = 30
 
 
 def _lsh_tradeoff_sql() -> str:
@@ -2823,13 +2827,17 @@ def _lsh_tradeoff_sql() -> str:
     norms AS (
       SELECT vec_id, e, {_DUCK_DOT.format(a='e', b='e')} AS nsq FROM fp
     ),
+    anch AS (
+      SELECT vec_id, e, nsq FROM norms
+      WHERE vec_id % {_LSH_ANCHOR_MOD} = 0
+      ORDER BY vec_id LIMIT {_LSH_N_ANCHORS}
+    ),
     tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM norms),
     truth AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM (
         SELECT DISTINCT least(a.vec_id, b.vec_id) AS x,
                         greatest(a.vec_id, b.vec_id) AS y
-        FROM norms a JOIN norms b
-          ON a.vec_id % {_LSH_ANCHOR_MOD} = 0 AND a.vec_id <> b.vec_id
+        FROM anch a JOIN norms b ON a.vec_id <> b.vec_id
         WHERE {cos} >= 0.3
       )
     )"""
@@ -2848,26 +2856,34 @@ def _lsh_tradeoff_sql() -> str:
       FROM norms n CROSS JOIN planes{p} p
       GROUP BY n.vec_id
     ),
+    ncand{p} AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_cand
+      FROM sigs{p} a JOIN sigs{p} b
+        ON a.sig = b.sig AND a.vec_id < b.vec_id
+    ),
+    acand{p} AS (
+      SELECT DISTINCT least(a.vec_id, b.vec_id) AS x,
+                      greatest(a.vec_id, b.vec_id) AS y,
+             CASE WHEN {cos} >= 0.3 THEN 1 ELSE 0 END AS conf
+      FROM (SELECT n.vec_id, n.e, n.nsq, s.sig
+            FROM anch n JOIN sigs{p} s ON s.vec_id = n.vec_id) a
+      JOIN (SELECT n.vec_id, n.e, n.nsq, s.sig
+            FROM norms n JOIN sigs{p} s ON s.vec_id = n.vec_id) b
+        ON a.sig = b.sig AND a.vec_id <> b.vec_id
+    ),
     row{p} AS (
       SELECT CAST({p} AS BIGINT) AS p,
-             CAST(COUNT(*) AS BIGINT) AS n_cand,
-             CAST(COALESCE(SUM(CASE WHEN {cos} >= 0.3 THEN 1 ELSE 0 END), 0)
-                  AS BIGINT) AS n_conf,
-             CAST(COALESCE(SUM(CASE WHEN {cos} >= 0.3
-                  AND (a.vec_id % {_LSH_ANCHOR_MOD} = 0
-                       OR b.vec_id % {_LSH_ANCHOR_MOD} = 0)
-                  THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_conf_anch
-      FROM norms a
-      JOIN sigs{p} sa ON sa.vec_id = a.vec_id
-      JOIN sigs{p} sb ON sa.sig = sb.sig
-      JOIN norms b ON b.vec_id = sb.vec_id AND a.vec_id < b.vec_id
+             (SELECT n_cand FROM ncand{p}) AS n_cand,
+             CAST(COUNT(*) AS BIGINT) AS n_cand_anch,
+             CAST(COALESCE(SUM(conf), 0) AS BIGINT) AS n_conf_anch
+      FROM acand{p}
     )"""
         )
         rows.append(f"SELECT * FROM row{p}")
     union = " UNION ALL ".join(rows)
     return f"""
     WITH {','.join(parts)}
-    SELECT p, n_cand, n_conf, n_true,
+    SELECT p, n_cand, n_cand_anch, n_conf_anch, n_true,
            (10000 * n_conf_anch) // n_true AS recall_bps,
            (1000000 * n_cand) // ((n * (n - 1)) // 2) AS cand_ppm
     FROM ({union}) CROSS JOIN truth CROSS JOIN tot
@@ -2879,16 +2895,23 @@ def _lsh_tradeoff_sql() -> str:
 def embedding_lsh_planes_tradeoff(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Candidate volume (ppm of all pairs), confirmed >=0.3 pairs, and
-    recall vs the exact all-pairs truth for sign-LSH with 4/6/8
-    hyperplanes — the measured knob that bounds per-bucket pair mass as
-    the corpus grows."""
+    """Full-corpus candidate volume (ppm of all pairs) plus anchored
+    confirmation and recall vs exact cosine truth for sign-LSH with
+    4/6/8 hyperplanes — the measured knob that bounds per-bucket pair
+    mass as the corpus grows. Every exact-cosine evaluation is bounded
+    to a fixed 30-anchor sample; the full-corpus candidate count is a
+    narrow sig-only join."""
     from iceberg_loader_spark.operators.dedup import _materialize
 
     emb = load_table(spark, sf_dir, "embeddings")
     fp = _materialize(
         emb.select("vec_id", _fixed_point(F.col("embedding")).alias("e"))
         .withColumn("nsq", _dot(F.col("e"), F.col("e")))
+    )
+    anchors = _materialize(
+        fp.filter(F.col("vec_id") % _LSH_ANCHOR_MOD == 0)
+        .orderBy("vec_id")
+        .limit(_LSH_N_ANCHORS)
     )
     n_frame = fp.agg(F.count("*").cast("bigint").alias("n"))
 
@@ -2898,18 +2921,9 @@ def embedding_lsh_planes_tradeoff(
             * F.sqrt(F.col(f"{b}.nsq").cast("double"))
         )
 
-    anchored = (F.col("a.vec_id") % _LSH_ANCHOR_MOD == 0) | (
-        F.col("b.vec_id") % _LSH_ANCHOR_MOD == 0
-    )
-    # anchor-DRIVEN truth join: broadcast the ~n/17 anchors against the
-    # corpus so the exact cosine evaluates O(anchors x n) times — an
-    # anchored self-join spelling makes the BNLJ evaluate it on every
-    # (a < b) pair instead (measured 23 s vs ~2 s at sf0.1)
-    anchors_fp = fp.filter(F.col("vec_id") % _LSH_ANCHOR_MOD == 0)
     truth_frame = (
-        anchors_fp.alias("a")
-        .join(F.broadcast(fp.alias("b")).hint("broadcast"),
-              F.col("a.vec_id") != F.col("b.vec_id"))
+        anchors.alias("a")
+        .join(fp.alias("b"), F.col("a.vec_id") != F.col("b.vec_id"))
         .filter(_cos("a", "b") >= 0.3)
         .select(
             F.least("a.vec_id", "b.vec_id").alias("x"),
@@ -2927,46 +2941,53 @@ def embedding_lsh_planes_tradeoff(
             _dot(F.col("e"), F.col("p_e")) >= 0,
             F.expr("shiftleft(cast(1 as bigint), cast(plane_id as int))"),
         ).otherwise(F.lit(0).cast("bigint"))
-        sigs = (
+        sigs = _materialize(
             fp.join(F.broadcast(planes))
             .groupBy("vec_id")
             .agg(F.sum(bit).alias("sig"))
         )
-        bucketed = fp.join(sigs, "vec_id")
-        stats = (
-            bucketed.alias("a")
+        # full-corpus candidate COUNT: sig-only narrow self-join — no
+        # vector arrays ride the quadratic part
+        ncand_frame = (
+            sigs.alias("a")
             .join(
-                bucketed.alias("b"),
+                sigs.alias("b"),
                 (F.col("a.sig") == F.col("b.sig"))
                 & (F.col("a.vec_id") < F.col("b.vec_id")),
             )
-            .agg(
-                F.count("*").cast("bigint").alias("n_cand"),
-                F.coalesce(
-                    F.sum(F.when(_cos("a", "b") >= 0.3, 1).otherwise(0)),
-                    F.lit(0),
-                )
-                .cast("bigint")
-                .alias("n_conf"),
-                F.coalesce(
-                    F.sum(
-                        F.when(
-                            (_cos("a", "b") >= 0.3) & anchored, 1
-                        ).otherwise(0)
-                    ),
-                    F.lit(0),
-                )
-                .cast("bigint")
-                .alias("n_conf_anch"),
+            .agg(F.count("*").cast("bigint").alias("n_cand"))
+        )
+        anch_b = anchors.join(sigs, "vec_id")
+        corp_b = fp.join(sigs, "vec_id")
+        acand = (
+            anch_b.alias("a")
+            .join(
+                corp_b.alias("b"),
+                (F.col("a.sig") == F.col("b.sig"))
+                & (F.col("a.vec_id") != F.col("b.vec_id")),
             )
+            .select(
+                F.least("a.vec_id", "b.vec_id").alias("x"),
+                F.greatest("a.vec_id", "b.vec_id").alias("y"),
+                F.when(_cos("a", "b") >= 0.3, 1).otherwise(0).alias("conf"),
+            )
+            .distinct()
+        )
+        stats = acand.agg(
+            F.count("*").cast("bigint").alias("n_cand_anch"),
+            F.coalesce(F.sum("conf"), F.lit(0))
+            .cast("bigint")
+            .alias("n_conf_anch"),
         )
         row = (
-            stats.crossJoin(F.broadcast(truth_frame))
+            stats.crossJoin(F.broadcast(ncand_frame))
+            .crossJoin(F.broadcast(truth_frame))
             .crossJoin(F.broadcast(n_frame))
             .selectExpr(
                 f"CAST({p} AS BIGINT) AS p",
                 "n_cand",
-                "n_conf",
+                "n_cand_anch",
+                "n_conf_anch",
                 "n_true",
                 "(10000 * n_conf_anch) div n_true AS recall_bps",
                 "(1000000 * n_cand) div ((n * (n - 1)) div 2) AS cand_ppm",
