@@ -2995,3 +2995,256 @@ def embedding_lsh_planes_tradeoff(
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("p")
+
+
+# --------------------------------------------------------------------------
+# Round 9 — the OR-AMPLIFICATION axis of the LSH measured matrix. The
+# plane-count tradeoff above measures the AND axis (more hyperplanes →
+# fewer candidates, lower recall); classic LSH amplification composes
+# it with an OR over T independent hash tables: a pair is a candidate
+# if it collides in ANY table, so recall rises ~1-(1-r^P)^T while
+# candidate volume grows ~linearly in T. This key measures T=1/2/3
+# tables at the production P=6 (table t's hyperplanes are the stored
+# vectors [6t, 6t+6) — data-derived, deterministic, zero out-of-band
+# state, same convention as the single-table index). The T=1 row is
+# definitionally the planes-tradeoff's P=6 row (same planes, same
+# anchors) — a cross-key consistency pin.
+#
+# Scale: same audit discipline as the plane-count key — full-corpus
+# candidate counts are narrow sig-only joins (per table, unioned
+# DISTINCT), every exact-cosine evaluation is bounded to the fixed
+# 30-anchor sample, truth is O(30 x n) broadcast dots.
+# --------------------------------------------------------------------------
+_LSH_OR_TS = (1, 2, 3)
+
+
+def _lsh_ortables_sql() -> str:
+    cos = (
+        f"CAST({_DUCK_DOT.format(a='a.e', b='b.e')} AS DOUBLE)"
+        " / (SQRT(CAST(a.nsq AS DOUBLE)) * SQRT(CAST(b.nsq AS DOUBLE)))"
+    )
+    parts = [
+        f"""
+    fp AS (
+      SELECT vec_id, {_DUCK_FP.format(col='embedding')} AS e FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id, e, {_DUCK_DOT.format(a='e', b='e')} AS nsq FROM fp
+    ),
+    anch AS (
+      SELECT vec_id, e, nsq FROM norms
+      WHERE vec_id % {_LSH_ANCHOR_MOD} = 0
+      ORDER BY vec_id LIMIT {_LSH_N_ANCHORS}
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM norms),
+    truth AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM (
+        SELECT DISTINCT least(a.vec_id, b.vec_id) AS x,
+                        greatest(a.vec_id, b.vec_id) AS y
+        FROM anch a JOIN norms b ON a.vec_id <> b.vec_id
+        WHERE {cos} >= 0.3
+      )
+    )"""
+    ]
+    # per-table signatures (table t uses planes [6t, 6t+6))
+    max_t = max(_LSH_OR_TS)
+    for t in range(max_t):
+        lo, hi = 6 * t, 6 * t + 6
+        parts.append(
+            f"""
+    tplanes{t} AS (
+      SELECT vec_id - {lo} AS plane_id, e AS p_e FROM fp
+      WHERE vec_id >= {lo} AND vec_id < {hi}
+    ),
+    tsigs{t} AS (
+      SELECT n.vec_id,
+             SUM(CASE WHEN {_DUCK_DOT.format(a='n.e', b='p.p_e')} >= 0
+                 THEN (1 << p.plane_id) ELSE 0 END) AS sig
+      FROM norms n CROSS JOIN tplanes{t} p
+      GROUP BY n.vec_id
+    )"""
+        )
+    rows = []
+    for T in _LSH_OR_TS:
+        cand_union = " UNION ".join(
+            f"SELECT a.vec_id AS x, b.vec_id AS y FROM tsigs{t} a "
+            f"JOIN tsigs{t} b ON a.sig = b.sig AND a.vec_id < b.vec_id"
+            for t in range(T)
+        )
+        acand_union = " UNION ".join(
+            f"SELECT least(n.vec_id, m.vec_id) AS x, "
+            f"greatest(n.vec_id, m.vec_id) AS y "
+            f"FROM (SELECT c.vec_id, s.sig FROM anch c "
+            f"      JOIN tsigs{t} s ON s.vec_id = c.vec_id) n "
+            f"JOIN tsigs{t} m ON m.sig = n.sig AND m.vec_id <> n.vec_id"
+            for t in range(T)
+        )
+        parts.append(
+            f"""
+    tcand{T} AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand
+                 FROM ({cand_union})),
+    tarow{T} AS (
+      SELECT CAST({T} AS BIGINT) AS t,
+             (SELECT n_cand FROM tcand{T}) AS n_cand,
+             CAST(COUNT(*) AS BIGINT) AS n_cand_anch,
+             CAST(COALESCE(SUM(CASE WHEN {cos} >= 0.3 THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS n_conf_anch
+      FROM (SELECT DISTINCT x, y FROM ({acand_union})) pr
+      JOIN norms a ON a.vec_id = pr.x
+      JOIN norms b ON b.vec_id = pr.y
+    )"""
+        )
+        rows.append(f"SELECT * FROM tarow{T}")
+    union = " UNION ALL ".join(rows)
+    return f"""
+    WITH {','.join(parts)}
+    SELECT t, n_cand, n_cand_anch, n_conf_anch, n_true,
+           (10000 * n_conf_anch) // n_true AS recall_bps,
+           (1000000 * n_cand) // ((n * (n - 1)) // 2) AS cand_ppm
+    FROM ({union}) CROSS JOIN truth CROSS JOIN tot
+    ORDER BY t
+    """
+
+
+@_register("embedding_lsh_ortables_tradeoff", _lsh_ortables_sql())
+def embedding_lsh_ortables_tradeoff(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OR-amplification measured: T=1/2/3 independent 6-plane hash
+    tables, candidates = collide-in-ANY-table (distinct union), scored
+    for full-corpus candidate volume and anchored confirmation/recall
+    against the exact cosine truth. T=1 equals the plane-count
+    tradeoff's P=6 row by construction."""
+    from iceberg_loader_spark.operators.dedup import _materialize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    fp = _materialize(
+        emb.select("vec_id", _fixed_point(F.col("embedding")).alias("e"))
+        .withColumn("nsq", _dot(F.col("e"), F.col("e")))
+    )
+    anchors = _materialize(
+        fp.filter(F.col("vec_id") % _LSH_ANCHOR_MOD == 0)
+        .orderBy("vec_id")
+        .limit(_LSH_N_ANCHORS)
+    )
+    n_frame = fp.agg(F.count("*").cast("bigint").alias("n"))
+
+    def _cos(a: str, b: str):
+        return _dot(F.col(f"{a}.e"), F.col(f"{b}.e")).cast("double") / (
+            F.sqrt(F.col(f"{a}.nsq").cast("double"))
+            * F.sqrt(F.col(f"{b}.nsq").cast("double"))
+        )
+
+    truth_frame = (
+        anchors.alias("a")
+        .join(fp.alias("b"), F.col("a.vec_id") != F.col("b.vec_id"))
+        .filter(_cos("a", "b") >= 0.3)
+        .select(
+            F.least("a.vec_id", "b.vec_id").alias("x"),
+            F.greatest("a.vec_id", "b.vec_id").alias("y"),
+        )
+        .distinct()
+        .agg(F.count("*").cast("bigint").alias("n_true"))
+    )
+    sigs_by_t = []
+    for t in range(max(_LSH_OR_TS)):
+        lo = 6 * t
+        planes = fp.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 6)
+        ).select(
+            (F.col("vec_id") - F.lit(lo)).alias("plane_id"),
+            F.col("e").alias("p_e"),
+        )
+        bit = F.when(
+            _dot(F.col("e"), F.col("p_e")) >= 0,
+            F.expr("shiftleft(cast(1 as bigint), cast(plane_id as int))"),
+        ).otherwise(F.lit(0).cast("bigint"))
+        sigs_by_t.append(
+            _materialize(
+                fp.join(F.broadcast(planes))
+                .groupBy("vec_id")
+                .agg(F.sum(bit).alias("sig"))
+            )
+        )
+    out = None
+    for T in _LSH_OR_TS:
+        cand = None
+        acand = None
+        for t in range(T):
+            sigs = sigs_by_t[t]
+            c = (
+                sigs.alias("a")
+                .join(
+                    sigs.alias("b"),
+                    (F.col("a.sig") == F.col("b.sig"))
+                    & (F.col("a.vec_id") < F.col("b.vec_id")),
+                )
+                .select(
+                    F.col("a.vec_id").alias("x"), F.col("b.vec_id").alias("y")
+                )
+            )
+            cand = c if cand is None else cand.unionByName(c)
+            a = (
+                anchors.join(sigs, "vec_id")
+                .alias("a")
+                .join(
+                    sigs.alias("b"),
+                    (F.col("a.sig") == F.col("b.sig"))
+                    & (F.col("a.vec_id") != F.col("b.vec_id")),
+                )
+                .select(
+                    F.least("a.vec_id", "b.vec_id").alias("x"),
+                    F.greatest("a.vec_id", "b.vec_id").alias("y"),
+                )
+            )
+            acand = a if acand is None else acand.unionByName(a)
+        ncand_frame = cand.distinct().agg(
+            F.count("*").cast("bigint").alias("n_cand")
+        )
+        pr = acand.distinct()
+        fa = fp.select(
+            F.col("vec_id").alias("x"),
+            F.col("e").alias("a_e"),
+            F.col("nsq").alias("a_nsq"),
+        )
+        fb = fp.select(
+            F.col("vec_id").alias("y"),
+            F.col("e").alias("b_e"),
+            F.col("nsq").alias("b_nsq"),
+        )
+        conf = (
+            _dot(F.col("a_e"), F.col("b_e")).cast("double")
+            / (
+                F.sqrt(F.col("a_nsq").cast("double"))
+                * F.sqrt(F.col("b_nsq").cast("double"))
+            )
+            >= 0.3
+        )
+        stats = (
+            pr.join(fa, "x")
+            .join(fb, "y")
+            .agg(
+                F.count("*").cast("bigint").alias("n_cand_anch"),
+                F.coalesce(
+                    F.sum(F.when(conf, 1).otherwise(0)), F.lit(0)
+                )
+                .cast("bigint")
+                .alias("n_conf_anch"),
+            )
+        )
+        row = (
+            stats.crossJoin(F.broadcast(ncand_frame))
+            .crossJoin(F.broadcast(truth_frame))
+            .crossJoin(F.broadcast(n_frame))
+            .selectExpr(
+                f"CAST({T} AS BIGINT) AS t",
+                "n_cand",
+                "n_cand_anch",
+                "n_conf_anch",
+                "n_true",
+                "(10000 * n_conf_anch) div n_true AS recall_bps",
+                "(1000000 * n_cand) div ((n * (n - 1)) div 2) AS cand_ppm",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("t")
