@@ -41,6 +41,8 @@ ALWAYS = [
     "stream_curation_funnel_counts",
     "stream_ooo_curation_funnel_counts",
     "lifecycle_eq_delete_convert_counts",
+    "embedding_lsh_planes_tradeoff",
+    "embedding_lsh_ortables_tradeoff",
 ]
 
 
