@@ -50,6 +50,8 @@ def test_load_stream_example(tmp_path):
 def test_maintenance_example(tmp_path):
     res = _load("maintenance_example").main(str(tmp_path))
     assert res["expired"]["expired"] > 0
+    assert res["converted"]["converted"] == 1
+    assert res["merged"]["merged"] >= 1
 
 
 @pytest.mark.usefixtures("spark")
