@@ -2884,7 +2884,7 @@ def _lsh_tradeoff_sql() -> str:
     return f"""
     WITH {','.join(parts)}
     SELECT p, n_cand, n_cand_anch, n_conf_anch, n_true,
-           (10000 * n_conf_anch) // n_true AS recall_bps,
+           (10000 * n_conf_anch) // GREATEST(n_true, 1) AS recall_bps,
            (1000000 * n_cand) // ((n * (n - 1)) // 2) AS cand_ppm
     FROM ({union}) CROSS JOIN truth CROSS JOIN tot
     ORDER BY p
@@ -2989,7 +2989,7 @@ def embedding_lsh_planes_tradeoff(
                 "n_cand_anch",
                 "n_conf_anch",
                 "n_true",
-                "(10000 * n_conf_anch) div n_true AS recall_bps",
+                "(10000 * n_conf_anch) div GREATEST(n_true, 1) AS recall_bps",
                 "(1000000 * n_cand) div ((n * (n - 1)) div 2) AS cand_ppm",
             )
         )
@@ -3099,7 +3099,7 @@ def _lsh_ortables_sql() -> str:
     return f"""
     WITH {','.join(parts)}
     SELECT t, n_cand, n_cand_anch, n_conf_anch, n_true,
-           (10000 * n_conf_anch) // n_true AS recall_bps,
+           (10000 * n_conf_anch) // GREATEST(n_true, 1) AS recall_bps,
            (1000000 * n_cand) // ((n * (n - 1)) // 2) AS cand_ppm
     FROM ({union}) CROSS JOIN truth CROSS JOIN tot
     ORDER BY t
@@ -3242,7 +3242,7 @@ def embedding_lsh_ortables_tradeoff(
                 "n_cand_anch",
                 "n_conf_anch",
                 "n_true",
-                "(10000 * n_conf_anch) div n_true AS recall_bps",
+                "(10000 * n_conf_anch) div GREATEST(n_true, 1) AS recall_bps",
                 "(1000000 * n_cand) div ((n * (n - 1)) div 2) AS cand_ppm",
             )
         )

@@ -11,7 +11,11 @@ import io
 import json
 import sys
 
+import pytest
+
 from iceberg_loader_spark.sources.tables import load_table
+
+pytestmark = pytest.mark.requires_testdata
 
 
 def test_bench_prints_one_json_line_and_sidecar(spark, tmp_path, monkeypatch):

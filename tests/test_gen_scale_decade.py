@@ -6,8 +6,11 @@ scheme (a naive x10 copy inflates candidate-pair mass quadratically)."""
 from __future__ import annotations
 
 import duckdb
+import pytest
 
 from tools.gen_scale_decade import ID_OFF, generate
+
+pytestmark = pytest.mark.requires_testdata
 
 
 def _gen(tmp_path, name, copies):

@@ -29,9 +29,14 @@ measures the duplicate structure of the COPY SCHEME, not the operator:
   way a bigger feed would.
 
 Usage:
-    python tools/gen_scale_decade.py [--out DIR] [--copies N]
+    python tools/gen_scale_decade.py [--out DIR] [--copies N] [--src DIR]
 
-Default out: <repo>/.synthdata/sf1 (gitignored), copies: 10.
+Default out: <repo>/.synthdata/sf1 (gitignored), copies: 10,
+src: /root/testdata/sf0.1.  NOTE: TPC-H tables are emitted as
+ABSOLUTE symlinks into --src (they are never scaled); the output
+directory therefore dangles if the source root moves or the output
+is copied to another machine — regenerate (seconds) rather than
+copying.
 """
 
 from __future__ import annotations
@@ -57,7 +62,7 @@ TPCH = [
 ]
 
 
-def generate(out_dir: str, copies: int = 10) -> None:
+def generate(out_dir: str, copies: int = 10, src: str = SRC) -> None:
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"CREATE VIEW ks AS SELECT unnest(range({copies})) AS k")
@@ -83,7 +88,7 @@ def generate(out_dir: str, copies: int = 10) -> None:
                           t -> 'c' || CAST(k AS VARCHAR) || t
                         ), 'string_agg', ' ')) AS BIGINT)
             END AS n_chars
-          FROM '{SRC}/documents.parquet', ks
+          FROM '{src}/documents.parquet', ks
           ORDER BY doc_id
         ) TO '{out_dir}/documents.parquet' (FORMAT PARQUET)
         """
@@ -101,7 +106,7 @@ def generate(out_dir: str, copies: int = 10) -> None:
                  )::FLOAT[]
             END AS embedding,
             label
-          FROM '{SRC}/embeddings.parquet', ks
+          FROM '{src}/embeddings.parquet', ks
           ORDER BY vec_id
         ) TO '{out_dir}/embeddings.parquet' (FORMAT PARQUET)
         """
@@ -117,7 +122,7 @@ def generate(out_dir: str, copies: int = 10) -> None:
             event_type,
             value,
             props
-          FROM '{SRC}/events.parquet', ks
+          FROM '{src}/events.parquet', ks
           ORDER BY event_id
         ) TO '{out_dir}/events.parquet' (FORMAT PARQUET)
         """
@@ -126,7 +131,10 @@ def generate(out_dir: str, copies: int = 10) -> None:
     for t in TPCH:
         dst = os.path.join(out_dir, f"{t}.parquet")
         if not os.path.exists(dst):
-            os.symlink(os.path.join(SRC, f"{t}.parquet"), dst)
+            # absolute symlink: cheap, but the output directory is
+            # machine-local — copy the TPC-H files instead if the
+            # synthetic dir must survive a move (documented in --help)
+            os.symlink(os.path.abspath(os.path.join(src, f"{t}.parquet")), dst)
 
     for t in ("documents", "embeddings", "events"):
         n = con.execute(
@@ -145,7 +153,8 @@ def main() -> int:
     copies = (
         int(argv[argv.index("--copies") + 1]) if "--copies" in argv else 10
     )
-    generate(out, copies)
+    src = argv[argv.index("--src") + 1] if "--src" in argv else SRC
+    generate(out, copies, src=src)
     print(f"wrote {out}")
     return 0
 
