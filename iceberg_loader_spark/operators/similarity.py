@@ -165,29 +165,136 @@ def _lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Adaptive sign-LSH sizing (round 10 — wiring the measured knobs from
+# embedding_lsh_planes_tradeoff / embedding_lsh_ortables_tradeoff into the
+# production near-dup operator). A FIXED 2^P bucket count is the one
+# mechanism the synthetic decade flagged (pair mass per bucket grows with
+# the corpus: embedding_neardup_lsh read 8.9x on 10x data); the measured
+# fix is the same posture the IVF family already practices — size the
+# index to the corpus:
+#   P = clamp(floor_log2(n / 64), 6, 16)   # ~n/64 expected members/bucket
+#   T = 1 + (P - 6) // 2                   # OR-tables buy back the recall
+#                                          # each extra plane costs (the
+#                                          # measured T-curve is ~linear in
+#                                          # candidates)
+# At every driver-tested scale (n <= 2000) this derives exactly P=6, T=1 —
+# the operator's historical configuration, so results are bit-identical
+# where the oracle is exercised — and at the synthetic sf1 decade
+# (n = 20000) it derives P=8, T=2: 256 buckets per table, bounded
+# per-bucket pair mass. floor_log2 is int.bit_length()-1 here and
+# length(bin(x))-1 in the oracle SQL — identical BIGINT arithmetic in both
+# engines (the r8 integer-log trick).
+# --------------------------------------------------------------------------
+_LSH_TARGET_BUCKET = 64  # target expected members per bucket
+_LSH_MIN_PLANES = 6  # floor = the fixed-P behavior at driver-tested SFs
+_LSH_MAX_PLANES = 16
+
+
+def _adaptive_lsh_params(n: int) -> tuple[int, int]:
+    """Derive (n_planes, n_or_tables) from the corpus size. Mirrored
+    EXACTLY by the params CTE in _DUCK_LSH_ADAPT."""
+    q = max(n // _LSH_TARGET_BUCKET, 1)
+    p = max(_LSH_MIN_PLANES, min(_LSH_MAX_PLANES, q.bit_length() - 1))
+    t = 1 + (p - _LSH_MIN_PLANES) // 2
+    return p, t
+
+
+# Same zero-out-of-band-state convention as _DUCK_LSH: hyperplanes are the
+# first P*T stored vectors; table k uses planes [k*P, (k+1)*P) with bit
+# position plane_id % P.
+_DUCK_LSH_ADAPT = f"""
+    fp AS (
+      SELECT vec_id, label, {_DUCK_FP.format(col='embedding')} AS e
+      FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id, label, e, {_DUCK_DOT.format(a='e', b='e')} AS nsq FROM fp
+    ),
+    pt AS (
+      SELECT p, 1 + (p - {_LSH_MIN_PLANES}) // 2 AS t FROM (
+        SELECT GREATEST({_LSH_MIN_PLANES}, LEAST({_LSH_MAX_PLANES},
+                 length(bin(GREATEST(COUNT(*) // {_LSH_TARGET_BUCKET}, 1))) - 1)) AS p
+        FROM fp)
+    ),
+    planes AS (
+      SELECT f.vec_id AS plane_id, f.e AS p_e,
+             f.vec_id // pt.p AS table_id, f.vec_id % pt.p AS bit_pos
+      FROM fp f, pt WHERE f.vec_id < pt.p * pt.t
+    ),
+    sigs AS (
+      SELECT n.vec_id, p.table_id,
+             SUM(CASE WHEN {_DUCK_DOT.format(a='n.e', b='p.p_e')} >= 0
+                 THEN (1 << p.bit_pos) ELSE 0 END) AS sig
+      FROM norms n CROSS JOIN planes p
+      GROUP BY n.vec_id, p.table_id
+    ),
+    bucketed AS (
+      SELECT n.vec_id, n.label, n.e, n.nsq, s.table_id, s.sig
+      FROM norms n JOIN sigs s ON s.vec_id = n.vec_id
+    )
+"""
+
+
+def _lsh_bucketed_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, e, nsq, table_id, sig) with corpus-adaptive plane
+    count and OR-tables — one row per (vector, table). The count() is a
+    1-row scalar that sizes the index, the same way the IVF family
+    trains cell count from the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    p, t = _adaptive_lsh_params(n)
+    fp = emb.select(
+        "vec_id", "label", _fixed_point(F.col("embedding")).alias("e")
+    ).withColumn("nsq", _dot(F.col("e"), F.col("e")))
+    planes = fp.filter(F.col("vec_id") < p * t).select(
+        F.col("vec_id").alias("plane_id"),
+        F.col("e").alias("p_e"),
+        F.expr(f"plane_id div {p}").alias("table_id"),
+        F.expr(f"plane_id % {p}").alias("bit_pos"),
+    )
+    bit = F.when(
+        _dot(F.col("e"), F.col("p_e")) >= 0,
+        F.expr("shiftleft(cast(1 as bigint), cast(bit_pos as int))"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    sigs = (
+        fp.join(F.broadcast(planes))
+        .groupBy("vec_id", "table_id")
+        .agg(F.sum(bit).alias("sig"))
+    )
+    from iceberg_loader_spark.operators.dedup import _materialize
+
+    # both sides of the bucket self-join read this frame — materialize once
+    return _materialize(fp.join(sigs, "vec_id"))
+
+
+# --------------------------------------------------------------------------
 # B25/B26 — embedding near-dup pairs, LSH-bucketed (the 100 TB path).
-# Candidate pairs meet only inside a 64-bucket sign signature; exact
-# fixed-point cosine ≥ 0.3 confirms. The all-pairs O(n²) scan never runs —
-# the self-join is an equi-join on `sig`, and the shuffle carries
-# fixed-point arrays, not floats.
+# Candidate pairs meet only inside a sign-signature bucket whose count
+# SCALES WITH THE CORPUS (adaptive P, see _adaptive_lsh_params above), with
+# OR-tables holding the recall floor; exact fixed-point cosine ≥ 0.3
+# confirms. The all-pairs O(n²) scan never runs — the self-join is an
+# equi-join on (table_id, sig), and the shuffle carries fixed-point
+# arrays, not floats. The DISTINCT collapses pairs that meet in more than
+# one OR-table (cosine is exact integer-derived arithmetic, so duplicate
+# rows are bit-identical).
 # --------------------------------------------------------------------------
 @_register(
     "embedding_neardup_lsh",
     f"""
-    WITH {_DUCK_LSH}
-    SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS a_label,
+    WITH {_DUCK_LSH_ADAPT}
+    SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS a_label,
            b.label AS b_label,
            CAST({_DUCK_DOT.format(a='a.e', b='b.e')} AS DOUBLE)
              / (SQRT(CAST(a.nsq AS DOUBLE)) * SQRT(CAST(b.nsq AS DOUBLE))) AS cosine
     FROM bucketed a JOIN bucketed b
-      ON a.sig = b.sig AND a.vec_id < b.vec_id
+      ON a.table_id = b.table_id AND a.sig = b.sig AND a.vec_id < b.vec_id
     WHERE CAST({_DUCK_DOT.format(a='a.e', b='b.e')} AS DOUBLE)
             / (SQRT(CAST(a.nsq AS DOUBLE)) * SQRT(CAST(b.nsq AS DOUBLE))) >= 0.3
     ORDER BY a_id, b_id
     """,
 )
 def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bucketed = _lsh_bucketed(spark, sf_dir)
+    bucketed = _lsh_bucketed_adaptive(spark, sf_dir)
     a, b = bucketed.alias("a"), bucketed.alias("b")
     cosine = _dot(F.col("a.e"), F.col("b.e")).cast("double") / (
         F.sqrt(F.col("a.nsq").cast("double")) * F.sqrt(F.col("b.nsq").cast("double"))
@@ -195,7 +302,8 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(
             b,
-            (F.col("a.sig") == F.col("b.sig"))
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.sig") == F.col("b.sig"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
@@ -206,6 +314,7 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             cosine.alias("cosine"),
         )
         .filter(F.col("cosine") >= 0.3)
+        .distinct()
         .orderBy("a_id", "b_id")
     )
 
@@ -3248,3 +3357,179 @@ def embedding_lsh_ortables_tradeoff(
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("t")
+
+
+# --------------------------------------------------------------------------
+# Round 10 — what the ADAPTIVE configuration costs, measured. The two r9
+# tradeoff keys measure the axes (P, T) at fixed grid points; this key
+# audits the point the production operator actually derives for THIS
+# corpus (_adaptive_lsh_params): full-corpus candidate volume via a
+# narrow sig-only join and anchored recall vs exact cosine truth —
+# the same bounded-audit discipline (fixed 30-anchor exact side,
+# key-only full-corpus counts). At driver-tested scales it derives
+# P=6/T=1, so this row is definitionally the planes-tradeoff's P=6 row
+# (pinned by test); at the synthetic decade it reports the P=8/T=2
+# posture the operator runs there.
+# --------------------------------------------------------------------------
+def _lsh_adaptive_recall_sql() -> str:
+    cos = (
+        f"CAST({_DUCK_DOT.format(a='a.e', b='b.e')} AS DOUBLE)"
+        " / (SQRT(CAST(a.nsq AS DOUBLE)) * SQRT(CAST(b.nsq AS DOUBLE)))"
+    )
+    return f"""
+    WITH {_DUCK_LSH_ADAPT},
+    anch AS (
+      SELECT vec_id, e, nsq FROM norms
+      WHERE vec_id % {_LSH_ANCHOR_MOD} = 0
+      ORDER BY vec_id LIMIT {_LSH_N_ANCHORS}
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM norms),
+    truth AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM (
+        SELECT DISTINCT least(a.vec_id, b.vec_id) AS x,
+                        greatest(a.vec_id, b.vec_id) AS y
+        FROM anch a JOIN norms b ON a.vec_id <> b.vec_id
+        WHERE {cos} >= 0.3
+      )
+    ),
+    ncand AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_cand FROM (
+        SELECT DISTINCT a.vec_id AS x, b.vec_id AS y
+        FROM sigs a JOIN sigs b
+          ON a.table_id = b.table_id AND a.sig = b.sig
+         AND a.vec_id < b.vec_id
+      )
+    ),
+    acand AS (
+      SELECT DISTINCT least(a.vec_id, b.vec_id) AS x,
+                      greatest(a.vec_id, b.vec_id) AS y,
+             CASE WHEN {cos} >= 0.3 THEN 1 ELSE 0 END AS conf
+      FROM (SELECT n.vec_id, n.e, n.nsq, s.table_id, s.sig
+            FROM anch n JOIN sigs s ON s.vec_id = n.vec_id) a
+      JOIN bucketed b
+        ON a.table_id = b.table_id AND a.sig = b.sig
+       AND a.vec_id <> b.vec_id
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_cand_anch,
+             CAST(COALESCE(SUM(conf), 0) AS BIGINT) AS n_conf_anch
+      FROM acand
+    )
+    SELECT CAST(pt.p AS BIGINT) AS p, CAST(pt.t AS BIGINT) AS t,
+           ncand.n_cand, stats.n_cand_anch, stats.n_conf_anch, truth.n_true,
+           (10000 * n_conf_anch) // GREATEST(n_true, 1) AS recall_bps,
+           (1000000 * n_cand) // ((n * (n - 1)) // 2) AS cand_ppm
+    FROM stats CROSS JOIN ncand CROSS JOIN truth CROSS JOIN tot CROSS JOIN pt
+    """
+
+
+@_register("embedding_lsh_adaptive_recall", _lsh_adaptive_recall_sql())
+def embedding_lsh_adaptive_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Candidate volume + anchored recall for the corpus-derived (P, T)
+    the production embedding_neardup_lsh operator runs at this scale —
+    the measured cost of adaptivity. Exact-cosine work is bounded to the
+    fixed 30-anchor sample; the full-corpus count is sig-only."""
+    from iceberg_loader_spark.operators.dedup import _materialize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_corpus = emb.count()
+    p, t = _adaptive_lsh_params(n_corpus)
+    fp = _materialize(
+        emb.select("vec_id", _fixed_point(F.col("embedding")).alias("e"))
+        .withColumn("nsq", _dot(F.col("e"), F.col("e")))
+    )
+    anchors = _materialize(
+        fp.filter(F.col("vec_id") % _LSH_ANCHOR_MOD == 0)
+        .orderBy("vec_id")
+        .limit(_LSH_N_ANCHORS)
+    )
+    n_frame = fp.agg(F.count("*").cast("bigint").alias("n"))
+
+    def _cos(a: str, b: str):
+        return _dot(F.col(f"{a}.e"), F.col(f"{b}.e")).cast("double") / (
+            F.sqrt(F.col(f"{a}.nsq").cast("double"))
+            * F.sqrt(F.col(f"{b}.nsq").cast("double"))
+        )
+
+    truth_frame = (
+        anchors.alias("a")
+        .join(fp.alias("b"), F.col("a.vec_id") != F.col("b.vec_id"))
+        .filter(_cos("a", "b") >= 0.3)
+        .select(
+            F.least("a.vec_id", "b.vec_id").alias("x"),
+            F.greatest("a.vec_id", "b.vec_id").alias("y"),
+        )
+        .distinct()
+        .agg(F.count("*").cast("bigint").alias("n_true"))
+    )
+    planes = fp.filter(F.col("vec_id") < p * t).select(
+        F.col("vec_id").alias("plane_id"),
+        F.col("e").alias("p_e"),
+        F.expr(f"plane_id div {p}").alias("table_id"),
+        F.expr(f"plane_id % {p}").alias("bit_pos"),
+    )
+    bit = F.when(
+        _dot(F.col("e"), F.col("p_e")) >= 0,
+        F.expr("shiftleft(cast(1 as bigint), cast(bit_pos as int))"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    sigs = _materialize(
+        fp.join(F.broadcast(planes))
+        .groupBy("vec_id", "table_id")
+        .agg(F.sum(bit).alias("sig"))
+    )
+    # full-corpus candidate COUNT: sig-only narrow self-join, deduped
+    # across OR-tables — no vector arrays ride the quadratic part
+    ncand_frame = (
+        sigs.alias("a")
+        .join(
+            sigs.alias("b"),
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("x"), F.col("b.vec_id").alias("y")
+        )
+        .distinct()
+        .agg(F.count("*").cast("bigint").alias("n_cand"))
+    )
+    anch_b = anchors.join(sigs, "vec_id")
+    corp_b = fp.join(sigs, "vec_id")
+    acand = (
+        anch_b.alias("a")
+        .join(
+            corp_b.alias("b"),
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.least("a.vec_id", "b.vec_id").alias("x"),
+            F.greatest("a.vec_id", "b.vec_id").alias("y"),
+            F.when(_cos("a", "b") >= 0.3, 1).otherwise(0).alias("conf"),
+        )
+        .distinct()
+    )
+    stats = acand.agg(
+        F.count("*").cast("bigint").alias("n_cand_anch"),
+        F.coalesce(F.sum("conf"), F.lit(0))
+        .cast("bigint")
+        .alias("n_conf_anch"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(ncand_frame))
+        .crossJoin(F.broadcast(truth_frame))
+        .crossJoin(F.broadcast(n_frame))
+        .selectExpr(
+            f"CAST({p} AS BIGINT) AS p",
+            f"CAST({t} AS BIGINT) AS t",
+            "n_cand",
+            "n_cand_anch",
+            "n_conf_anch",
+            "n_true",
+            "(10000 * n_conf_anch) div GREATEST(n_true, 1) AS recall_bps",
+            "(1000000 * n_cand) div ((n * (n - 1)) div 2) AS cand_ppm",
+        )
+    )
