@@ -70,6 +70,24 @@ def measure(spark, sf_dir: str) -> dict:
         )
         out["upsert_10pct_orders_s"] = round(time.perf_counter() - t0, 3)
 
+        # 3b. the same 10% upsert in the write-optimized MoR posture
+        # (r9 verdict #5): commit cost is O(source) — new data files plus
+        # ONE equality-delete file on the join key, nothing read or
+        # rewritten — vs CoW's O(matched files) rewrite above. The scan
+        # row records what the deferred merge costs readers until
+        # compaction materializes it.
+        loader.load_data(orders, "db.orders_mor", LoaderConfig(commit_interval=100))
+        t0 = time.perf_counter()
+        loader.load_data(
+            upd,
+            "db.orders_mor",
+            LoaderConfig(join_cols=("o_orderkey",), row_level_mode="mor"),
+        )
+        out["upsert_mor_10pct_orders_s"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        wh.load_table("db.orders_mor").scan(spark).count()
+        out["scan_after_mor_merge_s"] = round(time.perf_counter() - t0, 3)
+
         # 4. idempotent replace of one ship-day
         t0 = time.perf_counter()
         loader.load_data(
@@ -108,6 +126,8 @@ _SCALING_OPS = [
     ("append_lineitem_s", "append (unpartitioned)", "O(rows) write"),
     ("append_partitioned_s", "append day(l_shipdate)", "O(rows) write + partition clustering shuffle"),
     ("upsert_10pct_orders_s", "MERGE upsert 10% of orders", "O(table) rewrite of matched files at this table size"),
+    ("upsert_mor_10pct_orders_s", "MERGE upsert 10% (MoR)", "O(source): new files + one equality-delete, nothing rewritten"),
+    ("scan_after_mor_merge_s", "scan after MoR MERGE", "read-side anti-join vs the key file until compaction"),
     ("replace_filter_s", "idempotent replace-by-filter", "metadata candidate split + O(matching files) rewrite"),
     ("expire_snapshots_s", "expire 20->5 snapshots", "O(manifests), data untouched"),
     ("rewrite_data_files_s", "compaction (churned table)", "O(live rows) rewrite"),
@@ -168,7 +188,14 @@ def scaling(sf_small: str, sf_big: str, record: bool) -> None:
             "yields ~2,450 partitions at BOTH scale factors, so sf0.01 "
             "pays ~2,450 file creations for 4.7 MB of data — per-file "
             "fixed cost, amortized 10x better at sf0.1 and entirely at "
-            "production file sizes.",
+            "production file sizes. CoW-vs-MoR MERGE crossover: the MoR "
+            f"row ({big['upsert_mor_10pct_orders_s']} s at sf0.1 vs "
+            f"{big['upsert_10pct_orders_s']} s CoW) commits O(source) "
+            "(new files + one equality-delete on the key, nothing "
+            "rewritten) while CoW pays O(matched files) — a gap that "
+            "widens with table size; the scan row is what readers pay "
+            "until convert_equality_deletes/compaction materializes the "
+            "merge.",
             "",
             "| op | sf0.01 s | sf0.1 s | ratio (10x data) | mechanism |",
             "|---|---|---|---|---|",
