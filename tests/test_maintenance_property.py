@@ -299,3 +299,85 @@ def test_rewrite_manifests_races_expire_snapshots(spark, tmp_path):
     assert _visible(spark, wh) == {(0, 1), (1, 2), (2, 3), (3, 4), (4, 2)}
     # time travel to the surviving head still works post-race
     assert t2.scan(spark, version=t2.meta.current_version()).count() == 5
+
+
+def test_fast_forward_branch_races_expire_snapshots(spark, tmp_path):
+    """Publish vs retention on the same ref (the last missing race
+    edge): snapshot expiry firing mid-fast-forward must not break the
+    replay — the live branch chain retention-pins its files
+    (_shadow_live_paths), expiry never advances the version so the
+    per-commit CAS still lands, and the published content equals the
+    branch head."""
+    wh = _os_warehouse(tmp_path)
+    t = _seed_table(spark, wh, [[1, 5], [2, 6], [3, 7]])
+    br = t.create_branch("wip")
+    br.append(spark.createDataFrame([(80, 8)], "id bigint, v bigint"))
+    wh.load_table("db.t").branch("wip")  # handle validity after append
+    t.branch("wip").append(
+        spark.createDataFrame([(90, 9)], "id bigint, v bigint")
+    )
+
+    main = wh.load_table("db.t")
+    orig = main.meta.commit
+    fired = {"n": 0}
+
+    def inject(snapshot, expected_parent):
+        if fired["n"] == 0:  # expire exactly once, mid-replay
+            fired["n"] = 1
+            expire_snapshots(wh.load_table("db.t"), keep_last=1)
+        return orig(snapshot, expected_parent)
+
+    main.meta.commit = inject
+    main.fast_forward_branch(main.branch("wip"))
+    assert fired["n"] == 1
+    expect = {
+        (0, 1), (1, 5), (2, 2), (3, 6), (4, 3), (5, 7), (80, 8), (90, 9)
+    }
+    assert _visible(spark, wh) == expect
+    t2 = wh.load_table("db.t")
+    assert "wip" not in t2.list_branches()
+    # head chain resolves post-race (expiry materialized survivors)
+    assert t2.scan(spark, version=t2.meta.current_version()).count() == 8
+
+
+def test_convert_equality_deletes_aborts_on_concurrent_eq_delete(
+    spark, tmp_path
+):
+    """A concurrent equality-delete landing between the conversion's
+    scan and its commit changes the eq-op set the conversion was built
+    from: the commit MUST abort (never double-apply, never drop the new
+    op), the concurrent delete's effect survives, and a rerun on a
+    fresh handle converges with zero equality ops left."""
+    import pytest as _pt
+
+    wh = _os_warehouse(tmp_path)
+    t = _seed_table(spark, wh, [[1, 5], [2, 5]])  # ids (0,1),(1,5),(2,2),(3,5)
+    t.delete_by_keys(
+        spark, spark.createDataFrame([(5,)], "v bigint"), ["v"]
+    )
+    t = wh.load_table("db.t")
+
+    orig = t._commit_with_retry
+
+    def inject(build):
+        wh.load_table("db.t").delete_by_keys(
+            spark, spark.createDataFrame([(2,)], "v bigint"), ["v"]
+        )
+        return orig(build)
+
+    t._commit_with_retry = inject
+    with _pt.raises(ConcurrentModification):
+        convert_equality_deletes(t, spark)
+    # the concurrent eq-delete survived, nothing double-applied
+    assert _visible(spark, wh) == {(0, 1)}
+    t2 = wh.load_table("db.t")
+    eq_left = [
+        d for d in t2.snapshot().delete_files if d.get("kind") != "pos"
+    ]
+    assert len(eq_left) == 2, "new eq op must survive the aborted convert"
+    # rerun on a fresh handle converges: both ops materialized
+    res = convert_equality_deletes(t2, spark)
+    assert res["converted"] == 2
+    t3 = wh.load_table("db.t")
+    assert all(d.get("kind") == "pos" for d in t3.snapshot().delete_files)
+    assert _visible(spark, wh) == {(0, 1)}
