@@ -78,3 +78,31 @@ def test_decade_embeddings_rotate_and_ids_offset(tmp_path):
         f" WHERE vec_id >= {ID_OFF}"
     ).fetchone()
     assert lo >= ID_OFF and hi < 2 * ID_OFF
+
+
+def test_third_decade_copies_past_dimension_stay_decorrelated(tmp_path):
+    """Rotation is periodic mod the embedding dimension (64): without a
+    second transform axis, copy 64 would be an exact value-level
+    duplicate of copy 0 and any >64-copy decade would measure the copy
+    scheme's duplicate structure instead of the operator.  Past k=63
+    the generator flips the vector's sign (k // 64 odd), landing the
+    same-rotation pair at cosine -1 — maximally far for every
+    positive-threshold consumer (near-dup, SemDeDup, kNN truth)."""
+    out = _gen(tmp_path, "deep", 66)
+    rows = duckdb.sql(
+        f"""
+        SELECT k.k, e.embedding
+        FROM (SELECT unnest([0, 1, 64, 65]) AS k) k
+        JOIN '{out}/embeddings.parquet' e
+          ON e.vec_id = 7 + CAST(k.k AS BIGINT) * {ID_OFF}
+        ORDER BY k.k
+        """
+    ).fetchall()
+    e = {k: list(v) for k, v in rows}
+    # copy 64 = NEGATED copy 0 (rotation 0, sign flipped), not a dup
+    assert e[64] == [-x for x in e[0]]
+    # copy 65 = negated rotation-1: same geometry as copy 1, cosine -1
+    assert e[65] == [-x for x in e[1]]
+    assert e[1] == e[0][1:] + e[0][:1]
+    # value-level: no two sampled copies collide exactly
+    assert len({tuple(v) for v in e.values()}) == 4

@@ -20,9 +20,16 @@ measures the duplicate structure of the COPY SCHEME, not the operator:
   shingle/MinHash/SimHash overlap drops to zero.  doc_id += k * 10^9
   keeps eval-destined (%10) and split-bucket (hash) distributions.
   n_chars is recomputed from the new text.
-* embeddings: copy k rotates the 64-dim vector left by k positions —
-  norm- and distribution-preserving, within-copy geometry identical,
-  cross-copy cosine decorrelated.  vec_id += k * 10^9.
+* embeddings: copy k rotates the 64-dim vector left by k % 64
+  positions and NEGATES it when k // 64 is odd — norm- and
+  distribution-preserving, within-copy geometry identical, cross-copy
+  cosine decorrelated.  The negation matters only past 64 copies
+  (third decade): plain rotation is periodic mod the dimension, so
+  copy 64 would otherwise be an exact value-level duplicate of copy 0
+  and the measurement would see the copy scheme, not the operator;
+  with the sign flip the same-rotation pair lands at cosine -1 —
+  maximally far for every positive-threshold consumer.
+  vec_id += k * 10^9.
 * events: ids offset (event_id/user_id += k * 10^9); ts/type/value
   unchanged — the keyed-dedup and sessionization operators key on
   (user, type, time), so offsetting users multiplies the key space the
@@ -100,9 +107,13 @@ def generate(out_dir: str, copies: int = 10, src: str = SRC) -> None:
           SELECT
             vec_id + k * {ID_OFF} AS vec_id,
             CASE WHEN k = 0 THEN embedding
-                 ELSE list_concat(
-                        embedding[(k + 1):],
-                        embedding[1:k]
+                 ELSE list_transform(
+                        list_concat(
+                          embedding[((k % 64) + 1):],
+                          embedding[1:(k % 64)]
+                        ),
+                        x -> CASE WHEN (k // 64) % 2 = 1
+                             THEN -x ELSE x END
                  )::FLOAT[]
             END AS embedding,
             label
