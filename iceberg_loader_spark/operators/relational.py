@@ -3114,9 +3114,19 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reprocessing at warehouse scale. Self-verifying like
 # approx_distinct_users: the oracle checks the exact side and asserts
 # the two verdict columns — the merged estimate lands within 5% of
-# exact (lgK=14 ≈ 0.8%·1σ, so 5% ≈ 6σ), and merging daily sketches
-# loses nothing vs sketching the month directly (HLL union is
-# lossless at equal lgK).
+# exact (lgK=14 ≈ 0.8%·1σ, so 5% ≈ 6σ), and the merged estimate
+# agrees with sketching the month directly to within 2%. The second
+# verdict was first spelled as exact equality ("union is lossless"),
+# which is TRUE only while the sketch stays in sparse/exact mode
+# (n_distinct ≲ 2^lgK): in estimation mode a directly-built
+# DataSketches HLL answers from its HIP (historical inverse
+# probability) estimator, while a union result must fall back to the
+# composite estimator — HIP does not survive merging, so the two
+# estimates differ by design (Dataworks/DataSketches documented
+# semantics, ~1σ apart). The sf1 synthetic decade caught the equality
+# spelling (15000 distinct/type > 16384-bucket sparse bound → 6 bps
+# divergence); 2% ≈ 2.5σ at lgK=14 stays a real assertion — a broken
+# union diverges by orders of magnitude, not basis points.
 #
 # Scale: daily sketches are fixed-size binaries (≤ ~10 KB at lgK=14);
 # the per-type merge shuffles |types|×|days| sketch rows, never user
@@ -3130,7 +3140,7 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(DISTINCT strftime(ts, '%Y-%m-%d')) AS BIGINT) AS n_days,
            COUNT(DISTINCT user_id) AS exact_users,
            TRUE AS merged_within_5pct,
-           TRUE AS merge_lossless
+           TRUE AS merge_agrees_within_2pct
     FROM events
     GROUP BY event_type
     ORDER BY event_type
@@ -3167,7 +3177,14 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.greatest(F.col("exact_users"), F.lit(1))
                 <= F.lit(0.05)
             ).alias("merged_within_5pct"),
-            (F.col("merged_est") == F.col("direct_est")).alias("merge_lossless"),
+            (
+                F.abs(
+                    F.col("merged_est").cast("double")
+                    - F.col("direct_est").cast("double")
+                )
+                / F.greatest(F.col("direct_est").cast("double"), F.lit(1.0))
+                <= F.lit(0.02)
+            ).alias("merge_agrees_within_2pct"),
         )
         .orderBy("event_type")
     )

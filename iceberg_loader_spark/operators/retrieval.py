@@ -1003,14 +1003,25 @@ def _register_retrieval_funnel() -> None:
       SELECT vec_id, label, e, {_DUCK_DOT.format(a='e', b='e')} AS nsq
       FROM nfp
     ),
+    nanchors AS (
+      -- reduce the query side BEFORE the inequality join: the join
+      -- condition below is pure-inequality (nested loop in DuckDB),
+      -- and an IN-subquery filter left in npairs' WHERE is NOT
+      -- applied ahead of it — at the synthetic sf1 decade (20k
+      -- vectors) that spelled a 20k x 20k loop over 64-dim dot
+      -- products (~86 GB, 20+ min) where the anchor set is <=10 rows.
+      -- The Spark twin always reduced first (fused-join + broadcast);
+      -- this CTE makes the oracle's shape match it.
+      SELECT * FROM nnorms
+      WHERE vec_id IN (SELECT doc_id FROM fused_raw)
+    ),
     npairs AS (
       SELECT q.vec_id AS q_id, c.vec_id AS neg_id,
              CAST({_DUCK_DOT.format(a='q.e', b='c.e')} AS DOUBLE)
                / (SQRT(CAST(q.nsq AS DOUBLE)) * SQRT(CAST(c.nsq AS DOUBLE)))
                AS cosine
-      FROM nnorms q JOIN nnorms c
+      FROM nanchors q JOIN nnorms c
         ON c.vec_id <> q.vec_id AND c.label <> q.label
-      WHERE q.vec_id IN (SELECT doc_id FROM fused_raw)
     ),
     negs AS (
       SELECT q_id, neg_id FROM (
