@@ -81,7 +81,9 @@ def run_example(warehouse_path: str | None = None) -> dict:
     )
     hll_bad = (
         hll_sketch_rollup(spark, SF_DIR)
-        .filter(~F.col("merged_within_5pct") | ~F.col("merge_lossless"))
+        .filter(
+            ~F.col("merged_within_5pct") | ~F.col("merge_agrees_within_2pct")
+        )
         .count()
     )
     logger.info(
