@@ -110,6 +110,9 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # progress marker on stderr (stdout stays ONE JSON line)
+        sys.stderr.write(f"[bench] {len(timings)}/{len(qs)} {name} {timings[name]}\n")
+        sys.stderr.flush()
         # UNTIMED inter-query cleanup — two contracts at once:
         #  1. HONESTY: no query is ever timed against another query's
         #     cached BLOCKS (memos cleared, every pinned RDD released).

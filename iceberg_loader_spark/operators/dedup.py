@@ -123,34 +123,52 @@ def _gram_rows(docs: DataFrame, n: int) -> DataFrame:
     previous two-branch spelling replayed the scan+window subtree three
     times (8 exchanges in the plan; this one has 1).
     """
-    toks = _token_rows(docs)
     if n == 1:
-        # collect_set under ONE doc_id shuffle, then explode (which
-        # preserves the partitioning) — a .distinct() here would partition
-        # on (doc_id, tok) and force every downstream per-doc aggregate to
-        # shuffle back to doc_id.
-        return (
-            toks.groupBy("doc_id")
-            .agg(F.collect_set("tok").alias("tk"))
-            .select("doc_id", F.explode("tk").alias("gram"))
+        # distinct tokens straight off the map-side token array: a pure
+        # projection (split → filter → array_distinct → explode), so the
+        # corpus text never crosses an exchange just to be tokenized.
+        return _token_arrays(docs).select(
+            "doc_id", F.explode(F.array_distinct("ts")).alias("gram")
         )
     arr = _token_arrays(docs)
     sz = F.size("ts")
     grams_arr = F.when(sz >= n, F.array_distinct(_gram_expr(n))).otherwise(
         F.array(F.concat_ws(" ", "ts"))
     )
-    return arr.select("doc_id", F.explode(grams_arr).alias("gram"))
+    # sz >= 1 mirrors the pre-map-side behavior: a document with zero
+    # tokens (empty/whitespace-only text) produced no token rows, hence
+    # no gram rows — the short-doc fallback must not resurrect it as a
+    # single empty-string gram.
+    return arr.filter(sz >= 1).select(
+        "doc_id", F.explode(grams_arr).alias("gram")
+    )
 
 
 def _token_arrays(docs: DataFrame) -> DataFrame:
-    """(doc_id, ts) — the ordered token array per document, built with one
-    partial-aggregated shuffle (collect under groupBy, ordered by the
-    explode position)."""
-    return _token_rows(docs).groupBy("doc_id").agg(
-        F.array_sort(F.collect_list(F.struct("pos", "tok")))
-        .getField("tok")
-        .alias("ts")
-    )
+    """(doc_id, ts) — the ordered token array per document, as a pure
+    MAP-SIDE projection: ``split`` already yields the tokens in document
+    order, so filtering empties is all that is needed.
+
+    The previous spelling (posexplode → groupBy(doc_id) →
+    array_sort(collect_list)) shuffled every token of the corpus once
+    per tokenize just to rebuild an array ``split`` had already built —
+    at 100 TB that is a full-corpus exchange per consumer. This shape
+    shuffles nothing; downstream per-doc aggregates partial-aggregate
+    map-side and shuffle only their (tiny) per-doc states.
+
+    Zero-token documents now surface as an empty array instead of being
+    absent; every consumer either filters ``size(ts) >= k`` or
+    left-joins + coalesces, so the visible semantics are unchanged
+    (``_gram_rows`` guards its short-doc fallback explicitly)."""
+    return docs.select("doc_id", _ts_expr().alias("ts"))
+
+
+def _ts_expr() -> F.Column:
+    """The token-array expression over a ``text`` column — shared so
+    callers that need other columns alongside the tokens (the streaming
+    funnel's flags frame) inline it instead of paying a self-join
+    against :func:`_token_arrays`."""
+    return F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
 
 
 def _gram_expr(n: int) -> F.Column:
@@ -684,7 +702,13 @@ def _simhash_from_grams(gram_rows: DataFrame) -> DataFrame:
     micro-batch exactly once) don't re-run the tokenizer."""
     toks = gram_rows
     h = F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("bigint")
-    hashed = toks.select("doc_id", h.alias("h"))
+    # ONE exchange of fixed-width (doc_id, h) rows — never token text —
+    # so the 32 per-bit vote sums run cluster-wide instead of inside the
+    # scan task (a single-row-group file at test scale is ONE split; at
+    # 100 TB splits are plentiful but the narrow exchange still costs
+    # less than the token-text shuffle the r9 collect_set spelling paid).
+    # groupBy(doc_id) below reuses this partitioning: no second exchange.
+    hashed = toks.select("doc_id", h.alias("h")).repartition("doc_id")
     votes = hashed.groupBy("doc_id").agg(
         *[
             F.sum(
@@ -1212,27 +1236,15 @@ def curation_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").between(100, 10000) & (F.col("ntok") >= 20)
     )
     l = q.filter(F.col("lang") != "zh")
-    e = _materialize(
-        l.withColumn(
-            "rn",
-            F.row_number().over(
-                _W.partitionBy("h").orderBy("doc_id")
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .drop("rn")
-    )
+    # keeper = min doc_id per content hash, as a partial-aggregating
+    # MIN instead of a Window(row_number): the exchange carries one
+    # (h, doc_id) pair per group, unsorted, and downstream stages only
+    # ever read e's doc_id / row count
+    e = _materialize(l.groupBy("h").agg(F.min("doc_id").alias("doc_id")))
     sh = _simhash_df(docs.join(e.select("doc_id"), "doc_id"))
-    keepers = (
-        sh.withColumn(
-            "rn",
-            F.row_number().over(
-                _W.partitionBy("simhash").orderBy("doc_id")
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .select("doc_id")
-    )
+    keepers = sh.groupBy("simhash").agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id")
     nd = _materialize(e.join(keepers, "doc_id"))
     grams = _materialize(
         _token_arrays(docs)
@@ -3554,22 +3566,19 @@ def incremental_curation_funnel_counts(
         F.col("n_chars").between(100, 10000) & (F.col("ntok") >= 20)
     )
     l = q.filter(F.col("lang") != "zh")
+    # min-doc_id keepers as partial-aggregating MINs (no Window sort;
+    # the exchange carries one pair per group) — downstream reads only
+    # e's doc_id / row count
     e = _materialize(
         l.join(fp_idx, "h", "left_anti")
-        .withColumn(
-            "rn", F.row_number().over(_W.partitionBy("h").orderBy("doc_id"))
-        )
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
     )
     sh_inc = _simhash_df(docs.join(e.select("doc_id"), "doc_id"))
     keepers = (
         sh_inc.join(sh_idx, "simhash", "left_anti")
-        .withColumn(
-            "rn",
-            F.row_number().over(_W.partitionBy("simhash").orderBy("doc_id")),
-        )
-        .filter(F.col("rn") == 1)
+        .groupBy("simhash")
+        .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
     nd = _materialize(e.join(keepers, "doc_id"))
@@ -4073,20 +4082,19 @@ class CurationStreamFunnel:
 
         # tokenize the batch EXACTLY ONCE: content hash, token count,
         # SimHash votes, and both 5-gram pipelines all derive from this
-        # one checkpointed frame
+        # one checkpointed frame. The token array is a map-side
+        # projection (see _token_arrays), so everything here is ONE scan
+        # of the batch — no tokenize self-join.
         flags = _materialize(
             batch_df.select(
-                "doc_id", "lang", "n_chars", F.md5("text").alias("h")
-            )
-            .join(
-                _token_arrays(batch_df.select("doc_id", "text")),
                 "doc_id",
-                "left",
-            )
-            .withColumn(
-                "ts", F.coalesce("ts", F.array().cast("array<string>"))
-            )
-            .withColumn("ntok", F.size("ts"))
+                "lang",
+                "n_chars",
+                F.md5("text").alias("h"),
+                F.coalesce(
+                    _ts_expr(), F.array().cast("array<string>")
+                ).alias("ts"),
+            ).withColumn("ntok", F.size("ts"))
         )
         surv_done = batch_id <= self._marker("cf_surv", self.SURV_MARK)
         prior_max = int(
@@ -4132,24 +4140,23 @@ class CurationStreamFunnel:
             .groupBy("h")
             .agg(F.min("doc_id").alias("_inc"))
         )
+        # within-batch keeper = MIN(doc_id) per hash as a partial
+        # aggregate (no Window sort); downstream reads only
+        # (h, doc_id, _inc)
         e_all = _materialize(
-            l.drop("ts")  # token arrays stay on `flags`; don't checkpoint twice
-            .withColumn(
-                "rn",
-                F.row_number().over(_W.partitionBy("h").orderBy("doc_id")),
-            )
-            .filter(F.col("rn") == 1)
-            .drop("rn")
+            l.groupBy("h")
+            .agg(F.min("doc_id").alias("doc_id"))
             .join(inc_fp, "h", "left")
             .filter(F.col("_inc").isNull() | (F.col("doc_id") < F.col("_inc")))
         )
         e = e_all.drop("_inc")
-        sh_b = _materialize(
-            _simhash_from_grams(
-                flags.join(e.select("doc_id"), "doc_id").select(
-                    "doc_id",
-                    F.explode(F.array_distinct("ts")).alias("gram"),
-                )
+        # sh_b feeds only kept_sh (itself checkpointed) — no materialize:
+        # checkpointing it would pay an extra eager action + block write
+        # for a frame read exactly once
+        sh_b = _simhash_from_grams(
+            flags.join(e.select("doc_id"), "doc_id").select(
+                "doc_id",
+                F.explode(F.array_distinct("ts")).alias("gram"),
             )
         )
         inc_sh = (
@@ -4158,19 +4165,15 @@ class CurationStreamFunnel:
             .agg(F.min("doc_id").alias("_inc"))
         )
         kept_sh = _materialize(
-            sh_b.withColumn(
-                "rn",
-                F.row_number().over(
-                    _W.partitionBy("simhash").orderBy("doc_id")
-                ),
-            )
-            .filter(F.col("rn") == 1)
-            .drop("rn")
+            sh_b.groupBy("simhash")
+            .agg(F.min("doc_id").alias("doc_id"))
             .join(inc_sh, "simhash", "left")
             .filter(F.col("_inc").isNull() | (F.col("doc_id") < F.col("_inc")))
         )
         keepers = kept_sh.select("doc_id")
-        nd = _materialize(e.join(keepers, "doc_id"))
+        # both inputs are already checkpointed; the broadcast join is
+        # cheaper to recompute for its two readers than to checkpoint
+        nd = e.join(keepers, "doc_id")
         g5 = F.explode(
             F.array_distinct(F.transform(_gram_expr(5), F.md5))
         ).alias("g")
@@ -4204,14 +4207,29 @@ class CurationStreamFunnel:
         # groups across batches equals the one-shot stage count for ANY
         # arrival order; under ordered ingestion every kept row is a new
         # group, making this identical to the old e/nd counts
+        # stages 4+5 in ONE job: both frames are checkpointed, so a
+        # two-row union-aggregate costs one action instead of two counts
+        c45 = {
+            r.s: r.n
+            for r in (
+                e_all.filter(F.col("_inc").isNull())
+                .select(F.lit(4).alias("s"))
+                .unionByName(
+                    kept_sh.filter(F.col("_inc").isNull()).select(
+                        F.lit(5).alias("s")
+                    )
+                )
+                .groupBy("s")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            )
+        }
         counts = {
             "1_incoming": bounds.c1,
             "2_quality": bounds.c2 or 0,
             "3_lang": bounds.c3 or 0,
-            "4_exact_vs_index": e_all.filter(F.col("_inc").isNull()).count(),
-            "5_neardup_vs_index": kept_sh.filter(
-                F.col("_inc").isNull()
-            ).count(),
+            "4_exact_vs_index": c45.get(4, 0),
+            "5_neardup_vs_index": c45.get(5, 0),
         }
         # ---- commits: consumers first, then the index producers --------
         # per-batch stage counts ride the SAME atomic commit as the

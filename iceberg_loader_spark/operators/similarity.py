@@ -462,10 +462,32 @@ def array_funcs_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_CENTROIDS = 16  # IVF coarse quantizer size (data-derived "training")
 
 
+def _group_argmin(
+    df: DataFrame, key: str, order: list, payload: list
+) -> DataFrame:
+    """Per-``key`` row minimizing the ``order`` columns (lexicographic,
+    ties impossible because the last order column is unique per group).
+
+    Replaces the join → Window(row_number) → rnk=1 argmin spelling: a
+    ``min(struct(...))`` aggregate PARTIAL-AGGREGATES map-side, so the
+    exchange carries one struct per key instead of every joined
+    candidate row (k× fewer rows, and the wide embedding arrays cross
+    once, not k times), and no per-partition sort is needed. ``order``
+    and ``payload`` are (name, Column) pairs; payload fields ride in
+    the struct after the order fields and never affect comparison."""
+    s = F.struct(*[c.alias(n) for n, c in order + payload])
+    return (
+        df.groupBy(key)
+        .agg(F.min(s).alias("_m"))
+        .select(key, *[F.col(f"_m.{n}").alias(n) for n, _c in order + payload])
+    )
+
+
 def _ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, label, e, nsq, c_id): every vector assigned to its
-    max-inner-product centroid cell — ONE broadcast join + argmax window,
-    materialized once for cell self-joins."""
+    max-inner-product centroid cell — ONE broadcast join + map-side
+    partial argmin aggregate (see :func:`_group_argmin`), materialized
+    once for cell self-joins."""
     emb = load_table(spark, sf_dir, "embeddings")
     fp = emb.select(
         "vec_id", "label", _fixed_point(F.col("embedding")).alias("e")
@@ -473,16 +495,23 @@ def _ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = fp.filter(F.col("vec_id") < _N_CENTROIDS).select(
         F.col("vec_id").alias("c_id"), F.col("e").alias("c_e")
     )
-    w_assign = W.partitionBy("vec_id").orderBy(
-        F.desc(_dot(F.col("e"), F.col("c_e"))), F.asc("c_id")
-    )
     from iceberg_loader_spark.operators.dedup import _materialize
 
+    assigned = _group_argmin(
+        fp.join(F.broadcast(centroids)),
+        "vec_id",
+        order=[
+            ("negdot", -_dot(F.col("e"), F.col("c_e"))),
+            ("c_id", F.col("c_id")),
+        ],
+        payload=[
+            ("label", F.col("label")),
+            ("e", F.col("e")),
+            ("nsq", F.col("nsq")),
+        ],
+    )
     return _materialize(
-        fp.join(F.broadcast(centroids))
-        .withColumn("rnk", F.row_number().over(w_assign))
-        .filter(F.col("rnk") == 1)
-        .select("vec_id", "label", "e", "nsq", "c_id")
+        assigned.select("vec_id", "label", "e", "nsq", "c_id")
     )
 
 
@@ -949,13 +978,17 @@ def _kmeans_final_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def _assign(cent_df: DataFrame) -> DataFrame:
-        w = W.partitionBy("vec_id").orderBy("dist", "c_id")
-        return (
-            fp.join(F.broadcast(cent_df))
-            .withColumn("dist", _sqdist(F.col("e"), F.col("c_e")))
-            .withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") == 1)
-            .select("vec_id", "e", F.col("c_id").alias("cluster"), "dist")
+        # argmin via partial-aggregating min(struct) — see _group_argmin
+        return _group_argmin(
+            fp.join(F.broadcast(cent_df)),
+            "vec_id",
+            order=[
+                ("dist", _sqdist(F.col("e"), F.col("c_e"))),
+                ("c_id", F.col("c_id")),
+            ],
+            payload=[("e", F.col("e"))],
+        ).select(
+            "vec_id", "e", F.col("c_id").alias("cluster"), "dist"
         )
 
     assigned = None
@@ -2745,14 +2778,16 @@ def ivf_staleness_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         assigned = None
         for _rnd in range(3):
-            w = W.partitionBy("vec_id").orderBy("dist", "c_id")
-            assigned = (
-                pool.join(F.broadcast(cents))
-                .withColumn("dist", _sqdist(F.col("e"), F.col("c_e")))
-                .withColumn("rnk", F.row_number().over(w))
-                .filter(F.col("rnk") == 1)
-                .select("vec_id", "e", F.col("c_id").alias("cluster"))
-            )
+            # argmin via partial-aggregating min(struct) — _group_argmin
+            assigned = _group_argmin(
+                pool.join(F.broadcast(cents)),
+                "vec_id",
+                order=[
+                    ("dist", _sqdist(F.col("e"), F.col("c_e"))),
+                    ("c_id", F.col("c_id")),
+                ],
+                payload=[("e", F.col("e"))],
+            ).select("vec_id", "e", F.col("c_id").alias("cluster"))
             if _rnd < 2:
                 pos = assigned.select(
                     "cluster", F.posexplode("e").alias("pos", "v")
@@ -2829,14 +2864,16 @@ def ivf_staleness_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("hist", fp.filter(F.col("bucket") < 50).select("vec_id", "e")),
     ):
         cents = _mz(_train(pool))
-        w = W.partitionBy("vec_id").orderBy("dist", "c_id")
         cells = _mz(
-            fp.select("vec_id", "e")
-            .join(F.broadcast(cents))
-            .withColumn("dist", _sqdist(F.col("e"), F.col("c_e")))
-            .withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") == 1)
-            .select("vec_id", "c_id")
+            _group_argmin(
+                fp.select("vec_id", "e").join(F.broadcast(cents)),
+                "vec_id",
+                order=[
+                    ("dist", _sqdist(F.col("e"), F.col("c_e"))),
+                    ("c_id", F.col("c_id")),
+                ],
+                payload=[],
+            ).select("vec_id", "c_id")
         )
         pairs = (
             cells.filter(F.col("vec_id") < 20)
