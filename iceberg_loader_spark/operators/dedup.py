@@ -2183,16 +2183,21 @@ def winnowing_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _winnowing_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    ts = _token_arrays(docs).filter(F.size("ts") >= _WN_K)
+    # the size(hs) >= W gate is spelled on ts (size(hs) = size(ts)-K+1,
+    # so it is size(ts) >= W+K-1): a filter on the COMPUTED hs column
+    # would be pushed below the exchange and re-run the whole
+    # md5-per-position transform from raw text inside the scan task,
+    # doubling the work and serializing it (observed: 13 s vs 2 s)
+    ts = _token_arrays(docs).filter(
+        F.size("ts") >= _WN_W + _WN_K - 1
+    )
     hs = F.transform(
         F.sequence(F.lit(1), F.size("ts") - F.lit(_WN_K - 1)),
         lambda i: F.md5(
             F.array_join(F.slice(F.col("ts"), i, F.lit(_WN_K)), " ")
         ),
     )
-    with_h = ts.select("doc_id", hs.alias("hs")).filter(
-        F.size("hs") >= _WN_W
-    )
+    with_h = ts.select("doc_id", hs.alias("hs"))
     fp = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.size("hs") - F.lit(_WN_W - 1)),
@@ -2373,14 +2378,19 @@ def _persisted_index(spark: SparkSession, name: str, frame: DataFrame):
 def _winnowing_prints(side: DataFrame) -> DataFrame:
     """(doc_id, p): per-doc DISTINCT winnowing-selected prints — the
     identical map-only pipeline as the full-corpus operator."""
-    ts = _token_arrays(side).filter(F.size("ts") >= _WN_K)
+    # size(hs) >= W spelled on ts (= size(ts) >= W+K-1) so the gate is
+    # never pushed down as a recompute of the hs transform (see
+    # _winnowing_pairs_build)
+    ts = _token_arrays(side).filter(
+        F.size("ts") >= _WN_W + _WN_K - 1
+    )
     hs = F.transform(
         F.sequence(F.lit(1), F.size("ts") - F.lit(_WN_K - 1)),
         lambda i: F.md5(
             F.array_join(F.slice(F.col("ts"), i, F.lit(_WN_K)), " ")
         ),
     )
-    with_h = ts.select("doc_id", hs.alias("hs")).filter(F.size("hs") >= _WN_W)
+    with_h = ts.select("doc_id", hs.alias("hs"))
     fp = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.size("hs") - F.lit(_WN_W - 1)),

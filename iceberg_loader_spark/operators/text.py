@@ -511,11 +511,19 @@ def repetition_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("count").alias("top_tok"),
         )
     )
-    w = W.partitionBy("doc_id").orderBy("pos")
+    # consecutive bigrams straight off the map-side token array
+    # (zip_with over two shifted slices) — the previous Window(lead)
+    # spelling exchanged and sorted every token row just to pair
+    # neighbours
+    from iceberg_loader_spark.operators.dedup import (
+        _gram_expr,
+        _token_arrays,
+    )
+
     grams = (
-        toks.withColumn("nxt", F.lead("tok").over(w))
-        .filter(F.col("nxt").isNotNull())
-        .select("doc_id", F.concat_ws(" ", "tok", "nxt").alias("gram"))
+        _token_arrays(docs)
+        .filter(F.size("ts") >= 2)
+        .select("doc_id", F.explode(_gram_expr(2)).alias("gram"))
     )
     gram_stats = (
         grams.groupBy("doc_id", "gram")
