@@ -2095,7 +2095,12 @@ def _xspan_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.pos") - F.col("b.pos")).alias("diag"),
             F.col("a.pos").alias("ap"),
         )
-        .distinct()
+        # no distinct: (doc_id, pos) is unique per anchor row and the join
+        # enumerates each (a.pos, b.pos) match exactly once under
+        # a.doc_id < b.doc_id, so rows are already duplicate-free — the
+        # dedup exchange shipped 4-column rows for nothing (the
+        # incremental twin DOES need its distinct: a new×new pair is
+        # enumerated from both sides there)
     )
     w = Window.partitionBy("a_key", "b_key", "diag").orderBy("ap")
     runs = m.withColumn("rid", F.col("ap") - F.row_number().over(w))
