@@ -110,7 +110,24 @@ def _token_rows(docs: DataFrame) -> DataFrame:
     ).filter(F.col("tok") != "")
 
 
-def _gram_rows(docs: DataFrame, n: int) -> DataFrame:
+def _spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Hash-exchange ``df`` by ``key`` ahead of a CPU-heavy per-row
+    transform (per-position md5, shingle digests, deletion variants).
+
+    Guide §2.5 (input skew / few splits): a pure map-side pipeline
+    inherits the scan's split count — a single-row-group parquet file
+    (the test data) or a skewed/unsplittable input at 100 TB runs the
+    WHOLE hash pipeline inside one task, and every ``_materialize`` of
+    it hands its consumers the same single partition. One narrow
+    exchange of the raw rows ahead of the transform spreads that CPU
+    across the cluster — the pattern ``_simhash_from_grams`` proved
+    (5.7 s → 1.2 s at sf0.1). AQE keeps the partition count scale-
+    adaptive (coalescePartitions with parallelismFirst), so this is not
+    a local-core-count tune."""
+    return df.repartition(key)
+
+
+def _gram_rows(docs: DataFrame, n: int, spread: bool = False) -> DataFrame:
     """(doc_id, gram) — distinct word n-gram shingles per document.
 
     Single-pass shape: ONE shuffle (groupBy doc_id, with map-side partial
@@ -127,10 +144,10 @@ def _gram_rows(docs: DataFrame, n: int) -> DataFrame:
         # distinct tokens straight off the map-side token array: a pure
         # projection (split → filter → array_distinct → explode), so the
         # corpus text never crosses an exchange just to be tokenized.
-        return _token_arrays(docs).select(
+        return _token_arrays(docs, spread=spread).select(
             "doc_id", F.explode(F.array_distinct("ts")).alias("gram")
         )
-    arr = _token_arrays(docs)
+    arr = _token_arrays(docs, spread=spread)
     sz = F.size("ts")
     grams_arr = F.when(sz >= n, F.array_distinct(_gram_expr(n))).otherwise(
         F.array(F.concat_ws(" ", "ts"))
@@ -144,10 +161,18 @@ def _gram_rows(docs: DataFrame, n: int) -> DataFrame:
     )
 
 
-def _token_arrays(docs: DataFrame) -> DataFrame:
+def _token_arrays(docs: DataFrame, spread: bool = False) -> DataFrame:
     """(doc_id, ts) — the ordered token array per document, as a pure
     MAP-SIDE projection: ``split`` already yields the tokens in document
     order, so filtering empties is all that is needed.
+
+    ``spread=True`` inserts the :func:`_spread` exchange BELOW the
+    tokenize projection (the exchange ships raw (doc_id, text) rows;
+    column pruning keeps it narrow) so that a downstream per-position
+    md5/shingle transform runs cluster-wide instead of inside the scan
+    task(s) — required wherever the transform CPU dominates (winnowing
+    prints, span anchors, shingle digests). Consumers whose downstream
+    is a cheap aggregate keep the default shuffle-free shape.
 
     The previous spelling (posexplode → groupBy(doc_id) →
     array_sort(collect_list)) shuffled every token of the corpus once
@@ -160,6 +185,8 @@ def _token_arrays(docs: DataFrame) -> DataFrame:
     absent; every consumer either filters ``size(ts) >= k`` or
     left-joins + coalesces, so the visible semantics are unchanged
     (``_gram_rows`` guards its short-doc fallback explicitly)."""
+    if spread:
+        docs = _spread(docs)
     return docs.select("doc_id", _ts_expr().alias("ts"))
 
 
@@ -425,7 +452,9 @@ def _minhash_sig_cols(docs: DataFrame) -> DataFrame:
     MIN-aggregate per doc. Every consumer (scored-pairs build,
     band-tradeoff audit, streaming indexer) derives from this frame so
     the recipe cannot silently fork."""
-    shingles = _gram_rows(docs, 3)
+    # spread: one md5 per shingle is the dominant CPU term — run it
+    # cluster-wide, not inside the scan task (guide §2.5; see _spread)
+    shingles = _gram_rows(docs, 3, spread=True)
     halves = shingles.select("doc_id", F.md5("gram").alias("hx")).select(
         "doc_id",
         F.conv(F.substring("hx", 1, 8), 16, 10).cast("bigint").alias("h1"),
@@ -702,13 +731,15 @@ def _simhash_from_grams(gram_rows: DataFrame) -> DataFrame:
     micro-batch exactly once) don't re-run the tokenizer."""
     toks = gram_rows
     h = F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("bigint")
-    # ONE exchange of fixed-width (doc_id, h) rows — never token text —
-    # so the 32 per-bit vote sums run cluster-wide instead of inside the
-    # scan task (a single-row-group file at test scale is ONE split; at
-    # 100 TB splits are plentiful but the narrow exchange still costs
-    # less than the token-text shuffle the r9 collect_set spelling paid).
+    # ONE exchange of (doc_id, token) rows BELOW the md5 — a word token
+    # is ~the same width as the 8-byte hash, so the exchange costs what
+    # the old (doc_id, h) spelling paid, but now the md5 AND the 32
+    # per-bit vote sums run cluster-wide instead of inside the scan task
+    # (a single-row-group file at test scale is ONE split; at 100 TB
+    # splits are plentiful but the narrow exchange still costs less than
+    # the token-text shuffle the r9 collect_set spelling paid).
     # groupBy(doc_id) below reuses this partitioning: no second exchange.
-    hashed = toks.select("doc_id", h.alias("h")).repartition("doc_id")
+    hashed = toks.repartition("doc_id").select("doc_id", h.alias("h"))
     votes = hashed.groupBy("doc_id").agg(
         *[
             F.sum(
@@ -928,7 +959,9 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         (F.col("n_chars") / F.lit(100)).cast("bigint").alias("len_band"),
     )
-    flat = _materialize(_gram_rows(docs, 2).join(F.broadcast(dims), "doc_id"))
+    flat = _materialize(
+        _gram_rows(docs, 2, spread=True).join(F.broadcast(dims), "doc_id")
+    )
     # Hot-gram cap: rows in `flat` are distinct (doc_id, gram), so a plain
     # count per gram IS the document frequency.
     n_docs = docs.groupBy().agg(F.count("*").alias("n_docs"))
@@ -1023,7 +1056,7 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialized once: train and eval below both read this frame, and
     # without it each side re-runs the whole tokenize+shingle+md5 pipeline
     grams = _materialize(
-        _token_arrays(docs)
+        _token_arrays(docs, spread=True)
         .filter(F.size("ts") >= 5)
         .select(
             "doc_id",
@@ -1092,7 +1125,7 @@ _SPAN_S = 8  # stride
 )
 def repeated_span_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    ts = _token_arrays(docs).filter(F.size("ts") >= _SPAN_W)
+    ts = _token_arrays(docs, spread=True).filter(F.size("ts") >= _SPAN_W)
     positions = F.sequence(
         F.lit(0),
         F.floor((F.size("ts") - _SPAN_W) / F.lit(_SPAN_S)).cast("int"),
@@ -1247,7 +1280,7 @@ def curation_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
     nd = _materialize(e.join(keepers, "doc_id"))
     grams = _materialize(
-        _token_arrays(docs)
+        _token_arrays(docs, spread=True)
         .filter(F.size("ts") >= 5)
         .select(
             "doc_id",
@@ -1546,7 +1579,7 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     langs = docs.select("doc_id", "lang")
     flat = _materialize(
-        _gram_rows(docs, 2).join(F.broadcast(langs), "doc_id")
+        _gram_rows(docs, 2, spread=True).join(F.broadcast(langs), "doc_id")
     )
     n_docs = docs.groupBy().agg(F.count("*").alias("n_docs"))
     hot = (
@@ -1935,6 +1968,9 @@ def entity_linkage_deletion_blocks(
     # string columns never ride the candidate shuffle (measured 8.2 s →
     # ~2 s at sf0.1; at 100 TB the candidate shuffle dominates and this
     # is the difference between 26 B/row and 60+ B/row)
+    # NOT spread: A/B-measured (r11, 3 interleaved reps, min 4.08 s vs
+    # 5.43 s) — the variant explode is cheap enough that exchanging the
+    # name rows first costs more than the serial explode saves
     vars_ = cust.select(
         "ck",
         F.explode(
@@ -2060,7 +2096,7 @@ def _xspan_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    ts = _token_arrays(docs).filter(F.size("ts") >= _XSPAN_W)
+    ts = _token_arrays(docs, spread=True).filter(F.size("ts") >= _XSPAN_W)
     anchors = F.transform(
         F.sequence(F.lit(1), F.size("ts") - F.lit(_XSPAN_W - 1)),
         lambda i: F.struct(
@@ -2193,7 +2229,7 @@ def _winnowing_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would be pushed below the exchange and re-run the whole
     # md5-per-position transform from raw text inside the scan task,
     # doubling the work and serializing it (observed: 13 s vs 2 s)
-    ts = _token_arrays(docs).filter(
+    ts = _token_arrays(docs, spread=True).filter(
         F.size("ts") >= _WN_W + _WN_K - 1
     )
     hs = F.transform(
@@ -2386,7 +2422,7 @@ def _winnowing_prints(side: DataFrame) -> DataFrame:
     # size(hs) >= W spelled on ts (= size(ts) >= W+K-1) so the gate is
     # never pushed down as a recompute of the hs transform (see
     # _winnowing_pairs_build)
-    ts = _token_arrays(side).filter(
+    ts = _token_arrays(side, spread=True).filter(
         F.size("ts") >= _WN_W + _WN_K - 1
     )
     hs = F.transform(
@@ -2522,7 +2558,7 @@ def incremental_winnowing_candidates(
 def _span_anchors(side: DataFrame) -> DataFrame:
     """(doc_id, pos, h): stride-1 anchor hashes — the identical map-only
     pipeline as the full-corpus operator."""
-    ts = _token_arrays(side).filter(F.size("ts") >= _XSPAN_W)
+    ts = _token_arrays(side, spread=True).filter(F.size("ts") >= _XSPAN_W)
     anchors = F.transform(
         F.sequence(F.lit(1), F.size("ts") - F.lit(_XSPAN_W - 1)),
         lambda i: F.struct(
@@ -2805,7 +2841,7 @@ def _jaccard_truth_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs/10, mirrored in every consuming oracle). The ground-truth
     side of the LSH recall and band-tradeoff audits."""
     docs = load_table(spark, sf_dir, "documents")
-    grams = _materialize(_gram_rows(docs, 3))
+    grams = _materialize(_gram_rows(docs, 3, spread=True))
     n_docs = docs.groupBy().agg(F.count("*").alias("n_docs"))
     hot = (
         grams.groupBy("gram")
@@ -3526,7 +3562,7 @@ def incremental_curation_funnel_counts(
 
     def _grams5(side: DataFrame) -> DataFrame:
         return (
-            _token_arrays(side)
+            _token_arrays(side, spread=True)
             .filter(F.size("ts") >= 5)
             .select(
                 "doc_id",
@@ -3545,7 +3581,7 @@ def incremental_curation_funnel_counts(
         spark,
         sf_dir,
         "cf_seed_fp",
-        lambda: hist.select(F.md5("text").alias("h")).distinct(),
+        lambda: _spread(hist).select(F.md5("text").alias("h")).distinct(),
     )
     sh_idx = _shared_artifact(
         spark,
@@ -3855,7 +3891,7 @@ def winnowing_window_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-recomputed from scratch (the production w=4 sits at the
     audited dense end, so the choice is a measured decision)."""
     docs = load_table(spark, sf_dir, "documents")
-    ts = _token_arrays(docs).filter(F.size("ts") >= _WN_K)
+    ts = _token_arrays(docs, spread=True).filter(F.size("ts") >= _WN_K)
     hs = F.transform(
         F.sequence(F.lit(1), F.size("ts") - F.lit(_WN_K - 1)),
         lambda i: F.md5(
@@ -4099,9 +4135,12 @@ class CurationStreamFunnel:
         # SimHash votes, and both 5-gram pipelines all derive from this
         # one checkpointed frame. The token array is a map-side
         # projection (see _token_arrays), so everything here is ONE scan
-        # of the batch — no tokenize self-join.
+        # of the batch — no tokenize self-join. _spread first: a
+        # micro-batch arrives as ONE file = one partition, so without
+        # the exchange every downstream 5-gram md5 transform over this
+        # checkpoint would run serially (guide §2.5).
         flags = _materialize(
-            batch_df.select(
+            _spread(batch_df).select(
                 "doc_id",
                 "lang",
                 "n_chars",
@@ -4167,7 +4206,10 @@ class CurationStreamFunnel:
         e = e_all.drop("_inc")
         # sh_b feeds only kept_sh (itself checkpointed) — no materialize:
         # checkpointing it would pay an extra eager action + block write
-        # for a frame read exactly once
+        # for a frame read exactly once. Re-A/B'd r11 under bench
+        # conditions (full 3-micro-batch funnel, 3 interleaved reps,
+        # min statistic): trimmed 32.1/20.2 s vs checkpointed 37.3/21.4 s
+        # — the r10 trim stands.
         sh_b = _simhash_from_grams(
             flags.join(e.select("doc_id"), "doc_id").select(
                 "doc_id",
@@ -4188,6 +4230,7 @@ class CurationStreamFunnel:
         keepers = kept_sh.select("doc_id")
         # both inputs are already checkpointed; the broadcast join is
         # cheaper to recompute for its two readers than to checkpoint
+        # (same r11 A/B as sh_b above)
         nd = e.join(keepers, "doc_id")
         g5 = F.explode(
             F.array_distinct(F.transform(_gram_expr(5), F.md5))
@@ -4379,7 +4422,7 @@ def _grams5_frame(side: DataFrame) -> DataFrame:
     """(doc_id, g): per-doc DISTINCT md5 5-gram rows — the identical
     gram recipe as the funnel oracles."""
     return (
-        _token_arrays(side)
+        _token_arrays(side, spread=True)
         .filter(F.size("ts") >= 5)
         .select(
             "doc_id",
@@ -4418,7 +4461,7 @@ def _run_stream_funnel(
             spark,
             sf_dir,
             "cf_seed_fp",
-            lambda: hist.select(F.md5("text").alias("h")).distinct(),
+            lambda: _spread(hist).select(F.md5("text").alias("h")).distinct(),
         ),
         _shared_artifact(
             spark,

@@ -1,12 +1,20 @@
 """Dump ``explain("formatted")`` for registered queries to plans/<round>/.
 
-Usage: python tools/dump_plans.py <round_dir> <suffix> [key ...]
+Usage: python tools/dump_plans.py <round_dir> <suffix> [--full] [key ...]
 
 Writes ``plans/<round_dir>/<key>_<suffix>.txt`` for each key (all keys
 when none are given). The explain output is the OPTIMIZATION deliverable:
 the judge checks plan-shape claims (Exchange counts, join strategies,
 PushedFilters) against these files, so they are captured from the same
 session shape the bench uses (``get_spark``).
+
+``--full`` identity-patches ``_materialize`` (the plan_fingerprint.py
+convention): localCheckpoint/persist truncate lineage and the shared
+artifacts hide their build pipelines behind a table scan, so the
+executed-shape dump bottoms out at ``Scan ExistingRDD`` exactly where
+the interesting build stages live (the r10 verdict's evidence gap).
+With the patch the dump shows the WHOLE declarative pipeline, including
+every exchange inside builds.
 """
 
 from __future__ import annotations
@@ -26,6 +34,11 @@ from iceberg_loader_spark.operators import all_queries  # noqa: E402
 def main() -> None:
     round_dir, suffix = sys.argv[1], sys.argv[2]
     keys = sys.argv[3:]
+    if "--full" in keys:
+        keys.remove("--full")
+        from iceberg_loader_spark.operators import dedup
+
+        dedup._materialize = lambda df: df
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_root = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
